@@ -1,0 +1,72 @@
+"""Study configuration — the scalar arguments of ``process_a_study``
+(R/ctas.R:29-42) plus engine knobs with no reference equivalent [graft].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .schemas import VALID_FEATURES, VALID_SITE_SCORING, SchemaError
+
+ALL_FEATURES = (
+    "autocorr;average;own_site_simil_score;sd;unique_value_count_relative;range;lof"
+)
+
+
+@dataclass(frozen=True)
+class StudyConfig:
+    """Defaults applied per-parameter when the parameter table has NA
+    (R/ctas.R:54-61), plus validation rules from check_input_data."""
+
+    features: str = ALL_FEATURES  # ';'-packed like the reference
+    min_timepoints_per_series: float = 3
+    min_subjects_per_series: float = 3
+    max_share_missing: float = 0.5
+    generate_change_from_baseline: bool = False
+    autogenerate_timeseries: bool | str = True  # True|False|'consecutive'|'adaptive'
+    optimize_sites_and_patients: bool = False
+    site_scoring_method: str = "ks"
+    padjust_method: str = "fdr"
+    # [graft] engine knobs
+    ks_jitter_sd: float = 1e-5  # R/ctas.R:304; 0 disables for bit-exact tests
+    ks_jitter_seed: int | None = 42  # reference is unseeded; we are deterministic
+    def __post_init__(self) -> None:
+        feats = set(self.features.split(";"))
+        bad = feats - VALID_FEATURES
+        if bad:
+            raise SchemaError(f"unknown features: {sorted(bad)}")  # R/ctas.R:1161-1163
+        if self.min_subjects_per_series < 2:
+            # R/ctas.R:1173 + regression test test_process_a_study.R:194-224
+            raise SchemaError("default_minimum_subjects_per_series must be >= 2")
+        if not (0 <= self.max_share_missing <= 1):
+            raise SchemaError("max_share_missing must be within [0, 1]")  # R/ctas.R:1168
+        if self.site_scoring_method not in VALID_SITE_SCORING:
+            raise SchemaError(f"bad site_scoring_method: {self.site_scoring_method}")
+        if self.autogenerate_timeseries not in (True, False, "consecutive", "adaptive"):
+            raise SchemaError("autogenerate_timeseries must be bool|consecutive|adaptive")
+
+    @property
+    def autogen_enabled(self) -> bool:
+        return self.autogenerate_timeseries in (True, "consecutive", "adaptive")
+
+    @property
+    def autogen_type(self) -> str:
+        # R/ctas.R:36-42: TRUE -> "consecutive"
+        return (
+            self.autogenerate_timeseries
+            if isinstance(self.autogenerate_timeseries, str)
+            else "consecutive"
+        )
+
+
+@dataclass(frozen=True)
+class RollupConfig:
+    """[graft] knobs for the rollup/downsample/retention engine."""
+
+    channels: tuple[str, ...] = ("text_len", "turn_latency_s")
+    tiers_s: tuple[int, ...] = (60, 3600, 86400)  # 1m -> 1h -> 1d
+    gap_fill_method: str = "locf"  # or "linear"
+    gap_fill_step_s: int = 60
+    salt_buckets: int = 64  # salted-hash partition count for conv_id
+    max_turns_per_chunk: int = 100_000  # long-conv sub-split threshold
+    rolling_window: int = 8  # rolling mean/sd window (turns)

@@ -1,0 +1,167 @@
+"""Cross-subject kernels: R-compatible distance matrix, Local Outlier
+Factor, own-site similarity, and PCA coordinates.
+
+These run per-timeseries inside a ``map_groups`` UDF — bounded by the
+number of eligible subjects in one series, never by total data volume.
+They use full square numpy matrices where the reference does condensed
+``dist``-vector index gymnastics (R/ctas.R:459-501); the results are
+identical, the code is 10x simpler, and per-group sizes stay small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .stats import auroc
+
+__all__ = [
+    "r_dist_euclidean",
+    "local_outlier_factor",
+    "own_site_similarity",
+    "pca_coordinates",
+]
+
+
+def r_dist_euclidean(wide: np.ndarray) -> np.ndarray:
+    """Pairwise Euclidean distances with R ``stats::dist`` NA semantics
+    (used at R/ctas.R:604): coordinates where either value is NA are
+    dropped and the sum of squares is scaled up by p / n_valid; a pair
+    with zero valid coordinates gives NaN.
+
+    Returns the full symmetric (n, n) matrix with 0 diagonal.
+    """
+    x = np.asarray(wide, dtype=np.float64)
+    n, p = x.shape
+    valid = ~np.isnan(x)
+    x0 = np.where(valid, x, 0.0)
+    # squared diffs over valid pairs: (xi - xj)^2 summed where both valid
+    # computed via blocked broadcasting to keep it simple; n is small here
+    d2 = np.zeros((n, n))
+    cnt = np.zeros((n, n))
+    for i in range(n):
+        both = valid[i][None, :] & valid  # (n, p)
+        diff = np.where(both, x0[i][None, :] - x0, 0.0)
+        d2[i] = (diff * diff).sum(axis=1)
+        cnt[i] = both.sum(axis=1)
+    with np.errstate(all="ignore"):
+        out = np.sqrt(d2 * (p / cnt))
+    out[cnt == 0] = np.nan
+    np.fill_diagonal(out, 0.0)
+    return out
+
+
+def local_outlier_factor(dist: np.ndarray, k: int) -> np.ndarray:
+    """Classic LOF (Breunig et al. 2000) over a precomputed distance
+    matrix, matching ``dbscan::lof(dist, minPts=k+1)`` as called by the
+    reference (calculate_lof, R/ctas.R:526-559):
+
+    - ``k = min(10, floor(n/3))`` with floor 1 is chosen by the CALLER
+      (R/ctas.R:541-546); this function takes k directly.
+    - k-distance = distance to the k-th nearest neighbour; the
+      neighbourhood is tie-inclusive (all points with d <= k-distance).
+    - reach-dist_k(p,o) = max(k-dist(o), d(p,o));
+      lrd(p) = 1/mean(reach-dist over neighbourhood);
+      LOF(p) = mean(lrd(o))/lrd(p) over the neighbourhood.
+
+    Non-finite LOF values (identical-point clusters) are the caller's
+    problem — the reference maps them to 1.0 (R/ctas.R:551).
+    NaN anywhere in dist → caller returns all-NaN (R/ctas.R:530-538).
+    """
+    d = np.asarray(dist, dtype=np.float64)
+    n = d.shape[0]
+    if n <= 1:
+        return np.full(n, np.nan)
+    k = min(k, n - 1)
+    # k-distance per point (excluding self): partition row without diagonal
+    big = d.copy()
+    np.fill_diagonal(big, np.inf)
+    kdist = np.partition(big, k - 1, axis=1)[:, k - 1]
+    neigh = big <= kdist[:, None]  # tie-inclusive neighbourhood, excl. self
+    # lrd
+    reach = np.maximum(kdist[None, :], d)  # reach(p row, o col)
+    with np.errstate(all="ignore"):
+        lrd = 1.0 / (np.where(neigh, reach, 0.0).sum(axis=1) / neigh.sum(axis=1))
+        lof = np.where(neigh, lrd[None, :], 0.0).sum(axis=1) / neigh.sum(axis=1) / lrd
+    return lof
+
+
+def own_site_similarity(
+    dist: np.ndarray,
+    sites: np.ndarray,
+) -> np.ndarray:
+    """Own-site similarity score per subject (calculate_own_site_simil_score,
+    R/ctas.R:432-516): for each subject at a site with >= 2 subjects in
+    the series, the AUROC of (distances to all other subjects, ranked
+    ascending-by-negation as in the reference's ``rank(-score)``)
+    against same-site membership. Subjects at singleton sites get NaN
+    (reference initialises -1 and filters, R/ctas.R:436,512).
+
+    ``dist`` is the full square matrix; ``sites`` the per-subject site id
+    aligned with its rows.
+    """
+    n = dist.shape[0]
+    sites = np.asarray(sites)
+    out = np.full(n, np.nan)
+    # sites with more than one subject in this series
+    uniq, counts = np.unique(sites, return_counts=True)
+    multi = set(uniq[counts > 1].tolist())
+    for i in range(n):
+        if sites[i] not in multi:
+            continue
+        mask = np.ones(n, dtype=bool)
+        mask[i] = False
+        distances = dist[i][mask]
+        same_site = (sites[mask] == sites[i]).astype(np.float64)
+        out[i] = auroc(distances, same_site)
+    return out
+
+
+def pca_coordinates(wide: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """First two principal-component coordinates per subject
+    (calculate_principal_components, R/ctas.R:692-750):
+
+    1. impute NaN with ROW means (R/ctas.R:698-701)
+    2. drop zero-variance columns (exact ``var != 0``, R/ctas.R:705)
+    3. 0 cols left  -> None (empty frame; no subjects emitted)
+       1 col  left  -> (value, 0)            (R/ctas.R:708-716)
+       2 cols left  -> (values as-is)        (R/ctas.R:718-724)
+       >2 cols      -> prcomp(center=TRUE, scale.=FALSE) scores 1..2
+                       (R/ctas.R:726-737)
+
+    PC sign is an SVD convention, not a semantic: R's prcomp (LAPACK) and
+    numpy may disagree per-component. Tests compare up to sign; the
+    engine applies a deterministic convention (largest-|loading| positive)
+    so results are stable across runs and cluster sizes.
+    """
+    x = np.asarray(wide, dtype=np.float64).copy()
+    n, p = x.shape
+    with np.errstate(all="ignore"):
+        row_means = np.nanmean(x, axis=1)
+    nan_r, nan_c = np.where(np.isnan(x))
+    x[nan_r, nan_c] = row_means[nan_r]
+    # var per column (ddof=1, na.rm) — after imputation NaNs only remain
+    # for all-NaN rows, which cannot occur for eligible subjects
+    with np.errstate(all="ignore"):
+        col_var = np.nanvar(x, axis=0, ddof=1) if n > 1 else np.zeros(p)
+    keep = col_var != 0
+    x = x[:, keep]
+    p = x.shape[1]
+    if p == 0:
+        return None
+    if p == 1:
+        return x[:, 0].copy(), np.zeros(n)
+    if p == 2:
+        return x[:, 0].copy(), x[:, 1].copy()
+    centered = x - x.mean(axis=0)
+    # scores = centered @ V ; use SVD for numerical parity with prcomp
+    u, s, vt = np.linalg.svd(centered, full_matrices=False)
+    # deterministic sign: make the largest-|v| loading of each PC positive
+    for comp in range(min(2, vt.shape[0])):
+        j = np.argmax(np.abs(vt[comp]))
+        if vt[comp, j] < 0:
+            vt[comp] = -vt[comp]
+            u[:, comp] = -u[:, comp]
+    scores = u * s
+    if scores.shape[1] == 1:  # rank-1 data: pad PC2 with zeros
+        return scores[:, 0], np.zeros(n)
+    return scores[:, 0], scores[:, 1]

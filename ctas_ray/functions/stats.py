@@ -1,0 +1,264 @@
+"""Statistical kernels matching R semantics used by the reference.
+
+Hand-implemented (no scipy in the environment) to match the *R* functions
+the reference calls, not scipy's:
+
+- ``ks_test``        ~ R ``stats::ks.test`` two-sample branches
+                       (reference call site: R/ctas.R:354, one-sided
+                       alternatives chosen at R/ctas.R:308-313)
+- ``p_adjust``       ~ R ``stats::p.adjust`` (reference: R/ctas.R:222,239)
+- ``auroc``          ~ reference's Mann-Whitney AUROC (R/ctas.R:570-575)
+- ``norm_sf``        ~ ``1 - pnorm(z)`` (reference: R/ctas.R:237)
+- ``quantile_type7`` ~ R default quantile (reference IQR fences,
+                       R/ctas.R:1259-1266)
+
+All functions are pure numpy/math — safe to call inside Ray Data batch
+UDFs without pickling issues.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "ks_test",
+    "p_adjust",
+    "auroc",
+    "norm_sf",
+    "quantile_type7",
+    "rankdata_average",
+]
+
+
+def _psmirnov_exact(q: float, m: int, n: int, two_sided: bool) -> float:
+    """P(D < q) for the two-sample Smirnov statistic, no ties.
+
+    Lattice-path DP equivalent to R >= 4.1 ``psmirnov`` (C_pSmirnov2x):
+    count monotone paths from (0,0) to (m,n) for which the path never
+    violates the boundary |i/m - j/n| >= q (two-sided) or
+    (i/m - j/n) >= q (one-sided), divided by C(m+n, n).
+
+    Returns the CDF P(D < q); caller computes p-value as 1 - cdf.
+    """
+    # Tolerance mirrors R's use of a small epsilon when comparing lattice
+    # deviations to q (avoids spurious exclusion from float rounding).
+    tol = 1e-10
+    md, nd = float(m), float(n)
+    # u[j] = number of admissible paths to (i, j), scaled progressively to
+    # avoid overflow; we track log-scale via periodic renormalisation.
+    u = np.zeros(n + 1, dtype=np.float64)
+    u[0] = 1.0
+    log_scale = 0.0
+    for j in range(1, n + 1):
+        dev = -(j / nd)  # i = 0: all steps so far from y
+        bad = (abs(dev) if two_sided else dev) >= q - tol
+        u[j] = 0.0 if bad else u[j - 1]
+    for i in range(1, m + 1):
+        # renormalise to keep magnitudes bounded
+        mx = u.max()
+        if mx > 1e280:
+            u /= mx
+            log_scale += math.log(mx)
+        dev0 = i / md
+        if (abs(dev0) if two_sided else dev0) >= q - tol:
+            u[0] = 0.0
+        for j in range(1, n + 1):
+            dev = i / md - j / nd
+            bad = (abs(dev) if two_sided else dev) >= q - tol
+            u[j] = 0.0 if bad else u[j] + u[j - 1]
+    # total paths C(m+n, n) in the same scaling
+    log_paths = math.lgamma(m + n + 1) - math.lgamma(m + 1) - math.lgamma(n + 1)
+    if u[n] <= 0.0:
+        return 0.0
+    log_cdf = math.log(u[n]) + log_scale - log_paths
+    return min(1.0, math.exp(log_cdf))
+
+
+def _pkolmogorov_asymptotic(t: float) -> float:
+    """Asymptotic Kolmogorov CDF P(sqrt(N) D <= t) via the alternating series.
+
+    Matches R's pkstwo: for small t uses the theta-function form, else the
+    alternating exponential series.
+    """
+    if t <= 0.0:
+        return 0.0
+    if t < 1.0:
+        # rapidly-converging form for small t
+        s = 0.0
+        a = math.pi * math.pi / (8.0 * t * t)
+        for k in range(5):
+            s += math.exp(-((2 * k + 1) ** 2) * a)
+        return math.sqrt(2.0 * math.pi) / t * s
+    s = 0.0
+    for k in range(1, 101):
+        term = (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * t * t)
+        s += term
+        if abs(term) < 1e-17:
+            break
+    return max(0.0, 1.0 - 2.0 * s)
+
+
+def ks_test(
+    x: np.ndarray,
+    y: np.ndarray,
+    alternative: str = "two.sided",
+    exact: bool | None = None,
+) -> tuple[float, float]:
+    """Two-sample Kolmogorov-Smirnov test, R ``stats::ks.test`` semantics.
+
+    Returns ``(statistic, p_value)``.
+
+    - statistic: two.sided = max|z|; greater = max(z); less = -min(z)
+      where z is the cumulative ECDF-difference walk over the pooled
+      sorted sample (R's ks.test internal), with tie-group collapsing.
+    - p-value: exact (no ties and m*n < 10^4, R's default ``exact=NULL``
+      rule) via the Smirnov lattice DP, else asymptotic
+      (Kolmogorov series for two.sided, exp(-2 t^2) for one-sided).
+
+    Reference call: ``ks.test(x=within, y=outside, alternative=...)``
+    at R/ctas.R:354; the reference adds N(0, 1e-5) jitter upstream
+    (R/ctas.R:304) so the no-ties exact branch is the common case.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    y = y[~np.isnan(y)]
+    m, n = len(x), len(y)
+    if m < 1 or n < 1:
+        return (np.nan, np.nan)
+    w = np.concatenate([x, y])
+    order = np.argsort(w, kind="mergesort")
+    z = np.cumsum(np.where(order < m, 1.0 / m, -1.0 / n))
+    ws = w[order]
+    has_ties = bool(np.any(np.diff(ws) == 0))
+    if has_ties:
+        keep = np.append(np.diff(ws) != 0, True)
+        z = z[keep]
+    if alternative == "two.sided":
+        stat = float(np.max(np.abs(z)))
+    elif alternative == "greater":
+        stat = float(np.max(z))
+    elif alternative == "less":
+        stat = float(-np.min(z))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"bad alternative: {alternative}")
+
+    if exact is None:
+        exact = (m * n) < 10000
+    exact = exact and not has_ties
+
+    if exact:
+        cdf = _psmirnov_exact(stat, m, n, two_sided=(alternative == "two.sided"))
+        p = 1.0 - cdf
+    else:
+        en = m * n / (m + n)
+        if alternative == "two.sided":
+            p = 1.0 - _pkolmogorov_asymptotic(math.sqrt(en) * stat)
+        else:
+            p = math.exp(-2.0 * en * stat * stat)
+    return (stat, float(min(1.0, max(0.0, p))))
+
+
+def p_adjust(p: np.ndarray, method: str = "fdr") -> np.ndarray:
+    """R ``stats::p.adjust``. Supports fdr/BH, BY, bonferroni, holm,
+    hochberg, hommel(->hochberg approx not provided; raises), none.
+
+    Reference call: R/ctas.R:222 (default method "fdr" = BH).
+    NaNs are kept in place and ignored for n (R semantics: n = number of
+    non-NA p-values when na.rm — actually R keeps n = length(p) including
+    NAs unless they're removed by the caller; ks-path p-values are never
+    NA after the 1e-100 patch, so we use the non-NA count like
+    ``p.adjust`` does when given a clean vector).
+    """
+    p = np.asarray(p, dtype=np.float64)
+    out = np.full_like(p, np.nan)
+    ok = ~np.isnan(p)
+    pv = p[ok]
+    n = pv.size
+    if n == 0:
+        return out
+    method = {"fdr": "BH"}.get(method, method)
+    if method == "none":
+        out[ok] = pv
+        return out
+    if method == "bonferroni":
+        out[ok] = np.minimum(1.0, pv * n)
+        return out
+    if method == "holm":
+        o = np.argsort(pv, kind="mergesort")
+        adj = np.maximum.accumulate((n - np.arange(n)) * pv[o])
+        res = np.empty(n)
+        res[o] = np.minimum(1.0, adj)
+        out[ok] = res
+        return out
+    if method == "hochberg":
+        o = np.argsort(-pv, kind="mergesort")
+        adj = np.minimum.accumulate((np.arange(n) + 1) * pv[o])
+        res = np.empty(n)
+        res[o] = np.minimum(1.0, adj)
+        out[ok] = res
+        return out
+    if method in ("BH", "BY"):
+        o = np.argsort(-pv, kind="mergesort")  # descending p
+        ranks = n - np.arange(n)  # n, n-1, ..., 1
+        q = 1.0 if method == "BH" else float(np.sum(1.0 / np.arange(1, n + 1)))
+        adj = np.minimum.accumulate(q * n / ranks * pv[o])
+        res = np.empty(n)
+        res[o] = np.minimum(1.0, adj)
+        out[ok] = res
+        return out
+    raise ValueError(f"unsupported p.adjust method: {method}")
+
+
+def rankdata_average(x: np.ndarray) -> np.ndarray:
+    """R ``rank(x)`` with average ties (default ties.method)."""
+    x = np.asarray(x, dtype=np.float64)
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        avg = (i + j) / 2.0 + 1.0
+        ranks[order[i : j + 1]] = avg
+        i = j + 1
+    return ranks
+
+
+def auroc(score: np.ndarray, positive: np.ndarray) -> float:
+    """Mann-Whitney AUROC, exactly the reference's hand-rolled version:
+
+        n1 <- sum(!bool); n2 <- sum(bool)
+        U  <- sum(rank(-score)[!bool]) - n1*(n1+1)/2
+        1 - U / n1 / n2                       (R/ctas.R:570-575)
+    """
+    score = np.asarray(score, dtype=np.float64)
+    positive = np.asarray(positive).astype(bool)
+    n1 = int(np.sum(~positive))
+    n2 = int(np.sum(positive))
+    if n1 == 0 or n2 == 0:
+        return np.nan
+    r = rankdata_average(-score)
+    u = float(np.sum(r[~positive])) - n1 * (n1 + 1) / 2.0
+    return 1.0 - u / n1 / n2
+
+
+def norm_sf(z: float | np.ndarray) -> float | np.ndarray:
+    """1 - pnorm(z): upper-tail standard normal (R/ctas.R:237)."""
+    if isinstance(z, np.ndarray):
+        return 0.5 * np.vectorize(math.erfc)(z / math.sqrt(2.0))
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def quantile_type7(x: np.ndarray, q: float) -> float:
+    """R default (type-7) quantile == numpy 'linear'. Used for the IQR
+    site fences (R/ctas.R:1259-1266)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    if x.size == 0:
+        return np.nan
+    return float(np.quantile(x, q, method="linear"))

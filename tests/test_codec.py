@@ -1,0 +1,93 @@
+"""Gorilla codec round-trip property tests (FIXTURES.md §B5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ctas_ray.functions.codec import decode_series, encode_series
+
+
+def roundtrip(ts, vals):
+    blob = encode_series(np.asarray(ts, np.int64), np.asarray(vals, np.float64))
+    ts2, vals2 = decode_series(blob)
+    np.testing.assert_array_equal(ts2, np.asarray(ts, np.int64))
+    # bit-exact comparison (covers NaN payloads, -0.0, denormals)
+    np.testing.assert_array_equal(
+        vals2.view(np.uint64), np.asarray(vals, np.float64).view(np.uint64)
+    )
+    return blob
+
+
+def test_empty():
+    blob = roundtrip([], [])
+    assert len(blob) == 12
+
+
+def test_single_point():
+    roundtrip([1_700_000_000_000_000], [3.14159])
+
+
+def test_constant_run_compresses():
+    n = 1000
+    ts = 1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 60_000_000
+    vals = np.full(n, 42.0)
+    blob = roundtrip(ts, vals)
+    # regular spacing + constant values -> ~2 bits/point
+    assert len(blob) < 16 + n // 2
+
+
+def test_irregular_gaps_and_noise():
+    rng = np.random.default_rng(0)
+    n = 500
+    ts = np.cumsum(rng.integers(1, 10**9, size=n)).astype(np.int64)
+    vals = rng.normal(0, 1e6, n)
+    roundtrip(ts, vals)
+
+
+def test_nan_runs_negative_zero_denormals():
+    vals = np.array(
+        [0.0, -0.0, np.nan, np.nan, np.inf, -np.inf, 5e-324, -5e-324, 1.0, np.nan]
+    )
+    ts = np.arange(10, dtype=np.int64) * 1000
+    roundtrip(ts, vals)
+
+
+def test_nan_payload_preserved():
+    # two different NaN bit patterns must round-trip exactly
+    a = np.array([np.uint64(0x7FF8000000000001), np.uint64(0x7FF8DEADBEEF0000)])
+    vals = a.view(np.float64)
+    roundtrip(np.array([0, 1], dtype=np.int64), vals)
+
+
+def test_non_monotonic_and_duplicate_ts():
+    ts = np.array([100, 100, 50, 200, 199], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    roundtrip(ts, vals)
+
+
+def test_extreme_timestamps():
+    ts = np.array([-(2**62), 2**62, 0, 1], dtype=np.int64)
+    roundtrip(ts, np.array([1.0, 2.0, 3.0, 4.0]))
+
+
+def test_random_property_sweep():
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        n = int(rng.integers(1, 200))
+        ts = np.cumsum(rng.integers(-(10**6), 10**7, size=n)).astype(np.int64)
+        vals = rng.normal(0, 10.0 ** float(rng.integers(-300, 300)), n)
+        mask = rng.random(n) < 0.3
+        vals[mask] = np.nan
+        roundtrip(ts, vals)
+
+
+def test_compression_ratio_on_regular_series():
+    n = 10_000
+    ts = np.arange(n, dtype=np.int64) * 60_000_000
+    rng = np.random.default_rng(1)
+    # slowly-varying values (typical rollup output)
+    vals = np.round(np.cumsum(rng.normal(0, 0.1, n)), 2)
+    blob = encode_series(ts, vals)
+    raw = n * 16
+    assert len(blob) < raw * 0.55  # beats raw comfortably

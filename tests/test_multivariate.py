@@ -1,0 +1,137 @@
+"""Cross-subject kernels: R dist NA-scaling, LOF, own-site AUROC, PCA."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ctas_ray.functions.multivariate import (
+    local_outlier_factor,
+    own_site_similarity,
+    pca_coordinates,
+    r_dist_euclidean,
+)
+from ctas_ray.functions.stats import auroc
+
+
+class TestRDist:
+    def test_plain_euclidean(self):
+        x = np.array([[0.0, 0.0], [3.0, 4.0]])
+        d = r_dist_euclidean(x)
+        assert d[0, 1] == pytest.approx(5.0)
+        assert d[1, 0] == pytest.approx(5.0)
+        assert d[0, 0] == 0.0
+
+    def test_na_scaling_matches_r(self):
+        # R: dist(rbind(c(1, NA, 3), c(2, 4, 6))) -> sqrt((1+9) * 3/2)
+        x = np.array([[1.0, np.nan, 3.0], [2.0, 4.0, 6.0]])
+        d = r_dist_euclidean(x)
+        assert d[0, 1] == pytest.approx(np.sqrt((1 + 9) * 3 / 2))
+
+    def test_all_na_pair_is_nan(self):
+        x = np.array([[np.nan, 1.0], [2.0, np.nan]])
+        d = r_dist_euclidean(x)
+        assert np.isnan(d[0, 1])
+
+
+class TestLOF:
+    def test_uniform_grid_near_one(self):
+        # regular grid: every point is as dense as its neighbours
+        xs, ys = np.meshgrid(np.arange(5.0), np.arange(5.0))
+        pts = np.column_stack([xs.ravel(), ys.ravel()])
+        d = r_dist_euclidean(pts)
+        lof = local_outlier_factor(d, k=4)
+        assert np.nanmedian(lof) == pytest.approx(1.0, abs=0.15)
+
+    def test_outlier_detected(self):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(0, 1, size=(30, 2))
+        pts = np.vstack([pts, [[30.0, 30.0]]])
+        d = r_dist_euclidean(pts)
+        lof = local_outlier_factor(d, k=5)
+        assert np.argmax(lof) == 30
+        assert lof[30] > 2.0
+
+    def test_identical_points_nonfinite_then_capped(self):
+        pts = np.zeros((5, 2))
+        d = r_dist_euclidean(pts)
+        lof = local_outlier_factor(d, k=2)
+        lof[~np.isfinite(lof)] = 1.0  # caller-side cap (R/ctas.R:551)
+        np.testing.assert_allclose(lof, np.ones(5))
+
+
+class TestOwnSite:
+    def test_matches_direct_auroc(self):
+        rng = np.random.default_rng(1)
+        wide = rng.normal(0, 1, size=(8, 4))
+        sites = np.array(["A", "A", "A", "B", "B", "C", "C", "D"], dtype=object)
+        d = r_dist_euclidean(wide)
+        out = own_site_similarity(d, sites)
+        # subject 0 (site A, 3 subjects): direct computation
+        mask = np.ones(8, dtype=bool)
+        mask[0] = False
+        expect = auroc(d[0][mask], (sites[mask] == "A").astype(float))
+        assert out[0] == pytest.approx(expect)
+        # singleton site D -> NaN (reference filters -1 init, R/ctas.R:512)
+        assert np.isnan(out[7])
+
+    def test_tight_site_cluster_scores_high(self):
+        # site A subjects are mutually close -> AUROC near 1
+        a = np.array([[0.0, 0], [0.1, 0], [0, 0.1]])
+        b = np.array([[10.0, 10], [11, 10], [10, 11], [12, 12]])
+        wide = np.vstack([a, b])
+        sites = np.array(["A"] * 3 + ["B"] * 4, dtype=object)
+        d = r_dist_euclidean(wide)
+        out = own_site_similarity(d, sites)
+        assert np.all(out[:3] > 0.9)
+
+
+class TestPCA:
+    def test_one_column_passthrough(self):
+        wide = np.array([[1.0], [2.0], [3.0]])
+        pc1, pc2 = pca_coordinates(wide)
+        np.testing.assert_allclose(pc1, [1, 2, 3])
+        np.testing.assert_allclose(pc2, [0, 0, 0])
+
+    def test_two_column_passthrough(self):
+        wide = np.array([[1.0, 9.0], [2.0, 8.0]])
+        pc1, pc2 = pca_coordinates(wide)
+        np.testing.assert_allclose(pc1, [1, 2])
+        np.testing.assert_allclose(pc2, [9, 8])
+
+    def test_constant_columns_dropped(self):
+        wide = np.array([[5.0, 1.0], [5.0, 2.0], [5.0, 3.0]])
+        pc1, pc2 = pca_coordinates(wide)  # constant col dropped -> 1-col path
+        np.testing.assert_allclose(pc1, [1, 2, 3])
+        np.testing.assert_allclose(pc2, [0, 0, 0])
+
+    def test_all_constant_returns_none(self):
+        wide = np.full((3, 2), 7.0)
+        assert pca_coordinates(wide) is None
+
+    def test_row_mean_imputation(self):
+        # NaN imputed with ROW mean before everything else (R/ctas.R:698-701)
+        wide = np.array([[1.0, np.nan, 3.0], [4.0, 5.0, 6.0], [7.0, 8.0, 9.0]])
+        res = pca_coordinates(wide)
+        assert res is not None
+        # imputed matrix: row0 mean = 2 -> [1,2,3]; full rank -> SVD path
+        imputed = np.array([[1.0, 2.0, 3.0], [4, 5, 6], [7, 8, 9]])
+        centered = imputed - imputed.mean(axis=0)
+        u, s, vt = np.linalg.svd(centered, full_matrices=False)
+        scores = u * s
+        pc1, pc2 = res
+        # compare up to sign
+        assert np.allclose(np.abs(pc1), np.abs(scores[:, 0]), atol=1e-9)
+
+    def test_svd_scores_match_covariance_eig(self):
+        rng = np.random.default_rng(2)
+        wide = rng.normal(0, 1, size=(10, 5))
+        pc1, pc2 = pca_coordinates(wide)
+        centered = wide - wide.mean(axis=0)
+        cov = np.cov(centered, rowvar=False)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1]
+        e1 = centered @ v[:, order[0]]
+        e2 = centered @ v[:, order[1]]
+        assert np.allclose(np.abs(pc1), np.abs(e1), atol=1e-8)
+        assert np.allclose(np.abs(pc2), np.abs(e2), atol=1e-8)
