@@ -1,0 +1,164 @@
+"""Ray Data rollup pipeline: tier exactness, chunk-split equivalence,
+codec round-trip under distribution, manifest resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ctas_ray.config import RollupConfig
+from ctas_ray.fixtures import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts():
+    return generate_transcripts(n_conv=120, seed=42)
+
+
+@pytest.fixture(scope="module")
+def raw_df(transcripts):
+    df = transcripts.to_pandas().sort_values(["conv_id", "turn_idx"])
+    df["text_len"] = df["text"].str.len().astype(float)
+    df["ts_us"] = df["ts"].astype("int64")
+    df["turn_latency_us"] = df.groupby("conv_id")["ts_us"].diff()
+    return df
+
+
+def _tiers(transcripts, cfg, ray_session, verify=False):
+    import ray.data as rd
+    from ctas_ray.pipelines.rollup import rollup_datasets
+
+    ds = rd.from_arrow(transcripts)
+    out = rollup_datasets(ds, cfg, verify_roundtrip=verify)
+    return {k: v.to_pandas() for k, v in out.items()}
+
+
+def _direct_rollup(raw_df, channel, width_s):
+    """Driver-side oracle: bucket aggregation straight from raw turns."""
+    d = raw_df[["conv_id", "ts_us", channel]].dropna(subset=[channel])
+    w = width_s * 1_000_000
+    d = d.assign(bucket=(d["ts_us"] // w) * w)
+    g = d.sort_values(["conv_id", "ts_us"], kind="mergesort").groupby(
+        ["conv_id", "bucket"]
+    )
+    return g.agg(
+        count=(channel, "size"),
+        sum=(channel, "sum"),
+        min=(channel, "min"),
+        max=(channel, "max"),
+        first_val=(channel, "first"),
+        last_val=(channel, "last"),
+    ).reset_index()
+
+
+class TestTierExactness:
+    @pytest.fixture(scope="class")
+    def tiers(self, transcripts, ray_session):
+        return _tiers(transcripts, RollupConfig(), ray_session, verify=True)
+
+    @pytest.mark.parametrize("tier,width", [("tier_1m", 60), ("tier_1h", 3600), ("tier_1d", 86400)])
+    @pytest.mark.parametrize("channel", ["text_len", "turn_latency_us"])
+    def test_tier_matches_direct_aggregation(self, tiers, raw_df, tier, width, channel):
+        got = tiers[tier]
+        got = got[got["channel"] == channel].sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+        want = _direct_rollup(raw_df, channel, width).sort_values(["conv_id", "bucket"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        np.testing.assert_array_equal(got["bucket"].to_numpy(), want["bucket"].to_numpy())
+        for col in ("count", "sum", "min", "max", "first_val", "last_val"):
+            np.testing.assert_allclose(
+                got[col].to_numpy(dtype=float), want[col].to_numpy(dtype=float),
+                rtol=0, atol=0, err_msg=f"{tier}/{channel}/{col}",
+            )
+
+    def test_cascade_1h_equals_direct_from_1m(self, tiers):
+        # exact re-aggregation property (A10)
+        t1 = tiers["tier_1m"]
+        w = 3600 * 1_000_000
+        re = t1.assign(bucket=(t1["bucket"] // w) * w)
+        re = re.groupby(["conv_id", "channel", "bucket"]).agg(
+            count=("count", "sum"), sum=("sum", "sum"),
+            min=("min", "min"), max=("max", "max"), sumsq=("sumsq", "sum"),
+        ).reset_index()
+        got = tiers["tier_1h"][["conv_id", "channel", "bucket", "count", "sum", "min", "max", "sumsq"]]
+        m = re.merge(got, on=["conv_id", "channel", "bucket"], suffixes=("_re", ""))
+        assert len(m) == len(re) == len(got)
+        for col in ("count", "sum", "min", "max", "sumsq"):
+            np.testing.assert_allclose(m[f"{col}_re"], m[col], rtol=0, atol=0)
+
+    def test_roundtrip_flags_all_true(self, tiers):
+        assert bool(tiers["blobs"]["roundtrip_ok"].all())
+
+    def test_blob_decode_matches_raw_text_len(self, tiers, raw_df):
+        from ctas_ray.functions.codec import decode_series
+
+        blobs = tiers["blobs"]
+        row = blobs[(blobs["channel"] == "text_len")].iloc[0]
+        ts, vals = decode_series(row["blob"])
+        conv = raw_df[raw_df["conv_id"] == row["conv_id"]]
+        np.testing.assert_array_equal(ts, conv["ts_us"].to_numpy())
+        np.testing.assert_array_equal(vals, conv["text_len"].to_numpy())
+
+
+class TestChunkSplitEquivalence:
+    def test_chunked_equals_unchunked(self, transcripts, raw_df, ray_session):
+        """Salted sub-splitting of long conversations must not change any
+        tier value (exact partial re-merge)."""
+        base = _tiers(transcripts, RollupConfig(), ray_session)
+        split = _tiers(transcripts, RollupConfig(max_turns_per_chunk=25), ray_session)
+        for tier in ("tier_1m", "tier_1h", "tier_1d"):
+            a = base[tier].sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+            b = split[tier].sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+            assert len(a) == len(b), tier
+            for col in ("count", "sum", "min", "max", "sumsq", "first_ts", "first_val", "last_ts", "last_val"):
+                np.testing.assert_allclose(
+                    a[col].to_numpy(dtype=float), b[col].to_numpy(dtype=float),
+                    rtol=0, atol=0, err_msg=f"{tier}/{col}",
+                )
+
+    def test_latency_exact_across_chunks(self, transcripts, raw_df, ray_session):
+        split = _tiers(transcripts, RollupConfig(max_turns_per_chunk=10), ray_session)
+        t1 = split["tier_1m"]
+        lat = t1[t1["channel"] == "turn_latency_us"]
+        assert lat["count"].sum() == raw_df["turn_latency_us"].notna().sum()
+        assert lat["sum"].sum() == raw_df["turn_latency_us"].sum()
+
+
+class TestRunAndResume:
+    def test_write_manifest_resume(self, transcripts, ray_session, tmp_path):
+        import ray.data as rd
+        from ctas_ray.pipelines.rollup import read_tier, run_rollup
+
+        ds = rd.from_arrow(transcripts)
+        cfg = RollupConfig()
+        out_dir = str(tmp_path / "rollup")
+        paths = run_rollup(ds, out_dir, cfg)
+        assert set(paths) == {"blobs", "tier_1m", "tier_1h", "tier_1d"}
+        manifest = [json.loads(l) for l in open(os.path.join(out_dir, "manifest.jsonl"))]
+        assert len(manifest) == 4
+        for e in manifest:
+            assert e["rows_in"] > 0 and e["bytes"] > 0 and e["wall_s"] > 0
+
+        # resume: nothing recomputed -> no new manifest entries
+        run_rollup(ds, out_dir, cfg)
+        manifest2 = [json.loads(l) for l in open(os.path.join(out_dir, "manifest.jsonl"))]
+        assert len(manifest2) == 4
+
+        # partial resume: delete 1d manifest entries, rerun -> 1d rebuilt
+        # FROM the persisted 1h tier
+        keep = [e for e in manifest2 if not e["partition_id"].startswith("tier_1d")]
+        with open(os.path.join(out_dir, "manifest.jsonl"), "w") as fh:
+            for e in keep:
+                fh.write(json.dumps(e) + "\n")
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "tier_1d"))
+        run_rollup(ds, out_dir, cfg)
+        t1d = read_tier(out_dir, "tier_1d", derived=True).to_pandas()
+        assert len(t1d) > 0
+        assert {"mean", "sd"} <= set(t1d.columns)
+        # derived stats sanity: mean == sum/count exactly
+        np.testing.assert_allclose(t1d["mean"], t1d["sum"] / t1d["count"], rtol=0)
