@@ -1,0 +1,183 @@
+"""Text-analysis kernels for large-scale training-data pipelines
+[graft — no reference equivalent; first-class per the build brief]:
+language-ID (stopword/n-gram heuristic), quality scoring, token
+counting, document fingerprinting, shingling, MinHash, SimHash.
+
+All vectorized or per-doc-linear; used inside ``map_batches`` stages
+(compiled regexes and permutation tables live in actor ``__init__``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "WS_RE",
+    "token_count",
+    "quality_stats",
+    "lang_id",
+    "md5_fingerprint",
+    "winnow_fingerprint",
+    "char_shingles",
+    "minhash_signature",
+    "minhash_band_hashes",
+    "simhash64",
+    "hamming64",
+]
+
+WS_RE = re.compile(r"\s+")
+_WORD_RE = re.compile(r"[\w']+|[^\w\s]", re.UNICODE)  # BPE-ish: words + punct marks
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_DIGIT_RE = re.compile(r"\d")
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+_LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the of and to in is that it for on with as was at by an be this have from or".split()),
+    "de": frozenset("der die das und ist nicht ich sie mit den von zu ein eine im für auf des".split()),
+    "fr": frozenset("le la les de des et un une est pour dans que qui sur au avec ne pas ce".split()),
+    "es": frozenset("el la los las de y un una es en que por para con no se del al como".split()),
+    "it": frozenset("il la le di e un una è che per in non con del alla dei sono".split()),
+}
+
+
+def token_count(text: str) -> tuple[int, int]:
+    """(whitespace_tokens, bpe_ish_tokens): whitespace split of trimmed
+    text, and a word/punctuation regex count approximating BPE-scale
+    token inflation."""
+    stripped = text.strip()
+    ws = len([t for t in WS_RE.split(stripped) if t]) if stripped else 0
+    bpe = len(_WORD_RE.findall(text))
+    return ws, bpe
+
+
+def quality_stats(text: str) -> dict[str, float]:
+    """Length / punctuation / digit / stopword / uppercase ratios — the
+    standard cheap quality heuristics for corpus filtering."""
+    n = len(text)
+    if n == 0:
+        return {
+            "n_chars": 0, "n_tokens": 0, "punct_ratio": 0.0, "digit_ratio": 0.0,
+            "stopword_ratio": 0.0, "upper_ratio": 0.0, "mean_token_len": 0.0,
+        }
+    toks = [t for t in WS_RE.split(text.strip()) if t]
+    low = [t.lower() for t in toks]
+    stop = _LANG_STOPWORDS["en"]
+    return {
+        "n_chars": float(n),
+        "n_tokens": float(len(toks)),
+        "punct_ratio": len(_PUNCT_RE.findall(text)) / n,
+        "digit_ratio": len(_DIGIT_RE.findall(text)) / n,
+        "stopword_ratio": (sum(t in stop for t in low) / len(toks)) if toks else 0.0,
+        "upper_ratio": sum(c.isupper() for c in text) / n,
+        "mean_token_len": (sum(len(t) for t in toks) / len(toks)) if toks else 0.0,
+    }
+
+
+def lang_id(text: str) -> tuple[str, float]:
+    """Stopword-profile language heuristic: the language whose stopword
+    inventory covers the largest share of tokens. Returns (lang, score);
+    ('und', 0.0) when nothing matches."""
+    toks = [t.lower() for t in WS_RE.split(text.strip()) if t]
+    if not toks:
+        return "und", 0.0
+    best, best_score = "und", 0.0
+    for lang, stop in _LANG_STOPWORDS.items():
+        score = sum(t in stop for t in toks) / len(toks)
+        if score > best_score:
+            best, best_score = lang, score
+    return (best, best_score) if best_score > 0.03 else ("und", best_score)
+
+
+def md5_fingerprint(text: str) -> str:
+    """Exact content fingerprint (hex md5) — SQL-oracle-able
+    (DuckDB ``md5``)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    rolling-hash k-grams, keep the minimum hash of each window (rightmost
+    on ties). Sorted unique selected hashes = the fingerprint."""
+    n = len(text)
+    if n < k:
+        return [zlib.crc32(text.encode("utf-8"))] if n else []
+    hashes = np.array(
+        [zlib.crc32(text[i : i + k].encode("utf-8")) for i in range(n - k + 1)],
+        dtype=np.int64,
+    )
+    if len(hashes) <= window:
+        return sorted({int(hashes.min())})
+    sel: set[int] = set()
+    for i in range(len(hashes) - window + 1):
+        w = hashes[i : i + window]
+        sel.add(int(w[::-1].min()))  # rightmost min via reversed argmin
+    return sorted(sel)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed k-character shingles (uint64, unique, sorted)."""
+    if len(text) < k:
+        data = [zlib.crc32(text.encode("utf-8"))] if text else []
+        return np.array(sorted(set(data)), dtype=np.uint64)
+    hs = {
+        zlib.crc32(text[i : i + k].encode("utf-8")) for i in range(len(text) - k + 1)
+    }
+    return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def minhash_perms(n_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """n_perm MinHash values via universal hashing (a*x+b mod 2^61-1).
+    Empty shingle set -> all MAX (never collides)."""
+    n_perm = len(a)
+    if len(shingles) == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (n_perm, n_shingles) in uint64 modular arithmetic (python ints avoid overflow)
+    x = shingles.astype(object)
+    out = np.empty(n_perm, dtype=np.uint64)
+    for i in range(n_perm):
+        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
+        out[i] = np.uint64(vals.min())
+    return out
+
+
+def minhash_band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
+    """Split the signature into bands; hash each band (LSH buckets)."""
+    rows = len(sig) // n_bands
+    return [
+        zlib.crc32(sig[i * rows : (i + 1) * rows].tobytes())
+        for i in range(n_bands)
+    ]
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token hashes (Charikar 2002)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin(a ^ b).count("1"))

@@ -177,6 +177,10 @@ def score_sites_ks(
     subj_count) — FDR correction happens globally at the driver
     (R/ctas.R:222 barrier).
     """
+    # deterministic row order: group rows arrive in shuffle order under
+    # Ray; sort by subject_id so jitter draws and site iteration order are
+    # identical no matter how the data was partitioned
+    group = group.sort_values("subject_id", kind="mergesort")
     values = _group_jitter(
         group["value"].to_numpy(dtype=np.float64), jitter_sd, seed_key, jitter_seed
     )
@@ -224,6 +228,7 @@ def score_sites_ks(
 def score_sites_iqr(group: pd.DataFrame) -> pd.DataFrame:
     """calculate_simple_site_feature_avgs (R/ctas.R:1251-1275): site means
     of the feature, R type-7 IQR fences, is_signal in {0, 1}."""
+    group = group.sort_values("subject_id", kind="mergesort")  # order-stable sums
     avg = (
         group.groupby("site", sort=True)["value"].mean().rename("avg_value").reset_index()
     )
@@ -255,6 +260,7 @@ def score_sites_mixedeffects_approx(group: pd.DataFrame) -> pd.DataFrame:
     Output matches the reference's shape: (entity, groupFctr, mean,
     median, sd) — downstream z/p/FDR math is identical (R/ctas.R:234-240).
     """
+    group = group.sort_values("subject_id", kind="mergesort")  # order-stable sums
     y = group["value"].to_numpy(dtype=np.float64)
     grand = y.mean()
     n = len(y)

@@ -1,0 +1,130 @@
+"""Distributed study pipeline vs the single-process oracle — frames must
+match (values to float tolerance; ids/combos exactly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ctas_ray.config import StudyConfig
+from ctas_ray.fixtures import generate_ctas_study
+from ctas_ray.oracle import process_a_study
+
+
+@pytest.fixture(scope="module")
+def study():
+    return generate_ctas_study(seed=7)
+
+
+def _run_both(study, cfg, ray_session, custom=None, crg=None):
+    import ray.data as rd
+    from ctas_ray.pipelines.study import process_a_study_ray
+
+    oracle = process_a_study(
+        study["subjects"], study["parameters"], study["data"],
+        custom, crg, cfg,
+    )
+    data_ds = rd.from_pandas(study["data"]).repartition(8)
+    dist = process_a_study_ray(
+        data_ds, study["subjects"], study["parameters"], custom, crg, cfg
+    )
+    return oracle, dist
+
+
+def _sorted(df, keys):
+    return df.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+class TestParity:
+    @pytest.fixture(scope="class")
+    def pair(self, study, ray_session):
+        return _run_both(study, StudyConfig(), ray_session)
+
+    def test_timeseries_table_identical(self, pair):
+        oracle, dist = pair
+        a = _sorted(oracle["timeseries"], ["timeseries_id"])
+        b = _sorted(dist["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_features_identical(self, pair):
+        oracle, dist = pair
+        keys = ["timeseries_id", "subject_id", "feature"]
+        a = _sorted(oracle["timeseries_features"], keys)
+        b = _sorted(dist["timeseries_features"], keys)
+        assert len(a) == len(b)
+        for k in keys + ["site", "country", "region"]:
+            assert (a[k].to_numpy() == b[k].to_numpy()).all(), k
+        np.testing.assert_allclose(
+            a["feature_value"].to_numpy(), b["feature_value"].to_numpy(),
+            rtol=1e-12, atol=1e-12,
+        )
+
+    def test_pca_identical_up_to_sign(self, pair):
+        oracle, dist = pair
+        keys = ["timeseries_id", "subject_id"]
+        a = _sorted(oracle["PCA_coordinates"], keys)
+        b = _sorted(dist["PCA_coordinates"], keys)
+        assert len(a) == len(b)
+        np.testing.assert_allclose(
+            np.abs(a[["pc1", "pc2"]].to_numpy(dtype=float)),
+            np.abs(b[["pc1", "pc2"]].to_numpy(dtype=float)),
+            rtol=1e-9, atol=1e-9,
+        )
+
+    def test_site_scores_identical(self, pair):
+        oracle, dist = pair
+        keys = ["timeseries_id", "feature", "ref_group", "site"]
+        a = _sorted(oracle["site_scores"], keys)
+        b = _sorted(dist["site_scores"], keys)
+        assert len(a) == len(b)
+        for k in keys + ["country", "region"]:
+            assert (a[k].to_numpy() == b[k].to_numpy()).all(), k
+        np.testing.assert_allclose(
+            a[["pvalue_kstest_logp", "kstest_statistic", "fdr_corrected_pvalue_logp"]].to_numpy(dtype=float),
+            b[["pvalue_kstest_logp", "kstest_statistic", "fdr_corrected_pvalue_logp"]].to_numpy(dtype=float),
+            rtol=1e-9, atol=1e-12,
+        )
+        assert (a["subject_count"].to_numpy() == b["subject_count"].to_numpy()).all()
+
+
+class TestParityVariants:
+    def test_custom_series_and_ref_groups(self, study, ray_session):
+        custom = pd.DataFrame(
+            {"timeseries_id": ["cx1"], "parameter_id": ["param_1"],
+             "timepoint_combo": ["1;2;3;4;5"]}
+        )
+        crg = pd.DataFrame(
+            {"parameter_id": ["param_1"], "feature": ["average"], "ref_group": ["country"]}
+        )
+        cfg = StudyConfig(features="average;sd;range")
+        oracle, dist = _run_both(study, cfg, ray_session, custom, crg)
+        a = _sorted(oracle["timeseries"], ["timeseries_id"])
+        b = _sorted(dist["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        sa = _sorted(oracle["site_scores"], ["timeseries_id", "feature", "ref_group", "site"])
+        sb = _sorted(dist["site_scores"], ["timeseries_id", "feature", "ref_group", "site"])
+        assert len(sa) == len(sb)
+        np.testing.assert_allclose(
+            sa["fdr_corrected_pvalue_logp"], sb["fdr_corrected_pvalue_logp"], rtol=1e-9
+        )
+        assert "country" in set(sb["ref_group"])
+
+    def test_avg_feat_value_parity(self, study, ray_session):
+        cfg = StudyConfig(site_scoring_method="avg_feat_value", features="average")
+        oracle, dist = _run_both(study, cfg, ray_session)
+        keys = ["timeseries_id", "feature", "entity"]
+        a = _sorted(oracle["site_scores"], keys)
+        b = _sorted(dist["site_scores"], keys)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_empty_data_returns_none(self, study, ray_session):
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        d = study["data"].copy()
+        d["result"] = np.nan
+        out = process_a_study_ray(
+            rd.from_pandas(d), study["subjects"], study["parameters"], cfg=StudyConfig()
+        )
+        assert all(v is None for v in out.values())
