@@ -168,10 +168,14 @@ def simhash64(tokens: list[str]) -> int:
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    one = np.uint64(1)
     for t in tokens:
-        h = int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+        )
+        bits = (h >> shifts) & one
+        acc += np.where(bits == one, 1, -1)
     out = 0
     for i in range(64):
         if acc[i] > 0:

@@ -1,0 +1,162 @@
+"""[graft] Similarity search over an embedding column (list<float>):
+
+- brute-force cosine top-k: per-batch numpy matmul against a BROADCAST
+  query matrix (ray.put once, read per actor/task), local top-k per
+  batch, global top-k merge per query — the exact baseline.
+- IVF-style bucketed variant: k-means-lite coarse centroids (sampled,
+  driver-fit), per-batch assignment, search only the n_probe closest
+  buckets — the scale path (documented recall/speed tradeoff).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+__all__ = ["topk_cosine", "ivf_topk_cosine", "fit_centroids"]
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: the query matrix is fetched ONCE per actor in
+    __init__ (broadcast via ray.put), per-batch work is one matmul."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qmat = q
+        self.qmat = _normalize(qmat.astype(np.float64)).T  # (dim, n_q)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
+        scores = vecs @ self.qmat  # (n_batch, n_q)
+        k = min(self.k, scores.shape[0])
+        # local top-k per query
+        idx = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, n_q)
+        out_q, out_id, out_s = [], [], []
+        ids = batch[self.id_col].to_numpy()
+        for qi, qid in enumerate(self.query_ids):
+            rows = idx[:, qi]
+            out_q.extend([qid] * len(rows))
+            out_id.extend(ids[rows])
+            out_s.extend(scores[rows, qi])
+        return pd.DataFrame(
+            {"query_id": out_q, self.id_col: out_id, "cosine": out_s}
+        )
+
+
+def topk_cosine(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple[int, int] = 4,
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query vector. Returns
+    (query_id, vec_id, cosine, rank) with rank 1..k, deterministic
+    tie-break by ascending vec_id."""
+    queries_ref = ray.put((np.asarray(query_ids), np.asarray(query_vectors)))
+    candidates = embeddings.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref, "k": k, "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).to_pandas()
+    # global merge: candidates per query = k * n_blocks (small)
+    candidates = candidates.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    out = candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def fit_centroids(
+    embeddings: rd.Dataset,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.25,
+    iters: int = 8,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-fit coarse centroids from a SAMPLE (never the full data):
+    k-means with k-means++-lite init on normalized vectors."""
+    sample = embeddings.random_sample(sample_fraction, seed=seed).take_all()
+    mat = _normalize(np.stack([r[vec_col] for r in sample]).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_topk_cosine(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k: vectors are searched only when
+    their coarse bucket is among each query's ``n_probe`` closest
+    centroids. Same output shape as :func:`topk_cosine`; recall < 1 by
+    construction (scale path — probe more buckets for higher recall)."""
+    if centroids is None:
+        centroids = fit_centroids(embeddings, n_centroids, vec_col=vec_col)
+    qmat = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    state_ref = ray.put((np.asarray(query_ids), qmat, centroids, probes))
+
+    def search(batch: pd.DataFrame) -> pd.DataFrame:
+        qids, qm, cents, prb = ray.get(state_ref)
+        vecs = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        buckets = np.argmax(vecs @ cents.T, axis=1)
+        ids = batch[id_col].to_numpy()
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(buckets, prb[qi])
+            if not mask.any():
+                continue
+            sub = vecs[mask]
+            scores = sub @ qm[qi]
+            kk = min(k, len(scores))
+            top = np.argpartition(-scores, kth=kk - 1)[:kk]
+            out_q.extend([qid] * kk)
+            out_id.extend(ids[mask][top])
+            out_s.extend(scores[top])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "cosine": out_s})
+
+    candidates = embeddings.map_batches(search, batch_format="pandas").to_pandas()
+    if len(candidates) == 0:
+        return pd.DataFrame(columns=["query_id", id_col, "cosine", "rank"])
+    candidates = candidates.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    out = candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out

@@ -1,0 +1,217 @@
+"""Dedup / similarity / text-analysis / multimodal stages on real
+driver testdata (sf0.001) plus controlled synthetic duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _docs_with_dups(docs_pd):
+    """Append exact and near duplicates with known ids."""
+    base = docs_pd[["doc_id", "text"]].copy()
+    maxid = int(base["doc_id"].max())
+    src = base.iloc[0]["text"]
+    near = src[: max(10, len(src) - 5)] + " xyz"
+    extra = pd.DataFrame(
+        {
+            "doc_id": [maxid + 1, maxid + 2, maxid + 3],
+            "text": [base.iloc[0]["text"], base.iloc[1]["text"], near],
+        }
+    )
+    return pd.concat([base, extra], ignore_index=True)
+
+
+class TestExactDedup:
+    def test_known_duplicates_collapse(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.dedup import exact_dedup
+
+        df = _docs_with_dups(docs_pd)
+        out = exact_dedup(rd.from_pandas(df)).to_pandas()
+        # duplicated texts collapse to the min doc_id
+        assert len(out) == df["text"].nunique()
+        dup_groups = out[out["n_copies"] > 1]
+        assert len(dup_groups) == 2
+        first_text_group = out[out["doc_id"] == int(docs_pd["doc_id"].iloc[0])]
+        assert (first_text_group["n_copies"] == 2).all()
+        assert out["n_copies"].sum() == len(df)
+
+
+class TestMinHash:
+    def test_exact_and_near_duplicates_cluster(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.dedup import minhash_lsh_dedup
+
+        df = _docs_with_dups(docs_pd)
+        clusters = minhash_lsh_dedup(
+            rd.from_pandas(df), threshold=0.7, concurrency=2
+        )
+        cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+        id0 = int(docs_pd["doc_id"].iloc[0])
+        maxid = int(docs_pd["doc_id"].max())
+        # exact dup pairs cluster together
+        assert cl.get(maxid + 1) == cl.get(id0) == id0
+        # near dup (5-char tail change) clusters with its source
+        assert cl.get(maxid + 3) == id0
+
+    def test_found_clusters_are_true_near_dups(self, docs_pd, ray_session):
+        # the sf testdata PLANTS near-duplicates; every non-trivial cluster
+        # the LSH finds must be a true near-dup by exact shingle Jaccard
+        import ray.data as rd
+        from ctas_ray.functions.text import char_shingles
+        from ctas_ray.stages.dedup import jaccard, minhash_lsh_dedup
+
+        clusters = minhash_lsh_dedup(
+            rd.from_pandas(docs_pd[["doc_id", "text"]]), threshold=0.9, concurrency=2
+        )
+        text_of = docs_pd.set_index("doc_id")["text"]
+        merged = clusters[clusters["doc_id"] != clusters["cluster_id"]]
+        assert len(merged) > 0  # the corpus does contain planted near-dups
+        for _, r in merged.iterrows():
+            true_j = jaccard(
+                char_shingles(text_of[r["doc_id"]]),
+                char_shingles(text_of[r["cluster_id"]]),
+            )
+            assert true_j >= 0.8, (r["doc_id"], r["cluster_id"], true_j)
+
+
+class TestSimHash:
+    def test_near_dup_detected(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.dedup import simhash_dedup
+
+        df = _docs_with_dups(docs_pd)
+        clusters = simhash_dedup(rd.from_pandas(df), max_hamming=3, concurrency=2)
+        cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+        id0 = int(docs_pd["doc_id"].iloc[0])
+        maxid = int(docs_pd["doc_id"].max())
+        assert cl.get(maxid + 1) == cl.get(id0) == id0  # exact dup: distance 0
+
+
+class TestEmbeddingDedup:
+    def test_duplicate_vectors_cluster(self, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.dedup import embedding_cosine_dedup
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(0, 1, size=(50, 16)).astype(np.float32)
+        dup = base[3] + rng.normal(0, 1e-3, 16).astype(np.float32)  # near-dup of 3
+        vecs = np.vstack([base, dup[None, :]])
+        df = pd.DataFrame(
+            {"vec_id": np.arange(len(vecs)), "embedding": list(vecs)}
+        )
+        clusters = embedding_cosine_dedup(rd.from_pandas(df), threshold=0.99)
+        cl = dict(zip(clusters["vec_id"], clusters["cluster_id"]))
+        assert cl.get(50) == cl.get(3) == 3
+
+
+class TestTopK:
+    @pytest.fixture(scope="class")
+    def emb(self):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        t["embedding"] = t["embedding"].apply(np.asarray)
+        return t
+
+    def test_bruteforce_matches_numpy(self, emb, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.similarity import topk_cosine
+
+        mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qids = emb["vec_id"].to_numpy()[:3]
+        qvecs = mat[:3]
+        got = topk_cosine(
+            rd.from_pandas(emb[["vec_id", "embedding"]]).repartition(4),
+            qids, qvecs, k=5, concurrency=2,
+        )
+        qunit = qvecs / np.linalg.norm(qvecs, axis=1, keepdims=True)
+        scores = unit @ qunit.T
+        for qi, qid in enumerate(qids):
+            s = scores[:, qi]
+            order = np.lexsort((emb["vec_id"].to_numpy(), -s))[:5]
+            want_ids = emb["vec_id"].to_numpy()[order]
+            got_ids = got[got["query_id"] == qid].sort_values("rank")["vec_id"].to_numpy()
+            np.testing.assert_array_equal(got_ids, want_ids)
+            np.testing.assert_allclose(
+                got[got["query_id"] == qid].sort_values("rank")["cosine"].to_numpy(),
+                np.sort(s)[::-1][:5], rtol=1e-12,
+            )
+
+    def test_ivf_recall_reasonable(self, emb, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.similarity import ivf_topk_cosine, topk_cosine
+
+        qids = emb["vec_id"].to_numpy()[:5]
+        qvecs = np.stack(emb["embedding"].to_numpy()[:5])
+        ds = rd.from_pandas(emb[["vec_id", "embedding"]]).repartition(4)
+        exact = topk_cosine(ds, qids, qvecs, k=10, concurrency=2)
+        approx = ivf_topk_cosine(ds, qids, qvecs, k=10, n_centroids=8, n_probe=4)
+        # recall@10 across queries should be substantial with n_probe=4/8
+        recall = 0.0
+        for qid in qids:
+            a = set(exact[exact["query_id"] == qid]["vec_id"])
+            b = set(approx[approx["query_id"] == qid]["vec_id"])
+            recall += len(a & b) / len(a)
+        assert recall / len(qids) >= 0.5
+
+
+class TestTextAnalysis:
+    def test_stats_on_documents(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.text_analysis import analyze_documents
+
+        out = analyze_documents(
+            rd.from_pandas(docs_pd[["doc_id", "text"]]), concurrency=2
+        ).to_pandas()
+        assert len(out) == len(docs_pd)
+        # n_chars must equal python len
+        merged = out.merge(docs_pd[["doc_id", "text"]], on="doc_id")
+        assert (merged["n_chars"] == merged["text"].str.len()).all()
+        # fingerprints are md5 hex
+        assert out["fingerprint"].str.len().eq(32).all()
+        assert out["ws_tokens"].ge(0).all()
+        assert out["punct_ratio"].between(0, 1).all()
+
+    def test_lang_id_known_samples(self):
+        from ctas_ray.functions.text import lang_id
+
+        assert lang_id("the cat sat on the mat and it was happy to be in the sun")[0] == "en"
+        assert lang_id("der hund ist nicht in der küche und die katze ist mit dem ball")[0] == "de"
+        assert lang_id("xyzzy plugh 12345")[0] == "und"
+
+
+class TestMultimodal:
+    def test_plumbing_roundtrip(self, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.multimodal import extract_media_features, fake_media_table
+
+        media = fake_media_table(n=32)
+        out = extract_media_features(rd.from_arrow(media), strict=False).to_pandas()
+        assert len(out) == 32
+        assert (out["feature"].apply(len) == 32).all()
+        # deterministic: same payload -> same feature
+        out2 = extract_media_features(rd.from_arrow(media), strict=False).to_pandas()
+        a = out.sort_values("media_id")["feature"].apply(tuple).tolist()
+        b = out2.sort_values("media_id")["feature"].apply(tuple).tolist()
+        assert a == b
+
+    def test_strict_mode_raises(self, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.multimodal import extract_media_features, fake_media_table
+
+        media = fake_media_table(n=4)
+        with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
+            extract_media_features(rd.from_arrow(media), strict=True).to_pandas()
