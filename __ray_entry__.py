@@ -1,16 +1,16 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the ctas_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library code these functions use) calls
+``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship rollup pipeline (events -> transcripts ->
+  cascading 1m tier) on sf0.001; returns a lazy ``ray.data.Dataset``.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the graft training-data operators).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query, column names/types matched exactly. KS scoring, LSH dedup,
+  codec and IVF search are not SQL-expressible -> rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +18,150 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: events -> transcript derivation -> channel extraction ->
+    salted per-conv rollup -> cascading 1m aggregate tier (lazy Dataset)."""
+    from ctas_ray.config import RollupConfig
+    from ctas_ray.pipelines.rollup import rollup_datasets
+    from ctas_ray.sources.transcripts import transcripts_from_events
+
+    tx = transcripts_from_events(SF_SMOKE)
+    tiers = rollup_datasets(tx, RollupConfig())
+    return tiers["tier_1m"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ctas_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ctas measurement-model operators over events (SURVEY.md §2)
+        "eligibility_counts": q.eligibility_counts,        # A1
+        "series_features_basic": q.series_features_basic,  # F1/F2/F3/F5
+        "autocorr_lag1": q.autocorr_lag1,                  # F4
+        # [graft] rollup/downsample tiers (A10) — SQL computes DIRECT from
+        # raw, engine computes 1h/1d by CASCADE: equality == tier exactness
+        "rollup_1m": q.rollup_1m,
+        "rollup_1h": q.rollup_1h,
+        "rollup_1d": q.rollup_1d,
+        "gapfill_locf_1m": q.gapfill_locf_1m,              # F10
+        "codec_blobs": q.codec_blobs,                      # S1 (rows-only)
+        # [graft] training-data operators
+        "dedup_exact": q.dedup_exact,
+        "text_stats": q.text_stats,
+        "topk_similarity": q.topk_similarity,
+        "minhash_clusters": q.minhash_clusters,            # rows-only
+        "simhash_clusters": q.simhash_clusters,            # rows-only
+        "embedding_neardup": q.embedding_neardup,          # rows-only
+        "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
+        # flagship anomaly screen (KS not SQL-expressible -> rows-only)
+        "study_screen_sitescores": q.study_screen_sitescores,
+        "study_screen_features": q.study_screen_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    turns_cte = """
+    turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_ix,
+             CAST(LENGTH(props) AS DOUBLE) AS text_len,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS turn_latency_us
+      FROM events
+    ),
+    chan AS (
+      SELECT conv_id, ts_us, turn_ix, 'text_len' AS channel, text_len AS v FROM turns
+      UNION ALL
+      SELECT conv_id, ts_us, turn_ix, 'turn_latency_us' AS channel, turn_latency_us AS v
+      FROM turns WHERE turn_latency_us IS NOT NULL
+    )"""
+
+    def rollup_sql(width_us: int) -> str:
+        return f"""
+    WITH {turns_cte}
+    SELECT conv_id, channel, (ts_us // {width_us}) * {width_us} AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(arg_min(v, turn_ix) AS BIGINT) AS first_val,
+           CAST(arg_max(v, turn_ix) AS BIGINT) AS last_val
+    FROM chan GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+    return {
+        "eligibility_counts": """
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(value) AS n_measurements
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "series_features_basic": """
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(value) AS n,
+           CAST(FLOOR(AVG(value) * 1000000 + 0.5) AS BIGINT) AS avg_e6,
+           CAST(FLOOR(STDDEV_SAMP(value) * 1000000 + 0.5) AS BIGINT) AS sd_e6,
+           CAST(FLOOR((MAX(value) - MIN(value)) * 1000000 + 0.5) AS BIGINT) AS range_e6,
+           CAST(FLOOR(COUNT(DISTINCT value) * 1.0 / COUNT(value) * 1000000 + 0.5) AS BIGINT) AS uniq_e6
+    FROM events GROUP BY 1, 2 HAVING COUNT(value) >= 2 ORDER BY 1, 2""",
+        "autocorr_lag1": """
+    WITH seq AS (
+      SELECT event_type, user_id, value,
+             LAG(value) OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           CAST(FLOOR(CORR(value, prev) * 1000000 + 0.5) AS BIGINT) AS autocorr_e6
+    FROM seq GROUP BY 1, 2
+    HAVING CORR(value, prev) IS NOT NULL AND NOT isnan(CORR(value, prev))
+    ORDER BY 1, 2""",
+        "rollup_1m": rollup_sql(60_000_000),
+        "rollup_1h": rollup_sql(3_600_000_000),
+        "rollup_1d": rollup_sql(86_400_000_000),
+        "gapfill_locf_1m": f"""
+    WITH {turns_cte},
+    points AS (
+      SELECT conv_id, ts_us, arg_max(text_len, turn_ix) AS v
+      FROM turns GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT conv_id,
+             ((MIN(ts_us) + 59999999) // 60000000) * 60000000 AS gstart,
+             (MAX(ts_us) // 60000000) * 60000000 AS gend
+      FROM points GROUP BY 1
+    ),
+    grid AS (
+      SELECT conv_id, UNNEST(generate_series(gstart, gend, 60000000)) AS grid_ts
+      FROM bounds WHERE gend >= gstart
+    )
+    SELECT g.conv_id, g.grid_ts, CAST(p.v AS BIGINT) AS value
+    FROM grid g ASOF JOIN points p
+      ON g.conv_id = p.conv_id AND g.grid_ts >= p.ts_us
+    ORDER BY 1, 2""",
+        "dedup_exact": """
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY 1""",
+        "text_stats": """
+    SELECT doc_id, LENGTH(text) AS n_chars,
+           LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+           md5(text) AS fingerprint
+    FROM documents ORDER BY doc_id""",
+        "topk_similarity": """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings ORDER BY vec_id LIMIT 5
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(list_cosine_similarity(e.embedding, q.qe) * 100000 + 0.5) AS BIGINT) AS cos_e5
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_e5,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_e5 DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_e5, rank
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    }

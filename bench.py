@@ -1,0 +1,160 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS)``
+(default 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns": T,
+   "turns_per_s": T/sec}
+
+``--scaling`` runs the headline pipeline twice in fresh subprocesses at
+num_cpus=8 and 32 on the same input and reports both throughputs plus
+the scaling efficiency (the sandbox stand-in for the N-vs-4N-node
+criterion in BASELINE.json; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _scaling_main() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # amplify the input so compute dominates fixed overheads —
+            # the scaling criterion measures throughput scaling, which
+            # at sf0.1's raw size (~26 MB) would only measure Ray's
+            # constant costs
+            GRAFT_AMPLIFY=os.environ.get("GRAFT_AMPLIFY", "10"),
+            GRAFT_HEADLINE_ONLY="1",
+            GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "2"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "rollup scaling efficiency (num_cpus 8 -> 32)",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "turns": r_lo["turns"],
+                "turns_per_s_8": r_lo["turns_per_s"],
+                "turns_per_s_32": r_hi["turns_per_s"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=num_cpus,
+        include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from ctas_ray.config import RollupConfig
+    from ctas_ray.pipelines import queries as q
+    from ctas_ray.pipelines.rollup import rollup_datasets
+    from ctas_ray.sources.transcripts import transcripts_from_events
+
+    amplify = int(os.environ.get("GRAFT_AMPLIFY", "1"))
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+    turns = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows * amplify
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(f"{sf_dir}/events.parquet").count()
+    # warm the Ray worker pool (worker process spawn is a fixed cost that
+    # would otherwise bill the first timed stage)
+    rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: full rollup engine — transcripts derivation, channel
+    # extraction, salted per-conv grouping, Gorilla encode, 1m/1h/1d
+    # cascade, all tiers + blobs persisted to parquet
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
+
+    def rollup_e2e_once() -> float:
+        from ctas_ray.pipelines.rollup import run_rollup_events
+
+        out_dir = tempfile.mkdtemp(prefix="ctas_bench_")
+        t0 = time.perf_counter()
+        run_rollup_events(sf_dir, out_dir, RollupConfig(), amplify=amplify)
+        wall = time.perf_counter() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return wall
+
+    timings["rollup_e2e"] = round(min(rollup_e2e_once() for _ in range(repeat)), 3)
+
+    if not headline_only:
+        timed("study_screen", lambda: q.study_screen_sitescores(sf_dir))
+        timed("series_features_basic", lambda: q.series_features_basic(sf_dir))
+        timed("minhash_dedup", lambda: q.minhash_clusters(sf_dir))
+        timed("topk_similarity", lambda: q.topk_similarity(sf_dir))
+
+    headline = timings["rollup_e2e"]
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end rollup+downsample (1m/1h/1d tiers + Gorilla blobs) wall time",
+                "value": headline,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "turns": turns,
+                "turns_per_s": round(turns / headline, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling_main()
+    else:
+        main()

@@ -129,29 +129,25 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.fromiter(sorted(hs), dtype=np.uint64, count=len(hs))
 
 
-_MERSENNE = (1 << 61) - 1
-
-
 def minhash_perms(n_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift hash family parameters: odd multipliers + offsets
+    in uint64 (vectorizable; wraparound multiplication is the modulus)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=n_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """n_perm MinHash values via universal hashing (a*x+b mod 2^61-1).
+    """n_perm MinHash values via multiply-shift universal hashing
+    ((a*x + b) mod 2^64, a odd) — one broadcasted uint64 matrix op.
     Empty shingle set -> all MAX (never collides)."""
     n_perm = len(a)
     if len(shingles) == 0:
         return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (n_perm, n_shingles) in uint64 modular arithmetic (python ints avoid overflow)
-    x = shingles.astype(object)
-    out = np.empty(n_perm, dtype=np.uint64)
-    for i in range(n_perm):
-        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
-        out[i] = np.uint64(vals.min())
-    return out
+    with np.errstate(over="ignore"):
+        h = a[:, None] * shingles[None, :].astype(np.uint64) + b[:, None]
+    return h.min(axis=1)
 
 
 def minhash_band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:

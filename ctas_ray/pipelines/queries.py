@@ -1,0 +1,410 @@
+"""Driver-contract query implementations.
+
+Each function takes ``sf_dir`` and returns a result the driver can
+compare against the matching SQL in ``__ray_entry__.oracle_sql()``
+(DuckDB over the same parquet). Column NAMES and TYPES match the SQL
+exactly; float columns that are sums of integers stay exact, genuinely
+floating aggregates are rounded identically on both sides.
+
+Mapping of the driver's ``events`` table onto the engine's transcript /
+measurement model (FIXTURES.md §C):
+  conv_id = 'u' || user_id, turn order = (ts, event_id) within user,
+  text = props, channels text_len (chars) + turn_latency_us (int).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..config import RollupConfig, StudyConfig
+from ..functions.series import feature_autocorr
+from ..sources.transcripts import transcripts_from_events
+from ..stages.rollup import with_derived_stats
+from .rollup import rollup_datasets  # noqa: F401 (used by codec_blobs)
+
+ROUND = 6
+
+
+def _scaled_int(x: float | np.ndarray, scale: float = 1e6):
+    """Quantize a float to a scaled BIGINT with the same IEEE chain as
+    the SQL oracle's FLOOR(x * scale + 0.5) — integer columns are immune
+    to 1-ulp float-rounding differences between numpy and DuckDB."""
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# ctas measurement-model queries over events
+# ---------------------------------------------------------------------------
+
+
+def eligibility_counts(sf_dir: str) -> pd.DataFrame:
+    """A1: measurement count per (parameter, subject) over non-null
+    results — the eligibility-rule input (R/ctas.R:922-927)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        g = b.groupby(["event_type", "user_id"], sort=False).size().rename("n")
+        return g.reset_index()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "parameter_id": [g["event_type"].iloc[0]],
+                "subject_id": [str(g["user_id"].iloc[0])],
+                "n_measurements": [int(g["n"].sum())],
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["event_type", "user_id", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _series_stats_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    x = g["value"].to_numpy(dtype=np.float64)
+    valid = x[~np.isnan(x)]
+    n = len(valid)
+    if n < 2:
+        return pd.DataFrame(
+            columns=["parameter_id", "subject_id", "n", "average", "sd", "range_val", "unique_rel"]
+        )
+    avg = float(valid.sum() / n)
+    sd = float(np.sqrt(np.sum((valid - valid.mean()) ** 2) / (n - 1)))
+    rng = float(valid.max() - valid.min())
+    uniq = len(np.unique(valid)) / n
+    return pd.DataFrame(
+        {
+            "parameter_id": [g["event_type"].iloc[0]],
+            "subject_id": [str(g["user_id"].iloc[0])],
+            "n": [n],
+            "avg_e6": _scaled_int(avg),
+            "sd_e6": _scaled_int(sd),
+            "range_e6": _scaled_int(rng),
+            "uniq_e6": _scaled_int(uniq),
+        }
+    )
+
+
+def series_features_basic(sf_dir: str) -> pd.DataFrame:
+    """F1/F2/F3/F5 per (subject, parameter) series over all timepoints —
+    distributed per-series kernels, SQL-verifiable."""
+    out = (
+        _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+        .groupby(["event_type", "user_id"])
+        .map_groups(_series_stats_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _autocorr_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    x = g["value"].to_numpy(dtype=np.float64)
+    ac = feature_autocorr(x[None, :])[0]  # F4, pairwise-complete lag pairs
+    if np.isnan(ac):
+        return pd.DataFrame(columns=["parameter_id", "subject_id", "autocorr_e6"])
+    return pd.DataFrame(
+        {
+            "parameter_id": [g["event_type"].iloc[0]],
+            "subject_id": [str(g["user_id"].iloc[0])],
+            "autocorr_e6": _scaled_int(float(ac)),
+        }
+    )
+
+
+def autocorr_lag1(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+        .groupby(["event_type", "user_id"])
+        .map_groups(_autocorr_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# rollup tiers over events-derived transcripts (the tier-exactness gate:
+# SQL computes each tier DIRECT from raw; the engine computes 1h/1d by
+# CASCADE from the lower tier — equality proves exact re-aggregation)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _tier_frames(sf_dir: str) -> dict[str, pd.DataFrame]:
+    """Run the cascade ONCE (the same fused single-exchange path the
+    bench headline uses) and cache the tier frames for the per-tier
+    query entries — so the SQL oracle validates the bench pipeline."""
+    import tempfile
+
+    from .rollup import run_rollup_events
+
+    out_dir = tempfile.mkdtemp(prefix="ctas_tiers_")
+    paths = run_rollup_events(sf_dir, out_dir, RollupConfig())
+    out = {
+        name: rd.read_parquet(paths[name]).to_pandas()
+        for name in ("tier_1m", "tier_1h", "tier_1d")
+    }
+    out["blobs"] = rd.read_parquet(paths["blobs"]).to_pandas()
+    return out
+
+
+def _rollup_tier(sf_dir: str, tier: str) -> pd.DataFrame:
+    t = _tier_frames(sf_dir)[tier]
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            # channel values are integral (chars / microseconds): integer
+            # columns make the oracle compare exact
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
+def rollup_1m(sf_dir: str) -> pd.DataFrame:
+    return _rollup_tier(sf_dir, "tier_1m")
+
+
+def rollup_1h(sf_dir: str) -> pd.DataFrame:
+    return _rollup_tier(sf_dir, "tier_1h")
+
+
+def rollup_1d(sf_dir: str) -> pd.DataFrame:
+    return _rollup_tier(sf_dir, "tier_1d")
+
+
+def codec_blobs(sf_dir: str) -> pd.DataFrame:
+    """Gorilla-encoded per-(conv, channel) series with round-trip flags
+    (rows-only driver check; pytest enforces roundtrip_ok)."""
+    import tempfile
+
+    from .rollup import run_rollup_events
+
+    out_dir = tempfile.mkdtemp(prefix="ctas_blobs_")
+    paths = run_rollup_events(
+        sf_dir, out_dir, RollupConfig(), verify_roundtrip=True
+    )
+    b = rd.read_parquet(paths["blobs"]).to_pandas()
+    b["blob_bytes"] = b["blob"].apply(len)
+    return b[["conv_id", "channel", "chunk", "n", "blob_bytes", "roundtrip_ok"]].sort_values(
+        ["conv_id", "channel", "chunk"]
+    ).reset_index(drop=True)
+
+
+def gapfill_locf_1m(sf_dir: str) -> pd.DataFrame:
+    """F10: LOCF gap-fill of the text_len channel onto a 60s epoch grid,
+    computed per conversation inside the group stage."""
+    from ..functions.series import gap_fill
+
+    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        vals = g["text"].str.len().to_numpy(dtype=np.float64)
+        grid, out = gap_fill(ts, vals, step_us=60_000_000, method="locf")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"].iloc[0], "grid_ts": grid, "value": out}
+        )
+
+    tx = transcripts_from_events(sf_dir)
+    out = tx.groupby("conv_id").map_groups(fill_group, batch_format="pandas").to_pandas()
+    out = out[out["value"].notna()]
+    out["value"] = out["value"].astype(np.int64)  # text_len is integral
+    return out.sort_values(["conv_id", "grid_ts"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "content_hash", "n_copies"]
+    ]
+
+
+def text_stats(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text_analysis import analyze_documents
+
+    out = analyze_documents(_docs(sf_dir), concurrency=2).to_pandas()
+    out = out[["doc_id", "n_chars", "ws_tokens", "fingerprint"]]
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    out["ws_tokens"] = out["ws_tokens"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.9, concurrency=2)
+
+
+def simhash_clusters(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=3, concurrency=2)
+
+
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_cosine_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_cosine_dedup(emb, threshold=0.98)
+
+
+N_QUERIES_TOPK = 5
+TOPK_K = 10
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").head(N_QUERIES_TOPK)
+    return t["vec_id"].to_numpy(), np.stack(t["embedding"].apply(np.asarray))
+
+
+def topk_similarity(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k; ranking by (rounded cosine desc, vec_id)
+    so ties resolve identically to the SQL oracle."""
+    from ..stages.similarity import topk_cosine
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = topk_cosine(emb, qids, qvecs, k=TOPK_K + 5, concurrency=2)
+    got["cos_e5"] = _scaled_int(got["cosine"].to_numpy(), scale=1e5)
+    got = got.sort_values(
+        ["query_id", "cos_e5", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    got = got.groupby("query_id", sort=True).head(TOPK_K).reset_index(drop=True)
+    got["rank"] = (got.groupby("query_id").cumcount() + 1).astype(np.int64)
+    got["query_id"] = got["query_id"].astype(np.int64)
+    return got[["query_id", "vec_id", "cos_e5", "rank"]]
+
+
+def ivf_topk_similarity(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import ivf_topk_cosine
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk_cosine(emb, qids, qvecs, k=TOPK_K, n_centroids=8, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# full study screen over events (rows-only: KS not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _events_study_tables(sf_dir: str):
+    import pyarrow.parquet as pq
+    import zlib
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).to_pandas()
+    ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+    ev["timepoint_rank"] = ev.groupby(["user_id", "event_type"]).cumcount() + 1.0
+    data = pd.DataFrame(
+        {
+            "subject_id": "u" + ev["user_id"].astype(str),
+            "parameter_id": ev["event_type"],
+            "timepoint_1_name": "T" + ev["timepoint_rank"].astype(int).astype(str),
+            "timepoint_2_name": "ND",
+            "timepoint_rank": ev["timepoint_rank"],
+            "result": ev["value"],
+            "baseline": np.nan,
+        }
+    )
+    users = sorted(ev["user_id"].unique())
+    site_idx = np.array([zlib.crc32(str(u).encode()) % 12 for u in users])
+    subjects = pd.DataFrame(
+        {
+            "subject_id": ["u" + str(u) for u in users],
+            "site": [f"site_{i}" for i in site_idx],
+            "country": [f"country_{i % 4}" for i in site_idx],
+            "region": [f"region_{i % 2}" for i in site_idx],
+        }
+    )
+    pids = sorted(ev["event_type"].unique())
+    parameters = pd.DataFrame(
+        {
+            "parameter_id": pids,
+            "parameter_name": pids,
+            "parameter_category_1": "events",
+            "parameter_category_2": None,
+            "parameter_category_3": None,
+            "time_point_count_min": np.nan,
+            "subject_count_min": np.nan,
+            "max_share_missing": np.nan,
+            "generate_change_from_baseline": None,
+            "timeseries_features_to_calculate": None,
+            "use_only_custom_timeseries": None,
+        }
+    )
+    return data, subjects, parameters
+
+
+def study_screen_sitescores(sf_dir: str) -> pd.DataFrame:
+    """The flagship anomaly screen over events (distributed): series
+    planning, all 7 features, KS site scoring, global FDR."""
+    from .study import process_a_study_ray
+
+    data, subjects, parameters = _events_study_tables(sf_dir)
+    out = process_a_study_ray(
+        rd.from_pandas(data).repartition(8),
+        subjects,
+        parameters,
+        cfg=StudyConfig(max_share_missing=0.8),
+    )
+    s = out["site_scores"]
+    if s is None:
+        return pd.DataFrame()
+    return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
+
+
+def study_screen_features(sf_dir: str) -> pd.DataFrame:
+    from .study import process_a_study_ray
+
+    data, subjects, parameters = _events_study_tables(sf_dir)
+    out = process_a_study_ray(
+        rd.from_pandas(data).repartition(8),
+        subjects,
+        parameters,
+        cfg=StudyConfig(max_share_missing=0.8),
+    )
+    f = out["timeseries_features"]
+    if f is None:
+        return pd.DataFrame()
+    return f.sort_values(["timeseries_id", "subject_id", "feature"]).reset_index(drop=True)

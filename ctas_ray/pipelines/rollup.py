@@ -37,20 +37,52 @@ from ..config import RollupConfig
 from ..state.manifest import ManifestWriter, load_completed, manifest_entry
 from ..stages.rollup import (
     TIER_PARTIAL_COLUMNS,
-    conv_chunk_rollup,
+    add_conv_salt,
     extract_channels,
-    merge_tier_partials,
+    partition_cascade,
+    partition_rollup,
+    tier_name,
     tier_select,
     with_derived_stats,
 )
 
-__all__ = ["rollup_datasets", "run_rollup", "read_tier"]
-
-_TIER_NAMES = {60: "1m", 3600: "1h", 86400: "1d"}
+__all__ = ["rollup_datasets", "run_rollup", "read_tier", "tier_name"]
 
 
-def tier_name(width_s: int) -> str:
-    return _TIER_NAMES.get(width_s, f"{width_s}s")
+def _stage0(transcripts: rd.Dataset, cfg: RollupConfig, verify_roundtrip: bool) -> rd.Dataset:
+    """Ingest -> channel extraction -> salted-hash exchange ->
+    vectorized per-partition rollup (tier-1 partials + Gorilla blobs)."""
+    chan = transcripts.map_batches(
+        functools.partial(
+            extract_channels,
+            chunk_turns=cfg.max_turns_per_chunk,
+            salt_buckets=cfg.salt_buckets,
+        ),
+        batch_format="pyarrow",
+    )
+    return chan.groupby("part").map_groups(
+        functools.partial(
+            partition_rollup,
+            tier1_s=cfg.tiers_s[0],
+            with_codec=True,
+            verify_roundtrip=verify_roundtrip,
+            inline_tiers_s=tuple(cfg.tiers_s),
+        ),
+        batch_format="pandas",
+    )
+
+
+def _cascade(partials: rd.Dataset, cfg: RollupConfig) -> rd.Dataset:
+    """Conv-salted exchange -> ALL retention tiers in one partition pass
+    (output has a ``tier`` column)."""
+    salted = partials.map_batches(
+        functools.partial(add_conv_salt, salt_buckets=cfg.salt_buckets),
+        batch_format="pandas",
+    )
+    return salted.groupby("part").map_groups(
+        functools.partial(partition_cascade, tiers_s=tuple(cfg.tiers_s)),
+        batch_format="pandas",
+    )
 
 
 def rollup_datasets(
@@ -61,38 +93,40 @@ def rollup_datasets(
     """Build the lazy Dataset graph for all tiers + the codec blob table.
 
     Returns {"tier_1m": ds, "tier_1h": ds, "tier_1d": ds, "blobs": ds}.
-    Nothing is executed until a consumer runs (streaming executor).
+    Nothing is executed until a consumer runs. NOTE: the tier datasets
+    share lineage — consuming each separately re-executes the shared
+    stages; use :func:`run_rollup` (checkpointed, single execution) for
+    real runs.
     """
-    chan = transcripts.map_batches(
-        functools.partial(extract_channels, chunk_turns=cfg.max_turns_per_chunk),
-        batch_format="pyarrow",
-    )
-    tier1 = cfg.tiers_s[0]
-    grouped = chan.groupby(["conv_id", "chunk"]).map_groups(
-        functools.partial(
-            conv_chunk_rollup,
-            tier1_s=tier1,
-            with_codec=True,
-            verify_roundtrip=verify_roundtrip,
-        ),
-        batch_format="pandas",
-    )
+    grouped = _stage0(transcripts, cfg, verify_roundtrip)
     blobs = grouped.map_batches(
         functools.partial(tier_select, kind="blob"), batch_format="pyarrow"
+    )
+    # single-chunk conversations were cascaded inline (kind='tier');
+    # only multi-chunk leftovers go through the merge exchange
+    inline = grouped.map_batches(
+        functools.partial(_select_kind_tier), batch_format="pandas"
     )
     partials = grouped.map_batches(
         functools.partial(tier_select, kind="t1"), batch_format="pyarrow"
     )
+    cascade = _cascade(partials, cfg).union(inline)
     out: dict[str, rd.Dataset] = {"blobs": blobs}
-    prev = partials
     for width in cfg.tiers_s:
-        merged = prev.groupby(["conv_id", "channel"]).map_groups(
-            functools.partial(merge_tier_partials, width_s=width),
-            batch_format="pandas",
+        name = tier_name(width)
+        out[f"tier_{name}"] = cascade.map_batches(
+            functools.partial(_select_tier, name=name), batch_format="pandas"
         )
-        out[f"tier_{tier_name(width)}"] = merged
-        prev = merged
     return out
+
+
+def _select_kind_tier(batch):
+    out = batch[batch["kind"] == "tier"]
+    return out[TIER_PARTIAL_COLUMNS + ["tier"]]
+
+
+def _select_tier(batch, name: str):
+    return batch[batch["tier"] == name].drop(columns=["tier"])
 
 
 def _fingerprint(transcripts_path: str | None, cfg: RollupConfig) -> str:
@@ -101,91 +135,183 @@ def _fingerprint(transcripts_path: str | None, cfg: RollupConfig) -> str:
 
 
 def run_rollup(
-    transcripts: rd.Dataset,
+    transcripts: rd.Dataset | None,
     out_dir: str,
     cfg: RollupConfig = RollupConfig(),
     transcripts_path: str | None = None,
     verify_roundtrip: bool = False,
+    grouped: rd.Dataset | None = None,
 ) -> dict[str, str]:
-    """Execute and persist all tiers + blobs under ``out_dir``/<tier>/,
-    with per-partition manifest entries (lineage + throughput). A rerun
-    with the same out_dir resumes: tiers already recorded in
-    ``out_dir/manifest.jsonl`` (matching fingerprint) are skipped.
+    """Execute and persist the whole cascade under ``out_dir``, with
+    per-partition manifest entries (lineage + throughput).
 
-    The tier CASCADE is honored on resume too: if tier_1m exists on disk
-    but 1h/1d don't, the 1h tier is rebuilt FROM the persisted 1m
-    parquet (never from raw) — A10's "higher tiers from lower partials".
+    SINGLE-EXECUTION design, TWO exchanges total:
+
+      stage0/   ingest + channel extraction + salted-hash partition
+                exchange -> vectorized partition rollup (tier-1 partials
+                + Gorilla blobs), checkpointed partitioned by ``kind``
+      tiers/    conv-salted exchange -> partition_cascade computes ALL
+                retention tiers from the tier-1 partials in one pass
+                (higher tiers from lower-tier rows, never from raw),
+                written partitioned by ``tier``
+
+    Resume: a rerun with the same out_dir skips any step already in
+    ``manifest.jsonl`` with a matching input fingerprint — kill the job
+    after stage0 and the rerun rebuilds only the tiers, from disk.
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.jsonl")
     done = load_completed(manifest_path)
     fp = _fingerprint(transcripts_path, cfg)
     writer = ManifestWriter.remote(manifest_path)
-
     paths: dict[str, str] = {}
-    tiers = [f"tier_{tier_name(w)}" for w in cfg.tiers_s]
 
-    # figure out the first tier that needs computing
-    todo = [t for t in tiers if f"{t}:{fp}" not in done]
-    blobs_done = f"blobs:{fp}" in done
-
-    datasets: dict[str, rd.Dataset] | None = None
-    if (todo and todo[0] == tiers[0]) or not blobs_done:
-        datasets = rollup_datasets(transcripts, cfg, verify_roundtrip)
-
-    def _write(name: str, ds: rd.Dataset) -> None:
-        t0 = time.perf_counter()
-        path = os.path.join(out_dir, name)
-        ds.write_parquet(path)
-        wall = time.perf_counter() - t0
-        persisted = rd.read_parquet(path)
-        n = persisted.count()
+    def _record(name: str, path: str, wall: float) -> None:
+        n = rd.read_parquet(path).count()
         nbytes = sum(
-            os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
         )
         writer.append.remote(
             manifest_entry(
-                partition_id=f"{name}:{fp}",
-                rows_in=n,
-                rows_out=n,
-                nbytes=nbytes,
-                wall_s=wall,
-                fingerprint=fp,
+                partition_id=f"{name}:{fp}", rows_in=n, rows_out=n,
+                nbytes=nbytes, wall_s=wall, fingerprint=fp,
                 extra={"path": path},
             )
         )
-        paths[name] = path
 
-    if not blobs_done and datasets is not None:
-        _write("blobs", datasets["blobs"])
-    else:
-        paths["blobs"] = os.path.join(out_dir, "blobs")
+    # --- stage 0: the one expensive execution, checkpointed.
+    # ``grouped`` lets a caller supply a pre-fused union dataset (e.g.
+    # the single-exchange events path) instead of the generic
+    # transcript-input stage. ---
+    stage0 = os.path.join(out_dir, "stage0")
+    if f"stage0:{fp}" not in done:
+        if grouped is None:
+            grouped = _stage0(transcripts, cfg, verify_roundtrip)
+        t0 = time.perf_counter()
+        grouped.write_parquet(stage0, partition_cols=["kind"])
+        _record("stage0", stage0, time.perf_counter() - t0)
+    paths["blobs"] = os.path.join(stage0, "kind=blob")
+    paths["stage0"] = stage0
 
-    prev_path: str | None = None
-    for i, (width, name) in enumerate(zip(cfg.tiers_s, tiers)):
-        if f"{name}:{fp}" in done:
-            paths[name] = os.path.join(out_dir, name)
-            prev_path = paths[name]
-            continue
-        if datasets is not None and i == 0:
-            _write(name, datasets[name])
-        else:
-            # cascade from the persisted lower tier (resume path)
-            lower = rd.read_parquet(prev_path)
-            merged = lower.groupby(["conv_id", "channel"]).map_groups(
-                functools.partial(merge_tier_partials, width_s=width),
-                batch_format="pandas",
+    # --- tiers: inline-cascaded rows straight from stage0, plus the
+    # merge exchange over the (few) multi-chunk conversation partials ---
+    tiers_dir = os.path.join(out_dir, "tiers")
+    if f"tiers:{fp}" not in done:
+        parts = []
+        inline_dir = os.path.join(stage0, "kind=tier")
+        if os.path.isdir(inline_dir):
+            parts.append(
+                rd.read_parquet(
+                    inline_dir, columns=TIER_PARTIAL_COLUMNS + ["tier"]
+                ).map_batches(_coerce_partial_types, batch_format="pandas")
             )
-            _write(name, merged)
-        prev_path = paths[name]
+        t1_dir = os.path.join(stage0, "kind=t1")
+        if os.path.isdir(t1_dir):
+            lower = rd.read_parquet(
+                t1_dir, columns=TIER_PARTIAL_COLUMNS
+            ).map_batches(_coerce_partial_types, batch_format="pandas")
+            parts.append(_cascade(lower, cfg))
+        cascade = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+        t0 = time.perf_counter()
+        cascade.write_parquet(tiers_dir, partition_cols=["tier"])
+        _record("tiers", tiers_dir, time.perf_counter() - t0)
+    for width in cfg.tiers_s:
+        paths[f"tier_{tier_name(width)}"] = os.path.join(
+            tiers_dir, f"tier={tier_name(width)}"
+        )
     ray.get(writer.flush.remote())
     return paths
 
 
+def _coerce_partial_types(b):
+    import numpy as _np
+
+    for col in ("bucket", "count", "first_ts", "last_ts"):
+        b[col] = b[col].astype(_np.int64)
+    for col in ("sum", "min", "max", "sumsq", "first_val", "last_val"):
+        b[col] = b[col].astype(_np.float64)
+    return b
+
+
+def run_rollup_events(
+    sf_dir: str,
+    out_dir: str,
+    cfg: RollupConfig = RollupConfig(),
+    amplify: int = 1,
+    verify_roundtrip: bool = False,
+) -> dict[str, str]:
+    """Single-exchange rollup straight from the events table (fused
+    turn-derivation + channels + cascade + codec; see
+    stages.rollup.fused_events_rollup)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.rollup import fused_events_rollup
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "props"],
+    ).repartition(cfg.salt_buckets)
+    if amplify > 1:
+        max_user = 10_000_000
+
+        def replicate(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.concat(
+                [b.assign(user_id=b["user_id"] + k * max_user) for k in range(amplify)],
+                ignore_index=True,
+            )
+
+        ds = ds.map_batches(replicate, batch_format="pandas")
+
+    buckets = np.int64(cfg.salt_buckets)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        # project text -> text_len BEFORE the exchange: only 4 narrow
+        # int columns enter the shuffle, never the strings
+        out = pd.DataFrame(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "text_len": b["props"].str.len().astype(np.int64),
+                "part": (b["user_id"].to_numpy() % buckets).astype(np.int64),
+            }
+        )
+        return out
+
+    grouped = (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            functools.partial(
+                fused_events_rollup,
+                tier1_s=cfg.tiers_s[0],
+                with_codec=True,
+                verify_roundtrip=verify_roundtrip,
+                inline_tiers_s=tuple(cfg.tiers_s),
+            ),
+            batch_format="pandas",
+        )
+    )
+    return run_rollup(
+        None,
+        out_dir,
+        cfg,
+        transcripts_path=f"{sf_dir}#amplify={amplify}",
+        grouped=grouped,
+    )
+
+
 def read_tier(out_dir: str, tier: str, derived: bool = True) -> rd.Dataset:
-    """Read a persisted tier; optionally append derived mean/sd columns
-    (exactness: derived at read from the partials, A10)."""
-    ds = rd.read_parquet(os.path.join(out_dir, tier))
+    """Read a persisted tier (``tier`` like 'tier_1m'); optionally append
+    derived mean/sd columns (exactness: derived at read from the
+    partials, A10)."""
+    path = os.path.join(out_dir, "tiers", f"tier={tier.removeprefix('tier_')}")
+    ds = rd.read_parquet(path, columns=TIER_PARTIAL_COLUMNS).map_batches(
+        _coerce_partial_types, batch_format="pandas"
+    )
     if derived:
         ds = ds.map_batches(with_derived_stats, batch_format="pyarrow")
     return ds

@@ -382,6 +382,11 @@ def process_a_study_ray(
     series_out = assigned.groupby("timeseries_id").map_groups(
         functools.partial(_series_group, meta_ref=meta_ref), batch_format="pandas"
     )
+    # consumed by BOTH the feature and the PCA branches: pin the blocks
+    # once instead of re-executing the explode+group lineage per branch.
+    # (bounded: rows = subjects x series x (features + 2), far smaller
+    # than the raw measurements; spills to disk if needed)
+    series_out = series_out.materialize()
 
     feat_ds = series_out.map_batches(
         lambda b: b[b["kind"] == "feat"].drop(columns=["kind"]), batch_format="pandas"
@@ -407,6 +412,7 @@ def process_a_study_ray(
     decorated = feat_ds.map_batches(
         functools.partial(_decorate, lookup_ref=lookup_ref), batch_format="pandas"
     )
+    decorated = decorated.materialize()  # consumed by scoring + output
     scored = decorated.groupby(["timeseries_id", "feature", "ref_group"]).map_groups(
         functools.partial(
             _score_group,

@@ -20,7 +20,12 @@ import ray.data as rd
 
 from ..schemas import validate_transcripts_schema
 
-__all__ = ["read_transcripts", "transcripts_from_events", "EVENT_ROLES"]
+__all__ = [
+    "read_transcripts",
+    "transcripts_from_events",
+    "amplify_events",
+    "EVENT_ROLES",
+]
 
 EVENT_ROLES = ("user", "assistant", "tool")
 
@@ -32,29 +37,76 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return ds
 
 
-def _events_group_to_turns(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    n = len(g)
+def _events_partition_to_turns(g: pd.DataFrame) -> pd.DataFrame:
+    """Whole hash-partition (MANY users) -> turns in one vectorized pass
+    (per-user UDF dispatch is the scale killer; see partition_rollup)."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    turn_idx = g.groupby("user_id", sort=False).cumcount().to_numpy()
     roles = np.array(EVENT_ROLES, dtype=object)
     return pd.DataFrame(
         {
             "conv_id": "u" + g["user_id"].astype(str),
-            "turn_idx": np.arange(n, dtype=np.int32),
-            "role": roles[np.arange(n) % 3],
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": roles[turn_idx % 3],
             "text": g["props"].astype(str),
-            "tool": np.where(np.arange(n) % 3 == 2, g["event_type"].astype(str), ""),
+            "tool": np.where(turn_idx % 3 == 2, g["event_type"].astype(str), ""),
             "ts": g["ts"],
         }
     )
 
 
-def transcripts_from_events(sf_dir: str) -> rd.Dataset:
+def transcripts_from_events(sf_dir: str, salt_buckets: int = 64) -> rd.Dataset:
     """events.parquet -> transcript Dataset (one conversation per user,
-    turn order = (ts, event_id)). The groupby is the ingest shuffle; at
-    scale it is keyed the same as shuffle #1 (conv == user), so the
-    engine's salted repartition folds into it."""
+    turn order = (ts, event_id)). The exchange is keyed on
+    hash(user_id) % salt_buckets — same partitioning family as the
+    engine's shuffle #1 (conv == user), one vectorized UDF call per
+    partition."""
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
-    return ds.groupby("user_id").map_groups(_events_group_to_turns, batch_format="pandas")
+    # a single small parquet file reads as ONE block; split so the
+    # downstream maps parallelise (no shuffle — block split only)
+    ds = ds.repartition(salt_buckets)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b["part"] = (b["user_id"].to_numpy() % np.int64(salt_buckets)).astype(np.int64)
+        return b
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_events_partition_to_turns, batch_format="pandas")
+    )
+
+
+def amplify_events(sf_dir: str, factor: int, salt_buckets: int = 64) -> rd.Dataset:
+    """Deterministic input amplification for throughput/scaling runs:
+    ``factor`` shifted replicas of the events table (user_id offset per
+    replica => factor x as many conversations, same per-conversation
+    shape). No external data — derived purely from the driver parquet."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).repartition(salt_buckets)
+    max_user = 10_000_000
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k in range(factor):
+            c = b.copy()
+            c["user_id"] = c["user_id"] + k * max_user
+            out.append(c)
+        return pd.concat(out, ignore_index=True)
+
+    ds = ds.map_batches(replicate, batch_format="pandas")
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b["part"] = (b["user_id"].to_numpy() % np.int64(salt_buckets)).astype(np.int64)
+        return b
+
+    return (
+        ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_events_partition_to_turns, batch_format="pandas")
+    )

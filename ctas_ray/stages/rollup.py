@@ -40,6 +40,13 @@ __all__ = [
     "with_derived_stats",
 ]
 
+_TIER_NAMES = {60: "1m", 3600: "1h", 86400: "1d"}
+
+
+def tier_name(width_s: int) -> str:
+    return _TIER_NAMES.get(width_s, f"{width_s}s")
+
+
 TIER_PARTIAL_COLUMNS = [
     "conv_id",
     "channel",
@@ -56,7 +63,9 @@ TIER_PARTIAL_COLUMNS = [
 ]
 
 
-def extract_channels(batch: pa.Table, chunk_turns: int = 100_000) -> pa.Table:
+def extract_channels(
+    batch: pa.Table, chunk_turns: int = 100_000, salt_buckets: int = 0
+) -> pa.Table:
     """Stateless per-batch projection: (conv_id, turn_idx, ts_us, text_len)
     plus chunk assignment and boundary carry rows.
 
@@ -65,6 +74,13 @@ def extract_channels(batch: pa.Table, chunk_turns: int = 100_000) -> pa.Table:
     2 = next chunk's first row replicated into the PREVIOUS chunk
     (gives linear gap-fill its successor). Carry rows are never emitted
     as output rows by the group stage.
+
+    With ``salt_buckets > 0`` a ``part = hash(conv_id, chunk) % buckets``
+    column is added — the EXPLICIT salted-hash repartition key: the
+    downstream exchange groups by ``part`` (bounded cardinality, giant
+    conversations split across salts by chunk) and one partition UDF
+    call processes MANY whole conv-chunks vectorized, instead of paying
+    per-conversation UDF dispatch overhead.
     """
     conv = batch["conv_id"]
     turn = pc.cast(batch["turn_idx"], pa.int64())
@@ -114,7 +130,22 @@ def extract_channels(batch: pa.Table, chunk_turns: int = 100_000) -> pa.Table:
             pa.array(np.full(len(idx), 2, dtype=np.int8)),
         )
         parts.append(t)
-    return pa.concat_tables(parts) if len(parts) > 1 else base
+    out = pa.concat_tables(parts) if len(parts) > 1 else base
+    if salt_buckets:
+        conv_np = out["conv_id"].to_numpy(zero_copy_only=False)
+        chunk_np = out["chunk"].to_numpy(zero_copy_only=False)
+        import zlib
+
+        salt = np.fromiter(
+            (
+                zlib.crc32(f"{c}|{k}".encode()) % salt_buckets
+                for c, k in zip(conv_np, chunk_np)
+            ),
+            dtype=np.int64,
+            count=len(out),
+        )
+        out = out.append_column("part", pa.array(salt))
+    return out
 
 
 def _bucket(ts_us: np.ndarray, width_s: int) -> np.ndarray:
@@ -163,6 +194,7 @@ UNION_COLUMNS = TIER_PARTIAL_COLUMNS + [
     "n",
     "blob",
     "roundtrip_ok",
+    "tier",
     "kind",
 ]
 
@@ -244,6 +276,185 @@ def conv_chunk_rollup(
     return out.reindex(columns=UNION_COLUMNS)
 
 
+def partition_rollup(
+    part: pd.DataFrame,
+    tier1_s: int = 60,
+    with_codec: bool = True,
+    verify_roundtrip: bool = False,
+    inline_tiers_s: tuple[int, ...] | None = None,
+) -> pd.DataFrame:
+    """Vectorized partition body: ONE call processes every conv-chunk of
+    a salted-hash partition (``part`` column from extract_channels).
+
+    Produces exactly the same union rows as running
+    :func:`conv_chunk_rollup` once per (conv_id, chunk) group
+    (equivalence pinned by tests), but with per-PARTITION instead of
+    per-CONVERSATION UDF dispatch: segment detection + np.reduceat for
+    the bucket partials, one Python loop only where the codec needs it.
+    At 10^8 conversations this removes ~10ms x n_convs of group-dispatch
+    overhead — the difference between hours and weeks at 100 TB.
+
+    With ``inline_tiers_s`` set, conversations that are COMPLETE in this
+    partition (single chunk — the overwhelming majority; the stage-0
+    exchange already co-locates them) get their ENTIRE retention cascade
+    computed here and emitted as kind='tier' rows; only multi-chunk
+    (giant) conversations emit kind='t1' partials for the (now tiny)
+    merge exchange. One shuffle rolls up almost everything.
+    """
+    df = part.sort_values(["conv_id", "chunk", "turn_idx", "carry"], kind="mergesort")
+    conv = df["conv_id"].to_numpy(dtype=object)
+    chunk = df["chunk"].to_numpy(dtype=np.int64)
+    carry = df["carry"].to_numpy()
+    ts = df["ts_us"].to_numpy(dtype=np.int64)
+    tlen = df["text_len"].to_numpy(dtype=np.float64)
+    n = len(df)
+    if n == 0:
+        return _empty_union()
+    newseg = np.r_[True, (conv[1:] != conv[:-1]) | (chunk[1:] != chunk[:-1])]
+    seg_id = np.cumsum(newseg) - 1
+    seg_starts = np.nonzero(newseg)[0]
+    # lag within segment: carry-1 head rows supply the exact cross-chunk
+    # predecessor; segment-first rows (carry head or true first turn) NaN
+    lat = np.diff(ts, prepend=ts[:1]).astype(np.float64)
+    lat[seg_starts] = np.nan
+
+    real = carry == 0
+    # per-segment "conversation complete here" flag: chunk 0 and no
+    # carry-2 row (a carry-2 row proves a further chunk exists)
+    n_segs = seg_id[-1] + 1
+    has_next = np.zeros(n_segs, dtype=bool)
+    np.logical_or.at(has_next, seg_id, carry == 2)
+    seg_chunk = chunk[seg_starts]
+    seg_complete = (seg_chunk == 0) & ~has_next
+
+    frames: list[pd.DataFrame] = []
+    for channel, values in (("text_len", tlen), ("turn_latency_us", lat)):
+        ok = real & ~np.isnan(values)
+        if ok.any():
+            sid = seg_id[ok]
+            t_ok = ts[ok]
+            v_ok = values[ok]
+            b = _bucket(t_ok, tier1_s)
+            cut = np.r_[True, (sid[1:] != sid[:-1]) | (b[1:] != b[:-1])]
+            starts = np.nonzero(cut)[0]
+            ends = np.r_[starts[1:], len(b)]
+            partials = pd.DataFrame(
+                {
+                    "conv_id": conv[ok.nonzero()[0][starts]],
+                    "channel": channel,
+                    "bucket": b[starts],
+                    "count": (ends - starts).astype(np.int64),
+                    "sum": np.add.reduceat(v_ok, starts),
+                    "min": np.minimum.reduceat(v_ok, starts),
+                    "max": np.maximum.reduceat(v_ok, starts),
+                    "sumsq": np.add.reduceat(v_ok * v_ok, starts),
+                    "first_ts": t_ok[starts],
+                    "first_val": v_ok[starts],
+                    "last_ts": t_ok[ends - 1],
+                    "last_val": v_ok[ends - 1],
+                }
+            )
+            if inline_tiers_s is None:
+                frames.append(partials.assign(kind="t1"))
+            else:
+                complete_mask = seg_complete[sid[starts]]
+                multi = partials[~complete_mask]
+                if len(multi):
+                    frames.append(multi.assign(kind="t1"))
+                done_part = partials[complete_mask]
+                if len(done_part):
+                    frames.append(
+                        partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
+                    )
+        if with_codec:
+            # per-segment encode over REAL rows (NaNs kept in the series)
+            rows_conv, rows_chan, rows_chunk, rows_n = [], [], [], []
+            rows_blob, rows_f, rows_l, rows_ok = [], [], [], []
+            seg_ends = np.r_[seg_starts[1:], n]
+            for s, e in zip(seg_starts, seg_ends):
+                rmask = real[s:e]
+                if not rmask.any():
+                    continue
+                idx = np.nonzero(rmask)[0] + s
+                ts_seg = ts[idx]
+                v_seg = values[idx]
+                blob = encode_series(ts_seg, v_seg)
+                ok_flag = True
+                if verify_roundtrip:
+                    ts2, v2 = decode_series(blob)
+                    ok_flag = bool(
+                        np.array_equal(ts2, ts_seg)
+                        and np.array_equal(v2.view(np.uint64), v_seg.view(np.uint64))
+                    )
+                rows_conv.append(conv[idx[0]])
+                rows_chan.append(channel)
+                rows_chunk.append(int(chunk[idx[0]]))
+                rows_n.append(len(idx))
+                rows_blob.append(blob)
+                rows_f.append(int(ts_seg[0]))
+                rows_l.append(int(ts_seg[-1]))
+                rows_ok.append(ok_flag)
+            if rows_conv:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": rows_conv,
+                            "channel": rows_chan,
+                            "chunk": rows_chunk,
+                            "n": rows_n,
+                            "blob": rows_blob,
+                            "first_ts": rows_f,
+                            "last_ts": rows_l,
+                            "roundtrip_ok": rows_ok,
+                            "kind": "blob",
+                        }
+                    )
+                )
+    if not frames:
+        return _empty_union()
+    return pd.concat(frames, ignore_index=True).reindex(columns=UNION_COLUMNS)
+
+
+def fused_events_rollup(
+    g: pd.DataFrame,
+    tier1_s: int = 60,
+    with_codec: bool = True,
+    verify_roundtrip: bool = False,
+    inline_tiers_s: tuple[int, ...] | None = (60, 3600, 86400),
+) -> pd.DataFrame:
+    """Fused partition body for the events-derived input: ONE exchange
+    (salted by conversation) carries turn derivation + channel extraction
+    + the whole rollup/cascade/codec. Conversations are complete within
+    their partition, so no chunk-carry machinery and no second exchange
+    are needed, and the role/tool/text strings are never materialized —
+    only (ts, text_len) leave the partition UDF."""
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    turn_idx = g.groupby("user_id", sort=False).cumcount().to_numpy()
+    # text_len was computed BEFORE the exchange (so the heavy text/props
+    # strings never enter the shuffle); fall back for direct callers
+    if "text_len" in g.columns:
+        tlen = g["text_len"].to_numpy(dtype=np.int64)
+    else:
+        tlen = g["props"].str.len().to_numpy(dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "conv_id": ("u" + g["user_id"].astype(str)).to_numpy(dtype=object),
+            "turn_idx": turn_idx.astype(np.int64),
+            "ts_us": g["ts"].astype("int64").to_numpy(),
+            "text_len": tlen,
+            "chunk": np.zeros(len(g), dtype=np.int64),
+            "carry": np.zeros(len(g), dtype=np.int8),
+        }
+    )
+    return partition_rollup(
+        df,
+        tier1_s=tier1_s,
+        with_codec=with_codec,
+        verify_roundtrip=verify_roundtrip,
+        inline_tiers_s=inline_tiers_s,
+    )
+
+
 def merge_tier_partials(group: pd.DataFrame, width_s: int) -> pd.DataFrame:
     """Merge partial rows of one (conv_id, channel) onto ``width_s``
     buckets — the cascade step (1m->1h->1d) and the chunk-boundary
@@ -267,6 +478,91 @@ def merge_tier_partials(group: pd.DataFrame, width_s: int) -> pd.DataFrame:
     agg["last_ts"] = lasts.set_index("bucket")["last_ts"]
     agg["last_val"] = lasts.set_index("bucket")["last_val"]
     return agg.reset_index()[TIER_PARTIAL_COLUMNS]
+
+
+def partition_merge_tiers(part: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    """Vectorized partial merge for a conv-salted partition: merges ALL
+    (conv_id, channel, bucket) groups of the partition in one numpy
+    pass (lexsort + reduceat), equivalent to merge_tier_partials per
+    (conv_id, channel) group.
+
+    Canonical-order contract: float partials are summed in ascending
+    (finer bucket, first_ts) order, so the merged sums are bit-identical
+    no matter how the inputs were partitioned or chunk-split."""
+    if len(part) == 0:
+        return pd.DataFrame(columns=TIER_PARTIAL_COLUMNS)
+    conv = part["conv_id"].to_numpy(dtype=object)
+    chan = part["channel"].to_numpy(dtype=object)
+    bucket = _bucket(part["bucket"].to_numpy(dtype=np.int64), width_s)
+    cnt = part["count"].to_numpy(dtype=np.int64)
+    s = part["sum"].to_numpy(dtype=np.float64)
+    mn = part["min"].to_numpy(dtype=np.float64)
+    mx = part["max"].to_numpy(dtype=np.float64)
+    sq = part["sumsq"].to_numpy(dtype=np.float64)
+    f_ts = part["first_ts"].to_numpy(dtype=np.int64)
+    f_v = part["first_val"].to_numpy(dtype=np.float64)
+    l_ts = part["last_ts"].to_numpy(dtype=np.int64)
+    l_v = part["last_val"].to_numpy(dtype=np.float64)
+    # conv/channel -> dense codes for lexsort
+    key_codes = pd.factorize(
+        pd.MultiIndex.from_arrays([conv, chan]).to_flat_index(), sort=True
+    )[0]
+    order = np.lexsort((f_ts, bucket, key_codes))
+    kc, b = key_codes[order], bucket[order]
+    cut = np.r_[True, (kc[1:] != kc[:-1]) | (b[1:] != b[:-1])]
+    starts = np.nonzero(cut)[0]
+    ends = np.r_[starts[1:], len(b)]
+    # 'last' selection: re-sort by last_ts within the same segments
+    order_last = np.lexsort((l_ts, bucket, key_codes))
+    out = pd.DataFrame(
+        {
+            "conv_id": conv[order][starts],
+            "channel": chan[order][starts],
+            "bucket": b[starts],
+            "count": np.add.reduceat(cnt[order], starts),
+            "sum": np.add.reduceat(s[order], starts),
+            "min": np.minimum.reduceat(mn[order], starts),
+            "max": np.maximum.reduceat(mx[order], starts),
+            "sumsq": np.add.reduceat(sq[order], starts),
+            "first_ts": f_ts[order][starts],
+            "first_val": f_v[order][starts],
+            "last_ts": l_ts[order_last][ends - 1],
+            "last_val": l_v[order_last][ends - 1],
+        }
+    )
+    return out[TIER_PARTIAL_COLUMNS]
+
+
+def partition_cascade(
+    part: pd.DataFrame, tiers_s: tuple[int, ...] = (60, 3600, 86400)
+) -> pd.DataFrame:
+    """One conv-salted partition -> ALL retention tiers in one pass:
+    merge raw partials to the first tier, then cascade each higher tier
+    FROM the previous tier's rows (A10: never from raw). Output gains a
+    ``tier`` column ('1m'/'1h'/'1d'); a single exchange feeds every
+    retention tier."""
+    if "part" in part.columns:
+        part = part.drop(columns=["part"])
+    frames = []
+    cur = partition_merge_tiers(part, tiers_s[0])
+    frames.append(cur.assign(tier=tier_name(tiers_s[0])))
+    for width in tiers_s[1:]:
+        cur = partition_merge_tiers(cur, width)
+        frames.append(cur.assign(tier=tier_name(width)))
+    return pd.concat(frames, ignore_index=True)
+
+
+def add_conv_salt(batch: pd.DataFrame, salt_buckets: int) -> pd.DataFrame:
+    """Attach the conv-keyed salt column for the tier-merge exchange
+    (all chunks/partials of one conversation land in one partition)."""
+    import zlib
+
+    batch["part"] = np.fromiter(
+        (zlib.crc32(str(c).encode()) % salt_buckets for c in batch["conv_id"]),
+        dtype=np.int64,
+        count=len(batch),
+    )
+    return batch
 
 
 def tier_select(batch: pa.Table, kind: str) -> pa.Table:

@@ -75,8 +75,13 @@ class TestTierExactness:
             )
 
     def test_cascade_1h_equals_direct_from_1m(self, tiers):
-        # exact re-aggregation property (A10)
-        t1 = tiers["tier_1m"]
+        # exact re-aggregation property (A10). Canonical-order contract:
+        # the cascade sums partials in ascending finer-tier bucket order,
+        # so the oracle must too (float addition is order-sensitive in
+        # the last bit).
+        t1 = tiers["tier_1m"].sort_values(
+            ["conv_id", "channel", "bucket"], kind="mergesort"
+        )
         w = 3600 * 1_000_000
         re = t1.assign(bucket=(t1["bucket"] // w) * w)
         re = re.groupby(["conv_id", "channel", "bucket"]).agg(
@@ -86,8 +91,12 @@ class TestTierExactness:
         got = tiers["tier_1h"][["conv_id", "channel", "bucket", "count", "sum", "min", "max", "sumsq"]]
         m = re.merge(got, on=["conv_id", "channel", "bucket"], suffixes=("_re", ""))
         assert len(m) == len(re) == len(got)
-        for col in ("count", "sum", "min", "max", "sumsq"):
+        for col in ("count", "min", "max"):
             np.testing.assert_allclose(m[f"{col}_re"], m[col], rtol=0, atol=0)
+        for col in ("sum", "sumsq"):
+            # pandas group-sum (Kahan) vs reduceat (sequential): same set
+            # of addends, different summation tree -> last-bit tolerance
+            np.testing.assert_allclose(m[f"{col}_re"], m[col], rtol=1e-14)
 
     def test_roundtrip_flags_all_true(self, tiers):
         assert bool(tiers["blobs"]["roundtrip_ok"].all())
@@ -127,6 +136,33 @@ class TestChunkSplitEquivalence:
         assert lat["sum"].sum() == raw_df["turn_latency_us"].sum()
 
 
+class TestFusedEventsPath:
+    def test_fused_equals_generic_transcript_path(self, ray_session, tmp_path):
+        """The single-exchange fused events rollup must produce the same
+        tiers as events -> transcripts -> generic rollup."""
+        import ray.data as rd
+        from ctas_ray.pipelines.rollup import run_rollup, run_rollup_events
+        from ctas_ray.sources.transcripts import transcripts_from_events
+
+        sf = "/root/testdata/sf0.001"
+        p_fused = run_rollup_events(sf, str(tmp_path / "fused"), RollupConfig())
+        tx = transcripts_from_events(sf)
+        p_gen = run_rollup(tx, str(tmp_path / "generic"), RollupConfig())
+        for tier in ("tier_1m", "tier_1h", "tier_1d"):
+            a = rd.read_parquet(p_fused[tier]).to_pandas().sort_values(
+                ["conv_id", "channel", "bucket"], kind="mergesort"
+            ).reset_index(drop=True)
+            b = rd.read_parquet(p_gen[tier]).to_pandas().sort_values(
+                ["conv_id", "channel", "bucket"], kind="mergesort"
+            ).reset_index(drop=True)
+            assert len(a) == len(b), tier
+            for col in ("conv_id", "channel", "bucket", "count", "sum", "min",
+                        "max", "sumsq", "first_ts", "first_val", "last_ts", "last_val"):
+                np.testing.assert_array_equal(
+                    a[col].to_numpy(), b[col].to_numpy(), err_msg=f"{tier}/{col}"
+                )
+
+
 class TestRunAndResume:
     def test_write_manifest_resume(self, transcripts, ray_session, tmp_path):
         import ray.data as rd
@@ -136,26 +172,26 @@ class TestRunAndResume:
         cfg = RollupConfig()
         out_dir = str(tmp_path / "rollup")
         paths = run_rollup(ds, out_dir, cfg)
-        assert set(paths) == {"blobs", "tier_1m", "tier_1h", "tier_1d"}
+        assert set(paths) == {"stage0", "blobs", "tier_1m", "tier_1h", "tier_1d"}
         manifest = [json.loads(l) for l in open(os.path.join(out_dir, "manifest.jsonl"))]
-        assert len(manifest) == 4
+        assert {e["partition_id"].split(":")[0] for e in manifest} == {"stage0", "tiers"}
         for e in manifest:
             assert e["rows_in"] > 0 and e["bytes"] > 0 and e["wall_s"] > 0
 
         # resume: nothing recomputed -> no new manifest entries
         run_rollup(ds, out_dir, cfg)
         manifest2 = [json.loads(l) for l in open(os.path.join(out_dir, "manifest.jsonl"))]
-        assert len(manifest2) == 4
+        assert len(manifest2) == len(manifest)
 
-        # partial resume: delete 1d manifest entries, rerun -> 1d rebuilt
-        # FROM the persisted 1h tier
-        keep = [e for e in manifest2 if not e["partition_id"].startswith("tier_1d")]
+        # partial resume: drop the tiers entry + dir, rerun -> tiers
+        # rebuilt FROM the persisted stage0 partials (not from raw)
+        keep = [e for e in manifest2 if not e["partition_id"].startswith("tiers")]
         with open(os.path.join(out_dir, "manifest.jsonl"), "w") as fh:
             for e in keep:
                 fh.write(json.dumps(e) + "\n")
         import shutil
 
-        shutil.rmtree(os.path.join(out_dir, "tier_1d"))
+        shutil.rmtree(os.path.join(out_dir, "tiers"))
         run_rollup(ds, out_dir, cfg)
         t1d = read_tier(out_dir, "tier_1d", derived=True).to_pandas()
         assert len(t1d) > 0
