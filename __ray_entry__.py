@@ -41,16 +41,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eligibility_counts": q.eligibility_counts,        # A1
         "series_features_basic": q.series_features_basic,  # F1/F2/F3/F5
         "autocorr_lag1": q.autocorr_lag1,                  # F4
+        "rolling_stats": q.rolling_stats,                  # F9
+        "site_iqr_signals": q.site_iqr_signals,            # A9
+        "distinct_counts": q.distinct_counts,              # O3
+        "topk_events_by_value": q.topk_events_by_value,    # O2
         # [graft] rollup/downsample tiers (A10) — SQL computes DIRECT from
         # raw, engine computes 1h/1d by CASCADE: equality == tier exactness
         "rollup_1m": q.rollup_1m,
         "rollup_1h": q.rollup_1h,
         "rollup_1d": q.rollup_1d,
-        "gapfill_locf_1m": q.gapfill_locf_1m,              # F10
+        "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
+        "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "codec_blobs": q.codec_blobs,                      # S1 (rows-only)
         # [graft] training-data operators
         "dedup_exact": q.dedup_exact,
         "text_stats": q.text_stats,
+        "text_quality_counts": q.text_quality_counts,
         "topk_similarity": q.topk_similarity,
         "minhash_clusters": q.minhash_clusters,            # rows-only
         "simhash_clusters": q.simhash_clusters,            # rows-only
@@ -116,6 +122,55 @@ def oracle_sql() -> dict[str, str]:
     FROM seq GROUP BY 1, 2
     HAVING CORR(value, prev) IS NOT NULL AND NOT isnan(CORR(value, prev))
     ORDER BY 1, 2""",
+        "rolling_stats": """
+    WITH w AS (
+      SELECT event_id,
+             AVG(value) OVER (PARTITION BY event_type, user_id
+                 ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm,
+             STDDEV_SAMP(value) OVER (PARTITION BY event_type, user_id
+                 ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rs
+      FROM events
+    )
+    SELECT event_id,
+           CAST(FLOOR(rm * 1000000 + 0.5) AS BIGINT) AS roll_avg_e6,
+           COALESCE(CAST(FLOOR(rs * 1000000 + 0.5) AS BIGINT), -1) AS roll_sd_e6
+    FROM w WHERE rm IS NOT NULL ORDER BY event_id""",
+        "site_iqr_signals": """
+    WITH subj AS (
+      SELECT event_type, user_id, AVG(value) AS subj_avg
+      FROM events GROUP BY 1, 2
+    ),
+    site AS (
+      SELECT event_type, user_id % 12 AS site, AVG(subj_avg) AS site_avg
+      FROM subj GROUP BY 1, 2
+    ),
+    fence AS (
+      SELECT event_type,
+             quantile_cont(site_avg, 0.25) AS q1,
+             quantile_cont(site_avg, 0.75) AS q3
+      FROM site GROUP BY 1
+    )
+    SELECT s.event_type AS parameter_id, s.site,
+           CAST(FLOOR(s.site_avg * 1000000 + 0.5) AS BIGINT) AS avg_e6,
+           CASE WHEN s.site_avg < f.q1 - 1.5 * (f.q3 - f.q1)
+                  OR s.site_avg > f.q3 + 1.5 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END AS is_signal
+    FROM site s JOIN fence f USING (event_type)
+    ORDER BY 1, 2""",
+        "distinct_counts": """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events, COUNT(DISTINCT value) AS n_values
+    FROM events GROUP BY 1 ORDER BY 1""",
+        "topk_events_by_value": """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS rank
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, event_id, rank,
+           CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6
+    FROM ranked WHERE rank <= 5 ORDER BY 1, 3""",
         "rollup_1m": rollup_sql(60_000_000),
         "rollup_1h": rollup_sql(3_600_000_000),
         "rollup_1d": rollup_sql(86_400_000_000),
@@ -139,6 +194,41 @@ def oracle_sql() -> dict[str, str]:
     FROM grid g ASOF JOIN points p
       ON g.conv_id = p.conv_id AND g.grid_ts >= p.ts_us
     ORDER BY 1, 2""",
+        "gapfill_linear_1m": f"""
+    WITH {turns_cte},
+    points AS (
+      SELECT conv_id, ts_us, arg_max(text_len, turn_ix) AS v
+      FROM turns GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT conv_id,
+             ((MIN(ts_us) + 59999999) // 60000000) * 60000000 AS gstart,
+             (MAX(ts_us) // 60000000) * 60000000 AS gend
+      FROM points GROUP BY 1
+    ),
+    grid AS (
+      SELECT conv_id, UNNEST(generate_series(gstart, gend, 60000000)) AS grid_ts
+      FROM bounds WHERE gend >= gstart
+    ),
+    joined AS (
+      SELECT g.conv_id, g.grid_ts,
+             p.ts_us AS t0, p.v AS v0, n.ts_us AS t1, n.v AS v1
+      FROM grid g
+      ASOF JOIN points p ON g.conv_id = p.conv_id AND g.grid_ts >= p.ts_us
+      ASOF JOIN points n ON g.conv_id = n.conv_id AND g.grid_ts <= n.ts_us
+    )
+    SELECT conv_id, grid_ts,
+           CAST(FLOOR((CASE WHEN t1 = t0 THEN v0
+                 ELSE v0 + (v1 - v0) / CAST(t1 - t0 AS DOUBLE)
+                           * CAST(grid_ts - t0 AS DOUBLE) END) * 1000000 + 0.5)
+                AS BIGINT) AS value_e6
+    FROM joined ORDER BY 1, 2""",
+        "text_quality_counts": """
+    SELECT doc_id, LENGTH(text) AS n_chars,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+           LENGTH(regexp_replace(text, '[0-9A-Za-z_ \\t\\n\\f\\r]', '', 'g')) AS n_punct,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+    FROM documents ORDER BY doc_id""",
         "dedup_exact": """
     SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY 1""",

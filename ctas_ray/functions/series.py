@@ -211,8 +211,18 @@ def gap_fill(
         out = np.where(idx >= 0, values[np.clip(idx, 0, None)], np.nan)
         return grid, out
     if method == "linear":
-        out = np.interp(grid, ts_us.astype(np.float64), values)
-        # np.interp clamps outside the span; mask those to NaN
+        # explicit v0 + slope * dt chain (not np.interp) so the result is
+        # bit-identical to the SQL oracle's expression
+        n = len(ts_us)
+        i0 = np.clip(np.searchsorted(ts_us, grid, side="right") - 1, 0, n - 1)
+        i1 = np.clip(i0 + 1, 0, n - 1)
+        t0, t1 = ts_us[i0].astype(np.float64), ts_us[i1].astype(np.float64)
+        v0, v1 = values[i0], values[i1]
+        same = t1 == t0
+        with np.errstate(all="ignore"):
+            out = np.where(
+                same, v0, v0 + (v1 - v0) / (t1 - t0) * (grid - t0)
+            )
         out = np.where((grid < ts_us[0]) | (grid > ts_us[-1]), np.nan, out)
         return grid, out
     raise ValueError(f"unknown gap_fill method: {method}")

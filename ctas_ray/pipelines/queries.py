@@ -238,6 +238,168 @@ def gapfill_locf_1m(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "grid_ts"]).reset_index(drop=True)
 
 
+def _rolling_group(g: pd.DataFrame, window: int = 5) -> pd.DataFrame:
+    from ..functions.series import rolling_mean, rolling_sd
+
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    x = g["value"].to_numpy(dtype=np.float64)
+    rm = rolling_mean(x, window)
+    rs = rolling_sd(x, window)
+    keep = ~np.isnan(rm)
+    out = pd.DataFrame(
+        {
+            "event_id": g["event_id"].to_numpy()[keep],
+            "roll_avg_e6": _scaled_int(rm[keep]),
+            "roll_sd_e6": np.where(
+                np.isnan(rs[keep]), -1, _scaled_int(np.nan_to_num(rs[keep]))
+            ).astype(np.int64),
+        }
+    )
+    return out
+
+
+def rolling_stats(sf_dir: str) -> pd.DataFrame:
+    """F9 [graft]: trailing-window rolling mean/sd per (subject,
+    parameter) series — NaN-aware, min_periods 1/2, SQL-checkable via
+    window aggregates."""
+    out = (
+        _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+        .groupby(["event_type", "user_id"])
+        .map_groups(_rolling_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def gapfill_linear_1m(sf_dir: str) -> pd.DataFrame:
+    """F10 linear variant: np.interp onto the 60s epoch grid. Values are
+    genuinely floating -> scaled-int column."""
+    from ..functions.series import gap_fill
+
+    def fill_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        vals = g["text"].str.len().to_numpy(dtype=np.float64)
+        # duplicate-ts rule: np.interp uses the FIRST matching point for
+        # exact hits; dedupe keeping the last turn per ts like LOCF
+        keep = np.r_[ts[1:] != ts[:-1], True]
+        grid, out = gap_fill(ts[keep], vals[keep], step_us=60_000_000, method="linear")
+        return pd.DataFrame(
+            {"conv_id": g["conv_id"].iloc[0], "grid_ts": grid, "value": out}
+        )
+
+    tx = transcripts_from_events(sf_dir)
+    out = tx.groupby("conv_id").map_groups(fill_group, batch_format="pandas").to_pandas()
+    out = out[out["value"].notna()]
+    out["value_e6"] = _scaled_int(out["value"].to_numpy())
+    return out[["conv_id", "grid_ts", "value_e6"]].sort_values(
+        ["conv_id", "grid_ts"]
+    ).reset_index(drop=True)
+
+
+def site_iqr_signals(sf_dir: str) -> pd.DataFrame:
+    """A9 (avg_feat_value scoring): per parameter, site means of
+    per-subject average values, R type-7 IQR fences, is_signal flag.
+    Site derivation user_id % 12 is SQL-expressible."""
+    from ..functions.stats import quantile_type7
+
+    def per_param(g: pd.DataFrame) -> pd.DataFrame:
+        subj = g.groupby("user_id")["value"].mean().reset_index()
+        subj["site"] = (subj["user_id"] % 12).astype(np.int64)
+        avg = subj.groupby("site")["value"].mean()
+        vals = avg.to_numpy()
+        q1 = quantile_type7(vals, 0.25)
+        q3 = quantile_type7(vals, 0.75)
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        return pd.DataFrame(
+            {
+                "parameter_id": g["event_type"].iloc[0],
+                "site": avg.index.to_numpy(),
+                "avg_e6": _scaled_int(vals),
+                "is_signal": ((vals < lo) | (vals > hi)).astype(np.int64),
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["event_type", "user_id", "value"])
+        .groupby("event_type")
+        .map_groups(per_param, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "site"]).reset_index(drop=True)
+
+
+def text_quality_counts(sf_dir: str) -> pd.DataFrame:
+    """Quality-scoring ingredient counts (exact integers): chars,
+    digits, punctuation marks, uppercase letters per document."""
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        # explicit ASCII classes, chosen to be byte-identical with the
+        # RE2 classes in the DuckDB oracle
+        digit = re.compile(r"[0-9]")
+        punct = re.compile(r"[^0-9A-Za-z_ \t\n\f\r]")
+        upper = re.compile(r"[A-Z]")
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["text"].str.len().astype(np.int64),
+                "n_digits": [len(digit.findall(t)) for t in b["text"]],
+                "n_punct": [len(punct.findall(t)) for t in b["text"]],
+                "n_upper": [len(upper.findall(t)) for t in b["text"]],
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """O3 exact distinct: users, days and distinct values per event
+    type (groupby + exact n_distinct, pre-aggregated per block)."""
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [g["user_id"].nunique()],
+                "n_events": [len(g)],
+                "n_values": [g["value"].dropna().nunique()],
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["event_type", "user_id", "value"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def topk_events_by_value(sf_dir: str) -> pd.DataFrame:
+    """O2 top-k: 5 highest-value events per type via Dataset sort +
+    per-group head (deterministic tie-break by event_id)."""
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["value"].notna()].sort_values(
+            ["value", "event_id"], ascending=[False, True], kind="mergesort"
+        ).head(5)
+        out = g[["event_type", "event_id", "value"]].copy()
+        out["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out["value_e6"] = _scaled_int(out["value"].to_numpy())
+        return out.drop(columns=["value"])
+
+    out = (
+        _events(sf_dir, ["event_type", "event_id", "value"])
+        .groupby("event_type")
+        .map_groups(per_type, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "rank"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings queries
 # ---------------------------------------------------------------------------
