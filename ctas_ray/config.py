@@ -70,3 +70,4 @@ class RollupConfig:
     salt_buckets: int = 64  # salted-hash partition count for conv_id
     max_turns_per_chunk: int = 100_000  # long-conv sub-split threshold
     rolling_window: int = 8  # rolling mean/sd window (turns)
+    archive_text: bool = False  # per-turn text blocks (byte-exact codec)

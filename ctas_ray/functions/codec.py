@@ -31,9 +31,47 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_series", "decode_series"]
+__all__ = ["encode_series", "decode_series", "encode_text_block", "decode_text_block"]
 
 _MASK64 = (1 << 64) - 1
+
+
+def encode_text_block(texts: list[str], level: int = 6) -> bytes:
+    """[graft] Per-turn TEXT block codec: length-prefixed UTF-8
+    concatenation, zlib-compressed. Paired with the stable
+    (conv_id, turn_idx) ordering, ``decode_text_block(encode(...))``
+    returns every turn's text BYTE-EQUAL — the per-row invariant from
+    BASELINE.json input_hint, enforced in tests and by the optional
+    in-pipeline round-trip check.
+
+    Layout: [uint32 n][zlib(uint32 byte_len x n || concat utf-8)] —
+    the length table lives inside the compressed stream so per-turn
+    framing overhead compresses away.
+    """
+    import zlib
+
+    encoded = [t.encode("utf-8") for t in texts]
+    lens = b"".join(len(e).to_bytes(4, "little") for e in encoded)
+    return len(encoded).to_bytes(4, "little") + zlib.compress(
+        lens + b"".join(encoded), level
+    )
+
+
+def decode_text_block(blob: bytes) -> list[str]:
+    """Inverse of :func:`encode_text_block`; exact round-trip."""
+    import zlib
+
+    n = int.from_bytes(blob[0:4], "little")
+    payload = zlib.decompress(blob[4:])
+    lens = [
+        int.from_bytes(payload[4 * i : 4 * i + 4], "little") for i in range(n)
+    ]
+    out = []
+    pos = 4 * n
+    for ln in lens:
+        out.append(payload[pos : pos + ln].decode("utf-8"))
+        pos += ln
+    return out
 
 
 class _BitWriter:

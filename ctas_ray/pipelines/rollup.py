@@ -57,6 +57,7 @@ def _stage0(transcripts: rd.Dataset, cfg: RollupConfig, verify_roundtrip: bool) 
             extract_channels,
             chunk_turns=cfg.max_turns_per_chunk,
             salt_buckets=cfg.salt_buckets,
+            keep_text=cfg.archive_text,
         ),
         batch_format="pyarrow",
     )
@@ -67,6 +68,7 @@ def _stage0(transcripts: rd.Dataset, cfg: RollupConfig, verify_roundtrip: bool) 
             with_codec=True,
             verify_roundtrip=verify_roundtrip,
             inline_tiers_s=tuple(cfg.tiers_s),
+            with_text=cfg.archive_text,
         ),
         batch_format="pandas",
     )
@@ -194,6 +196,34 @@ def run_rollup(
         _record("stage0", stage0, time.perf_counter() - t0)
     paths["blobs"] = os.path.join(stage0, "kind=blob")
     paths["stage0"] = stage0
+    textblob_dir = os.path.join(stage0, "kind=textblob")
+    if os.path.isdir(textblob_dir):
+        paths["textblobs"] = textblob_dir
+
+    # per-partition lineage rows emitted by the partition UDFs -> manifest
+    pmeta_dir = os.path.join(stage0, "kind=pmeta")
+    if f"pmeta:{fp}" not in done and os.path.isdir(pmeta_dir):
+        pm = rd.read_parquet(
+            pmeta_dir, columns=["part", "rows_in", "n_convs", "wall_s"]
+        ).to_pandas()
+        for _, r in pm.iterrows():
+            writer.append.remote(
+                manifest_entry(
+                    partition_id=f"part{int(r['part'])}:{fp}",
+                    rows_in=int(r["rows_in"]),
+                    rows_out=int(r["rows_in"]),
+                    nbytes=0,
+                    wall_s=float(r["wall_s"]),
+                    fingerprint=fp,
+                    extra={"n_convs": int(r["n_convs"]), "stage": "stage0"},
+                )
+            )
+        writer.append.remote(
+            manifest_entry(
+                partition_id=f"pmeta:{fp}", rows_in=len(pm), rows_out=len(pm),
+                nbytes=0, wall_s=0.0, fingerprint=fp,
+            )
+        )
 
     # --- tiers: inline-cascaded rows straight from stage0, plus the
     # merge exchange over the (few) multi-chunk conversation partials ---
@@ -302,6 +332,63 @@ def run_rollup_events(
         transcripts_path=f"{sf_dir}#amplify={amplify}",
         grouped=grouped,
     )
+
+
+def apply_retention(
+    out_dir: str,
+    now_us: int,
+    policy: dict[str, float | None],
+) -> dict[str, int]:
+    """[graft] Retention enforcement: drop tier parquet files whose
+    entire bucket range is older than the tier's max age.
+
+    ``policy``: tier name ('tier_1m', ...) -> max age in SECONDS
+    (None = keep forever). File-granular: a file is deleted only when
+    its parquet column statistics prove max(bucket) < cutoff, so no
+    surviving bucket is ever touched (safe under resume). Deletions are
+    recorded in the manifest. Returns {tier: files_deleted}.
+
+    This is the classic retention story of a downsampling store: raw
+    1m points age out quickly, 1h lives longer, 1d forever.
+    """
+    import pyarrow.parquet as pq
+
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    writer = ManifestWriter.remote(manifest_path)
+    deleted: dict[str, int] = {}
+    for tier, max_age_s in policy.items():
+        deleted[tier] = 0
+        if max_age_s is None:
+            continue
+        cutoff = now_us - int(max_age_s * 1_000_000)
+        tdir = os.path.join(out_dir, "tiers", f"tier={tier.removeprefix('tier_')}")
+        if not os.path.isdir(tdir):
+            continue
+        for fname in sorted(os.listdir(tdir)):
+            fpath = os.path.join(tdir, fname)
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(fpath).metadata
+            max_bucket = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "bucket" and col.statistics is not None:
+                        v = col.statistics.max
+                        max_bucket = v if max_bucket is None else max(max_bucket, v)
+            if max_bucket is not None and max_bucket < cutoff:
+                os.remove(fpath)
+                deleted[tier] += 1
+                writer.append.remote(
+                    manifest_entry(
+                        partition_id=f"retention:{tier}:{fname}",
+                        rows_in=0, rows_out=0, nbytes=0, wall_s=0.0,
+                        fingerprint="retention",
+                        extra={"cutoff_us": cutoff, "max_bucket": int(max_bucket)},
+                    )
+                )
+    ray.get(writer.flush.remote())
+    return deleted
 
 
 def read_tier(out_dir: str, tier: str, derived: bool = True) -> rd.Dataset:

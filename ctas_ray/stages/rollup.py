@@ -64,7 +64,10 @@ TIER_PARTIAL_COLUMNS = [
 
 
 def extract_channels(
-    batch: pa.Table, chunk_turns: int = 100_000, salt_buckets: int = 0
+    batch: pa.Table,
+    chunk_turns: int = 100_000,
+    salt_buckets: int = 0,
+    keep_text: bool = False,
 ) -> pa.Table:
     """Stateless per-batch projection: (conv_id, turn_idx, ts_us, text_len)
     plus chunk assignment and boundary carry rows.
@@ -87,16 +90,17 @@ def extract_channels(
     ts_us = pc.cast(batch["ts"], pa.int64())
     tlen = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
     chunk = pc.divide(turn, chunk_turns)
-    base = pa.table(
-        {
-            "conv_id": conv,
-            "turn_idx": turn,
-            "ts_us": ts_us,
-            "text_len": tlen,
-            "chunk": chunk,
-            "carry": pa.array(np.zeros(len(batch), dtype=np.int8)),
-        }
-    )
+    cols = {
+        "conv_id": conv,
+        "turn_idx": turn,
+        "ts_us": ts_us,
+        "text_len": tlen,
+        "chunk": chunk,
+        "carry": pa.array(np.zeros(len(batch), dtype=np.int8)),
+    }
+    if keep_text:
+        cols["text"] = batch["text"]  # text archival: bytes DO shuffle
+    base = pa.table(cols)
     # boundary replicas (no-ops for conversations within one chunk)
     turn_np = turn.to_numpy(zero_copy_only=False)
     last_of_chunk = (turn_np + 1) % chunk_turns == 0
@@ -195,6 +199,10 @@ UNION_COLUMNS = TIER_PARTIAL_COLUMNS + [
     "blob",
     "roundtrip_ok",
     "tier",
+    "part",
+    "rows_in",
+    "n_convs",
+    "wall_s",
     "kind",
 ]
 
@@ -282,6 +290,8 @@ def partition_rollup(
     with_codec: bool = True,
     verify_roundtrip: bool = False,
     inline_tiers_s: tuple[int, ...] | None = None,
+    with_text: bool = False,
+    emit_partition_manifest: bool = True,
 ) -> pd.DataFrame:
     """Vectorized partition body: ONE call processes every conv-chunk of
     a salted-hash partition (``part`` column from extract_channels).
@@ -301,6 +311,9 @@ def partition_rollup(
     (giant) conversations emit kind='t1' partials for the (now tiny)
     merge exchange. One shuffle rolls up almost everything.
     """
+    import time as _time
+
+    t_start = _time.perf_counter()
     df = part.sort_values(["conv_id", "chunk", "turn_idx", "carry"], kind="mergesort")
     conv = df["conv_id"].to_numpy(dtype=object)
     chunk = df["chunk"].to_numpy(dtype=np.int64)
@@ -410,6 +423,54 @@ def partition_rollup(
                         }
                     )
                 )
+    if with_text and "text" in df.columns:
+        # [graft] per-row text invariant: archive the turn texts per
+        # (conv, chunk) as compressed blocks; decode under the stable
+        # (conv_id, turn_idx) order is byte-equal (M10)
+        from ..functions.codec import decode_text_block, encode_text_block
+
+        seg_ends_t = np.r_[seg_starts[1:], n]
+        texts_all = df["text"].to_numpy(dtype=object)
+        rows = {"conv_id": [], "chunk": [], "n": [], "blob": [],
+                "first_ts": [], "last_ts": [], "roundtrip_ok": []}
+        for s, e in zip(seg_starts, seg_ends_t):
+            rmask = real[s:e]
+            if not rmask.any():
+                continue
+            idx = np.nonzero(rmask)[0] + s
+            texts = list(texts_all[idx])
+            blob = encode_text_block(texts)
+            ok_flag = True
+            if verify_roundtrip:
+                ok_flag = decode_text_block(blob) == texts
+            rows["conv_id"].append(conv[idx[0]])
+            rows["chunk"].append(int(chunk[idx[0]]))
+            rows["n"].append(len(idx))
+            rows["blob"].append(blob)
+            rows["first_ts"].append(int(ts[idx[0]]))
+            rows["last_ts"].append(int(ts[idx[-1]]))
+            rows["roundtrip_ok"].append(ok_flag)
+        if rows["conv_id"]:
+            frames.append(
+                pd.DataFrame(rows).assign(channel="__text__", kind="textblob")
+            )
+
+    if emit_partition_manifest:
+        # [graft] per-partition lineage + throughput row (S2): every
+        # partition of the big exchange records what it processed
+        part_id = int(part["part"].iloc[0]) if "part" in part.columns else -1
+        frames.append(
+            pd.DataFrame(
+                {
+                    "kind": ["pmeta"],
+                    "part": [part_id],
+                    "rows_in": [int(real.sum())],
+                    "n_convs": [int(len(np.unique(conv[seg_starts])))],
+                    "wall_s": [_time.perf_counter() - t_start],
+                }
+            )
+        )
+
     if not frames:
         return _empty_union()
     return pd.concat(frames, ignore_index=True).reindex(columns=UNION_COLUMNS)
@@ -446,6 +507,8 @@ def fused_events_rollup(
             "carry": np.zeros(len(g), dtype=np.int8),
         }
     )
+    if "part" in g.columns:  # keep the salt id for the partition manifest
+        df["part"] = int(g["part"].iloc[0])
     return partition_rollup(
         df,
         tier1_s=tier1_s,

@@ -174,9 +174,15 @@ class TestRunAndResume:
         paths = run_rollup(ds, out_dir, cfg)
         assert set(paths) == {"stage0", "blobs", "tier_1m", "tier_1h", "tier_1d"}
         manifest = [json.loads(l) for l in open(os.path.join(out_dir, "manifest.jsonl"))]
-        assert {e["partition_id"].split(":")[0] for e in manifest} == {"stage0", "tiers"}
+        stages = {e["partition_id"].split(":")[0] for e in manifest}
+        assert {"stage0", "tiers"} <= stages
+        # per-partition lineage rows from the big exchange (S2)
+        per_part = [e for e in manifest if e["partition_id"].startswith("part")]
+        assert len(per_part) > 0
+        assert all(e["rows_in"] > 0 and e["wall_s"] > 0 for e in per_part)
         for e in manifest:
-            assert e["rows_in"] > 0 and e["bytes"] > 0 and e["wall_s"] > 0
+            if e["partition_id"].split(":")[0] in ("stage0", "tiers"):
+                assert e["rows_in"] > 0 and e["bytes"] > 0 and e["wall_s"] > 0
 
         # resume: nothing recomputed -> no new manifest entries
         run_rollup(ds, out_dir, cfg)
