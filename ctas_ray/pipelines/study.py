@@ -242,6 +242,7 @@ def process_a_study_ray(
     custom_reference_groups: pd.DataFrame | None = None,
     cfg: StudyConfig = StudyConfig(),
     features_as_dataset: bool = False,
+    decorate_with_join: bool | None = None,
 ) -> dict:
     """Distributed study screen. ``data`` is the (possibly huge)
     measurement Dataset; dimension tables are small pandas frames.
@@ -396,22 +397,60 @@ def process_a_study_ray(
     )
 
     # ---- decoration + scoring groups (shuffle P3) ----
-    lookup = {
-        "subjects": {
-            r["subject_id"]: (r["site"], r["country"], r["region"])
-            for _, r in subjects.iterrows()
-        },
-        "param_of_series": dict(zip(series["timeseries_id"], series["parameter_id"])),
-        "scm": {p: c["subject_count_min"] for p, c in param_cfg.items()},
-        "ref_groups": {
-            (r["parameter_id"], r["feature"]): r["ref_group"]
-            for _, r in custom_reference_groups.iterrows()
-        },
-    }
-    lookup_ref = ray.put(lookup)
-    decorated = feat_ds.map_batches(
-        functools.partial(_decorate, lookup_ref=lookup_ref), batch_format="pandas"
+    use_join = (
+        decorate_with_join
+        if decorate_with_join is not None
+        else len(subjects) > BROADCAST_SUBJECT_LIMIT
     )
+    if use_join:
+        # J2 scale path: subjects too big to broadcast -> hash-partitioned
+        # Dataset.join keyed on subject_id (co-partitioned with the
+        # feature rows), then the small per-series/ref-group lookups
+        subjects_ds = rd.from_pandas(
+            subjects[["subject_id", "site", "country", "region"]]
+        )
+        n_parts = 16
+        joined = feat_ds.join(
+            subjects_ds, join_type="inner", num_partitions=n_parts,
+            on=("subject_id",),
+        )
+        small = {
+            "param_of_series": dict(zip(series["timeseries_id"], series["parameter_id"])),
+            "scm": {p: c["subject_count_min"] for p, c in param_cfg.items()},
+            "ref_groups": {
+                (r["parameter_id"], r["feature"]): r["ref_group"]
+                for _, r in custom_reference_groups.iterrows()
+            },
+        }
+        small_ref = ray.put(small)
+
+        def attach_small(b: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(small_ref)
+            pid = b["timeseries_id"].map(lk["param_of_series"])
+            b["parameter_id"] = pid
+            b["subject_count_min"] = pid.map(lk["scm"])
+            keys = list(zip(pid, b["feature"]))
+            b["ref_group"] = [lk["ref_groups"].get(k, "global") for k in keys]
+            return b
+
+        decorated = joined.map_batches(attach_small, batch_format="pandas")
+    else:
+        lookup = {
+            "subjects": {
+                r["subject_id"]: (r["site"], r["country"], r["region"])
+                for _, r in subjects.iterrows()
+            },
+            "param_of_series": dict(zip(series["timeseries_id"], series["parameter_id"])),
+            "scm": {p: c["subject_count_min"] for p, c in param_cfg.items()},
+            "ref_groups": {
+                (r["parameter_id"], r["feature"]): r["ref_group"]
+                for _, r in custom_reference_groups.iterrows()
+            },
+        }
+        lookup_ref = ray.put(lookup)
+        decorated = feat_ds.map_batches(
+            functools.partial(_decorate, lookup_ref=lookup_ref), batch_format="pandas"
+        )
     decorated = decorated.materialize()  # consumed by scoring + output
     scored = decorated.groupby(["timeseries_id", "feature", "ref_group"]).map_groups(
         functools.partial(

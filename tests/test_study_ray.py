@@ -118,6 +118,43 @@ class TestParityVariants:
         b = _sorted(dist["site_scores"], keys)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
+    def test_join_decoration_equals_broadcast(self, study, ray_session):
+        # J2 scale path: Dataset.join decoration must match broadcast
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        cfg = StudyConfig(features="average;sd")
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        a = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg,
+            decorate_with_join=False,
+        )
+        b = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg,
+            decorate_with_join=True,
+        )
+        keys = ["timeseries_id", "subject_id", "feature"]
+        fa = _sorted(a["timeseries_features"], keys)
+        fb = _sorted(b["timeseries_features"], keys)
+        pd.testing.assert_frame_equal(fa, fb, check_dtype=False)
+        sa = _sorted(a["site_scores"], ["timeseries_id", "feature", "ref_group", "site"])
+        sb = _sorted(b["site_scores"], ["timeseries_id", "feature", "ref_group", "site"])
+        pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
+
+    def test_adaptive_parity(self, study, ray_session):
+        cfg = StudyConfig(autogenerate_timeseries="adaptive", features="average")
+        oracle, dist = _run_both(study, cfg, ray_session)
+        a = _sorted(oracle["timeseries"], ["timeseries_id"])
+        b = _sorted(dist["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_optimize_parity(self, study, ray_session):
+        cfg = StudyConfig(optimize_sites_and_patients=True, features="average")
+        oracle, dist = _run_both(study, cfg, ray_session)
+        a = _sorted(oracle["timeseries"], ["timeseries_id"])
+        b = _sorted(dist["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
     def test_empty_data_returns_none(self, study, ray_session):
         import ray.data as rd
         from ctas_ray.pipelines.study import process_a_study_ray
