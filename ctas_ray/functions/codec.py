@@ -83,12 +83,16 @@ class _BitWriter:
         self.out = bytearray()
 
     def write(self, value: int, bits: int) -> None:
-        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
-        self.nbits += bits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.out.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+        acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        nbits = self.nbits + bits
+        nbytes = nbits >> 3
+        if nbytes:
+            rem = nbits & 7
+            self.out += (acc >> rem).to_bytes(nbytes, "big")
+            acc &= (1 << rem) - 1
+            nbits = rem
+        self.acc = acc
+        self.nbits = nbits
 
     def finish(self) -> bytes:
         if self.nbits:
@@ -106,20 +110,13 @@ class _BitReader:
         self.pos = 0  # bit position
 
     def read(self, bits: int) -> int:
-        out = 0
         pos = self.pos
-        data = self.data
-        remaining = bits
-        while remaining:
-            byte_i, bit_i = divmod(pos, 8)
-            avail = 8 - bit_i
-            take = min(avail, remaining)
-            chunk = (data[byte_i] >> (avail - take)) & ((1 << take) - 1)
-            out = (out << take) | chunk
-            pos += take
-            remaining -= take
-        self.pos = pos
-        return out
+        end = pos + bits
+        byte_start = pos >> 3
+        byte_end = (end + 7) >> 3
+        chunk = int.from_bytes(self.data[byte_start:byte_end], "big")
+        self.pos = end
+        return (chunk >> ((byte_end << 3) - end)) & ((1 << bits) - 1)
 
 
 _TS_RANGES = (
@@ -129,11 +126,30 @@ _TS_RANGES = (
 )
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x == 0 -> 64)."""
+    lead = np.full(x.shape, 64, dtype=np.int64)
+    y = x.copy()
+    pos = np.zeros(x.shape, dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        t = y >> np.uint64(s)
+        cond = t != 0
+        y = np.where(cond, t, y)
+        pos += np.where(cond, np.uint64(s), np.uint64(0))
+    nz = x != 0
+    lead[nz] = 63 - pos[nz].astype(np.int64)
+    return lead
+
+
 def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     """Encode parallel (int64 microsecond, float64) arrays into one blob.
 
     Layout: [uint32 count][timestamp bitstream][value bitstream], each
     bitstream byte-aligned and length-prefixed with uint32 byte counts.
+
+    The per-point analysis (XOR, leading/trailing zeros, delta-of-delta
+    bucketing) is vectorized in numpy; the remaining Python loop only
+    merges each point's control+payload bits into ONE bit-write.
     """
     ts = np.asarray(ts_us, dtype=np.int64)
     vals = np.asarray(values, dtype=np.float64)
@@ -143,61 +159,61 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     vw = _BitWriter()
     if n:
         tw.write(int(ts[0]) & _MASK64, 64)
-        # all timestamp arithmetic is mod 2^64: deltas of extreme int64
-        # values need 65 bits, but mod-2^64 residues round-trip exactly
-        prev_ts = int(ts[0]) & _MASK64
-        prev_delta = 0
+        # timestamp arithmetic mod 2^64 (numpy uint64 wraps like the
+        # scalar version): dod = delta-of-delta as signed residue
+        tsu = ts.view(np.uint64)
+        with np.errstate(over="ignore"):
+            delta = np.empty(n, dtype=np.uint64)
+            delta[0] = 0
+            delta[1:] = tsu[1:] - tsu[:-1]
+            dod_u = np.empty(n, dtype=np.uint64)
+            dod_u[0] = 0
+            dod_u[1:] = delta[1:] - delta[:-1]
+        dod = dod_u.view(np.int64)  # two's-complement signed residue
         for i in range(1, n):
-            t = int(ts[i]) & _MASK64
-            delta = (t - prev_ts) & _MASK64
-            dod = (delta - prev_delta) & _MASK64
-            if dod >= 1 << 63:
-                dod -= 1 << 64
-            if dod == 0:
+            d = int(dod[i])
+            if d == 0:
                 tw.write(0, 1)
+            elif -63 <= d <= 64:
+                tw.write((0b10 << 7) | (d + 63), 9)
+            elif -255 <= d <= 256:
+                tw.write((0b110 << 9) | (d + 255), 12)
+            elif -2047 <= d <= 2048:
+                tw.write((0b1110 << 12) | (d + 2047), 16)
             else:
-                for idx, (bits, off) in enumerate(_TS_RANGES):
-                    if -off <= dod <= off + 1:
-                        tw.write((1 << (idx + 2)) - 2, idx + 2)  # '10','110','1110'
-                        tw.write(dod + off, bits)
-                        break
-                else:
-                    tw.write(0b1111, 4)
-                    tw.write(dod & _MASK64, 64)
-            prev_ts = t
-            prev_delta = delta
+                tw.write((0b1111 << 64) | (d & _MASK64), 68)
 
         bits_arr = vals.view(np.uint64)
-        prev_bits = int(bits_arr[0])
-        vw.write(prev_bits, 64)
+        with np.errstate(over="ignore"):
+            xor = np.empty(n, dtype=np.uint64)
+            xor[0] = 0
+            xor[1:] = bits_arr[1:] ^ bits_arr[:-1]
+        lead_arr = np.minimum(_clz64(xor), 31)  # 5-bit field cap (paper)
+        low_isolated = xor & (~xor + np.uint64(1))  # x & -x
+        trail_arr = 63 - _clz64(low_isolated)  # ctz (x==0 -> -1, unused)
+        vw.write(int(bits_arr[0]), 64)
         prev_lead, prev_mlen = 65, 0  # 65 = "no previous window"
         for i in range(1, n):
-            b = int(bits_arr[i])
-            x = b ^ prev_bits
+            x = int(xor[i])
             if x == 0:
                 vw.write(0, 1)
+                continue
+            lead = int(lead_arr[i])
+            trail = int(trail_arr[i])
+            mlen = 64 - lead - trail
+            if (
+                prev_lead <= lead
+                and (64 - prev_lead - prev_mlen) <= trail
+                and prev_mlen > 0
+            ):
+                prev_trail = 64 - prev_lead - prev_mlen
+                vw.write((0b10 << prev_mlen) | (x >> prev_trail), prev_mlen + 2)
             else:
-                lead = 64 - x.bit_length()
-                trail = (x & -x).bit_length() - 1
-                if lead > 31:
-                    lead = 31  # 5-bit field cap (as in the paper)
-                mlen = 64 - lead - trail
-                if (
-                    prev_lead <= lead
-                    and (64 - prev_lead - prev_mlen) <= trail
-                    and prev_mlen > 0
-                ):
-                    # reuse previous window
-                    vw.write(0b10, 2)
-                    prev_trail = 64 - prev_lead - prev_mlen
-                    vw.write(x >> prev_trail, prev_mlen)
-                else:
-                    vw.write(0b11, 2)
-                    vw.write(lead, 5)
-                    vw.write(mlen - 1, 6)
-                    vw.write(x >> trail, mlen)
-                    prev_lead, prev_mlen = lead, mlen
-            prev_bits = b
+                vw.write(
+                    (((0b11 << 5 | lead) << 6 | (mlen - 1)) << mlen) | (x >> trail),
+                    13 + mlen,
+                )
+                prev_lead, prev_mlen = lead, mlen
     tb = tw.finish()
     vb = vw.finish()
     head = (

@@ -234,6 +234,233 @@ def _score_group(group: pd.DataFrame, method: str, jitter_sd: float, jitter_seed
     return res
 
 
+def _plan_vector(
+    pres_ds: rd.Dataset,
+    param_cfg: dict,
+    autogen_type: str,
+    salt_buckets: int = 64,
+) -> tuple[pd.DataFrame, rd.Dataset]:
+    """Scalable planning (see ctas_ray.planning_scale): two passes over
+    the presence projection, O(#presence rows) work, no per-subject
+    matrices and no ';'-packed subject lists.
+
+      E1 (salted by (param, subject)): global dedup + per-(param, rank,
+         baseline-flag) count partials -> driver computes rank orders
+      E2 (same salt): per-subject positions + eligibility-interval
+         delta partials -> driver runs the acceptance walk ->
+         per-subject combo BITMASKS as a Dataset (joined downstream
+         instead of broadcasting subject lists)
+
+    Returns (series definitions frame without subject lists,
+    membership dataset (parameter_id, subject_id, mask_original,
+    mask_cfb)).
+    """
+    import zlib
+
+    from ..planning import order_timepoint_ranks
+    from ..planning_scale import (
+        acceptance_walk,
+        eligible_counts_from_deltas,
+        need_inverse,
+        subject_combo_mask,
+        subject_eligibility_deltas,
+    )
+
+    def add_salt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["salt"] = [
+            zlib.crc32(f"{p}|{s}".encode()) % salt_buckets
+            for p, s in zip(b["parameter_id"], b["subject_id"])
+        ]
+        return b
+
+    salted = pres_ds.map_batches(add_salt, batch_format="pandas")
+
+    # ---- E1: dedup + rank-stat partials (for rank ordering) ----
+    def e1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(
+            subset=["parameter_id", "subject_id", "timepoint_rank", "has_baseline_value"]
+        )
+        out = []
+        for variant, sub in (("original", g), ("cfb", g[g["has_baseline_value"] == "Yes"])):
+            if len(sub) == 0:
+                continue
+            # nr_patients per rank + consistency (sum of per-subject
+            # visit counts) per rank — the adaptive-score ingredients
+            nv = sub.groupby("subject_id")["timepoint_rank"].transform("size")
+            agg = sub.assign(nv=nv).groupby(["parameter_id", "timepoint_rank"]).agg(
+                nr_patients=("subject_id", "size"), consistency=("nv", "sum")
+            ).reset_index()
+            agg["variant"] = variant
+            out.append(agg)
+        if not out:
+            return pd.DataFrame(
+                columns=["parameter_id", "timepoint_rank", "nr_patients",
+                         "consistency", "variant"]
+            )
+        return pd.concat(out, ignore_index=True)
+
+    stats = (
+        salted.groupby("salt").map_groups(e1, batch_format="pandas").to_pandas()
+    )
+    rank_orders: dict[tuple[str, str], np.ndarray] = {}
+    for (pid, variant), grp in stats.groupby(["parameter_id", "variant"]):
+        merged = grp.groupby("timepoint_rank").agg(
+            nr_patients=("nr_patients", "sum"), consistency=("consistency", "sum")
+        ).reset_index()
+        if autogen_type == "consecutive":
+            rank_orders[(pid, variant)] = np.sort(merged["timepoint_rank"].unique())
+        else:
+            # rebuild the adaptive score from the merged partials
+            # (R/ctas.R:863-896): percentiles + (score desc, rank desc)
+            merged["timepoint_rank_percentile"] = (
+                merged["timepoint_rank"] / merged["timepoint_rank"].max()
+            )
+            merged["nr_patients_percentile"] = (
+                merged["nr_patients"] / merged["nr_patients"].max()
+            )
+            merged["consistency_percentile"] = (
+                merged["consistency"] / merged["consistency"].max()
+            )
+            merged["score"] = (
+                merged["consistency_percentile"]
+                + merged["nr_patients_percentile"]
+                + merged["timepoint_rank_percentile"]
+            )
+            merged = merged.sort_values("timepoint_rank", ascending=False, kind="mergesort")
+            merged = merged.sort_values("score", ascending=False, kind="mergesort")
+            rank_orders[(pid, variant)] = merged["timepoint_rank"].to_numpy()
+
+    pos_maps = {
+        key: {r: i + 1 for i, r in enumerate(order)}
+        for key, order in rank_orders.items()
+    }
+    K_arrays = {
+        key: need_inverse(len(order), param_cfg[key[0]]["max_share_missing"])
+        for key, order in rank_orders.items()
+        if key[0] in param_cfg
+    }
+    plan_refs = ray.put((pos_maps, K_arrays))
+
+    # ---- E2: per-subject positions + delta partials ----
+    def e2(g: pd.DataFrame) -> pd.DataFrame:
+        pos_maps_l, K_l = ray.get(plan_refs)
+        g = g.drop_duplicates(
+            subset=["parameter_id", "subject_id", "timepoint_rank", "has_baseline_value"]
+        )
+        delta_rows = []
+        pos_rows = []
+        for (pid, subj), sub in g.groupby(["parameter_id", "subject_id"], sort=False):
+            row = {"parameter_id": pid, "subject_id": subj, "kind": "pos"}
+            for variant in ("original", "cfb"):
+                key = (pid, variant)
+                if key not in pos_maps_l:
+                    row[f"pos_{variant}"] = b""
+                    continue
+                s2 = sub if variant == "original" else sub[sub["has_baseline_value"] == "Yes"]
+                positions = np.sort(
+                    s2["timepoint_rank"].map(pos_maps_l[key]).dropna().to_numpy(dtype=np.int64)
+                )
+                # ragged arrays don't survive Ray's pandas<->Arrow tensor
+                # casting: ship as raw int64 bytes
+                row[f"pos_{variant}"] = positions.tobytes()
+                n_ranks = len(pos_maps_l[key])
+                ks, ds = subject_eligibility_deltas(positions, K_l[key], n_ranks)
+                for k, d in zip(ks, ds):
+                    delta_rows.append((pid, variant, int(k), int(d)))
+            pos_rows.append(row)
+        out_pos = pd.DataFrame(pos_rows)
+        if delta_rows:
+            dd = pd.DataFrame(delta_rows, columns=["parameter_id", "variant", "k", "delta"])
+            dd = dd.groupby(["parameter_id", "variant", "k"], as_index=False)["delta"].sum()
+            dd["kind"] = "delta"
+            out = pd.concat([out_pos, dd], ignore_index=True)
+        else:
+            out = out_pos
+        cols = ["kind", "parameter_id", "subject_id", "pos_original", "pos_cfb",
+                "variant", "k", "delta"]
+        return out.reindex(columns=cols)
+
+    e2_out = salted.groupby("salt").map_groups(e2, batch_format="pandas").materialize()
+    deltas = e2_out.map_batches(
+        lambda b: b[b["kind"] == "delta"][["parameter_id", "variant", "k", "delta"]],
+        batch_format="pandas",
+    ).to_pandas()
+
+    # ---- driver: acceptance walks + id minting (reference order) ----
+    series_rows = []
+    accepted_by_key: dict[tuple[str, str], list[int]] = {}
+    for pid in sorted(param_cfg):
+        cfgp = param_cfg[pid]
+        if cfgp["use_only_custom_timeseries"]:
+            continue
+        variants = ["original", "cfb"] if cfgp["generate_change_from_baseline"] else ["original"]
+        for variant in variants:
+            key = (pid, variant)
+            if key not in rank_orders:
+                continue
+            order = rank_orders[key]
+            n_ranks = len(order)
+            dsub = deltas[(deltas["parameter_id"] == pid) & (deltas["variant"] == variant)]
+            n_eligible = eligible_counts_from_deltas(
+                dsub["k"].to_numpy(dtype=np.int64),
+                dsub["delta"].to_numpy(dtype=np.int64),
+                n_ranks,
+            )
+            accepted = acceptance_walk(
+                n_eligible, cfgp["time_point_count_min"], cfgp["subject_count_min"]
+            )
+            accepted_by_key[key] = accepted
+            for k in accepted:
+                pts = order[:k]
+                if autogen_type == "adaptive":
+                    pts = np.sort(pts)
+                combo = ";".join(
+                    str(int(r)) if float(r).is_integer() else str(r) for r in pts
+                )
+                series_rows.append(
+                    {"parameter_id": pid, "baseline": variant,
+                     "timepoint_combo": combo, "prefix_k": k}
+                )
+    series = pd.DataFrame(
+        series_rows, columns=["parameter_id", "baseline", "timepoint_combo", "prefix_k"]
+    )
+    if len(series):
+        series["timeseries_id"] = [
+            f"ts_{i + 1}_autogen_{bl}" for i, bl in enumerate(series["baseline"])
+        ]
+
+    accepted_ref = ray.put((accepted_by_key, K_arrays))
+
+    def to_masks(b: pd.DataFrame) -> pd.DataFrame:
+        acc, K_l = ray.get(accepted_ref)
+        b = b[b["kind"] == "pos"]
+        rows = []
+        for _, r in b.iterrows():
+            masks = {}
+            for variant in ("original", "cfb"):
+                key = (r["parameter_id"], variant)
+                raw = r[f"pos_{variant}"]
+                if key in acc and acc[key] and raw:
+                    masks[variant] = subject_combo_mask(
+                        np.frombuffer(raw, dtype=np.int64), K_l[key], acc[key]
+                    )
+                else:
+                    masks[variant] = 0
+            if masks["original"] or masks["cfb"]:
+                rows.append(
+                    {"parameter_id": r["parameter_id"], "subject_id": r["subject_id"],
+                     "mask_original": masks["original"], "mask_cfb": masks["cfb"]}
+                )
+        return pd.DataFrame(
+            rows, columns=["parameter_id", "subject_id", "mask_original", "mask_cfb"]
+        )
+
+    membership = e2_out.map_batches(to_masks, batch_format="pandas")
+    plan_meta = {"pos_maps": pos_maps, "accepted": accepted_by_key}
+    return series, membership, plan_meta
+
+
 def process_a_study_ray(
     data: rd.Dataset,
     subjects: pd.DataFrame,
@@ -243,6 +470,7 @@ def process_a_study_ray(
     cfg: StudyConfig = StudyConfig(),
     features_as_dataset: bool = False,
     decorate_with_join: bool | None = None,
+    plan_mode: str = "classic",
 ) -> dict:
     """Distributed study screen. ``data`` is the (possibly huge)
     measurement Dataset; dimension tables are small pandas frames.
@@ -284,6 +512,14 @@ def process_a_study_ray(
 
     # ---- presence + per-parameter planning (shuffle P1) ----
     pres_ds = data.map_batches(_presence_project, batch_format="pandas")
+
+    if plan_mode == "vector":
+        return _run_vector_mode(
+            data, pres_ds, subjects, param_cfg, custom_timeseries,
+            custom_reference_groups, cfg, rank_names, features_as_dataset,
+            decorate_with_join,
+        )
+
     planned = (
         pres_ds.groupby("parameter_id")
         .map_groups(
@@ -365,13 +601,144 @@ def process_a_study_ray(
         functools.partial(_explode_assignments, defs_ref=defs_ref),
         batch_format="pandas",
     )
+    return _finish_study(
+        assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
+        rank_names, features_as_dataset, decorate_with_join,
+    )
 
+
+def _explode_by_mask(batch: pd.DataFrame, vmeta_ref) -> pd.DataFrame:
+    """Vector-mode explode: membership via per-subject combo bitmasks
+    (broadcast) + rank-position threshold — no packed subject sets."""
+    vm = ray.get(vmeta_ref) if not isinstance(vmeta_ref, dict) else vmeta_ref
+    frames = []
+    for pid, combos in vm["combos"].items():
+        sub = batch[batch["parameter_id"] == pid]
+        if len(sub) == 0:
+            continue
+        masks_o = sub["subject_id"].map(vm["mask_original"].get(pid, {})).fillna(0).astype(np.int64)
+        masks_c = sub["subject_id"].map(vm["mask_cfb"].get(pid, {})).fillna(0).astype(np.int64)
+        for tsid, variant, k, bit in combos:
+            pos = sub["timepoint_rank"].map(vm["pos_maps"][(pid, variant)])
+            masks = masks_o if variant == "original" else masks_c
+            m = (pos.notna()) & (pos <= k) & ((masks // (1 << bit)) % 2 == 1)
+            if m.any():
+                sel = sub.loc[m, ["subject_id", "timepoint_rank", "result", "baseline"]].copy()
+                sel.insert(0, "timeseries_id", tsid)
+                frames.append(sel)
+    if not frames:
+        return pd.DataFrame(
+            columns=["timeseries_id", "subject_id", "timepoint_rank", "result", "baseline"]
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _run_vector_mode(
+    data: rd.Dataset,
+    pres_ds: rd.Dataset,
+    subjects: pd.DataFrame,
+    param_cfg: dict,
+    custom_timeseries: pd.DataFrame,
+    custom_reference_groups: pd.DataFrame,
+    cfg: StudyConfig,
+    rank_names: dict,
+    features_as_dataset: bool,
+    decorate_with_join: bool | None,
+) -> dict:
+    """Scalable planning mode (see planning_scale): no per-parameter
+    presence matrices, no ';'-packed subject lists — eligibility via
+    interval deltas and membership via per-subject bitmasks."""
+    if len(custom_timeseries):
+        raise NotImplementedError(
+            "plan_mode='vector' does not support custom_timeseries yet; "
+            "use plan_mode='classic'"
+        )
+    if cfg.optimize_sites_and_patients:
+        raise NotImplementedError(
+            "plan_mode='vector' does not support optimize_sites_and_patients; "
+            "use plan_mode='classic'"
+        )
+    empty = {
+        "timeseries": None, "timeseries_features": None,
+        "PCA_coordinates": None, "site_scores": None,
+    }
+    if not cfg.autogen_enabled:
+        return empty
+    series, membership, plan_meta = _plan_vector(
+        pres_ds, param_cfg, cfg.autogen_type
+    )
+    if len(series) == 0:
+        return empty
+    series["timepoint_count"] = series["timepoint_combo"].str.count(";") + 1
+    series = series[(series["baseline"] == "original") | (series["timepoint_count"] > 1)]
+    if len(series) == 0:
+        return empty
+
+    # combos per parameter with their accepted-list bit index
+    combos: dict[str, list] = {}
+    for (pid, variant), accepted in plan_meta["accepted"].items():
+        for bit, k in enumerate(accepted):
+            row = series[
+                (series["parameter_id"] == pid)
+                & (series["baseline"] == variant)
+                & (series["prefix_k"] == k)
+            ]
+            if len(row):
+                combos.setdefault(pid, []).append(
+                    (row["timeseries_id"].iloc[0], variant, k, bit)
+                )
+
+    # membership: broadcast (dict) — at 10^8 subjects switch this to a
+    # Dataset.join on (subject_id, parameter_id), mirroring
+    # decorate_with_join (the masks Dataset is already shaped for it)
+    mem = membership.to_pandas()
+    mask_o: dict[str, dict] = {}
+    mask_c: dict[str, dict] = {}
+    for _, r in mem.iterrows():
+        mask_o.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["mask_original"])
+        mask_c.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["mask_cfb"])
+    vmeta_ref = ray.put(
+        {
+            "combos": combos,
+            "pos_maps": plan_meta["pos_maps"],
+            "mask_original": mask_o,
+            "mask_cfb": mask_c,
+        }
+    )
+    assigned = data.map_batches(
+        functools.partial(_explode_by_mask, vmeta_ref=vmeta_ref),
+        batch_format="pandas",
+    )
+    series = series.drop(columns=["prefix_k"])
+    return _finish_study(
+        assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
+        rank_names, features_as_dataset, decorate_with_join,
+    )
+
+
+def _finish_study(
+    assigned: rd.Dataset,
+    series: pd.DataFrame,
+    param_cfg: dict,
+    subjects: pd.DataFrame,
+    custom_reference_groups: pd.DataFrame,
+    cfg: StudyConfig,
+    rank_names: dict,
+    features_as_dataset: bool,
+    decorate_with_join: bool | None,
+) -> dict:
+    """Shared downstream of both planning modes: per-series features +
+    PCA groups, decoration, scoring groups, FDR barrier, output shaping."""
+    empty = {
+        "timeseries": None, "timeseries_features": None,
+        "PCA_coordinates": None, "site_scores": None,
+    }
     # ---- per-series features + PCA (shuffle P2) ----
     meta = {
         "series": {
             s["timeseries_id"]: {
                 "timepoint_combo": s["timepoint_combo"],
-                "timepoint_combo_subjects": s["timepoint_combo_subjects"],
+                "timepoint_combo_subjects": s.get("timepoint_combo_subjects"),
                 "baseline": s["baseline"],
                 "features": param_cfg[s["parameter_id"]]["features"],
             }

@@ -40,7 +40,7 @@ UNIVARIATE_FEATURES = ("range", "sd", "unique_value_count_relative", "autocorr",
 def build_wide_timeseries(
     measurements: pd.DataFrame,
     combo: str,
-    subjects_packed: str,
+    subjects_packed: str | None,
     baseline: str,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """generate_wide_timeseries_table (R/ctas.R:765-789).
@@ -56,11 +56,10 @@ def build_wide_timeseries(
     (caller drops the series, R/ctas.R:160 ``filter(nrow(...) > 0)``).
     """
     ranks = [float(t) for t in combo.split(";")]
-    subj_list = [s for s in subjects_packed.split(";") if s]
-    m = measurements[
-        measurements["timepoint_rank"].astype(float).isin(ranks)
-        & measurements["subject_id"].isin(subj_list)
-    ]
+    m = measurements[measurements["timepoint_rank"].astype(float).isin(ranks)]
+    if subjects_packed is not None:  # None = caller pre-filtered members
+        subj_list = [s for s in subjects_packed.split(";") if s]
+        m = m[m["subject_id"].isin(subj_list)]
     if baseline == "cfb":
         m = m[m["baseline"].notna()].copy()
         m["result"] = m["result"] - m["baseline"]

@@ -155,6 +155,58 @@ class TestParityVariants:
         b = _sorted(dist["timeseries"], ["timeseries_id"])
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
+    def test_vector_plan_mode_parity(self, study, ray_session):
+        """Scalable (interval/bitmask) planning must reproduce the
+        classic path's outputs exactly."""
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        cfg = StudyConfig()
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        classic = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg,
+            plan_mode="classic",
+        )
+        vector = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg,
+            plan_mode="vector",
+        )
+        a = _sorted(classic["timeseries"], ["timeseries_id"])
+        b = _sorted(vector["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        keys = ["timeseries_id", "subject_id", "feature"]
+        fa = _sorted(classic["timeseries_features"], keys)
+        fb = _sorted(vector["timeseries_features"], keys)
+        assert len(fa) == len(fb)
+        np.testing.assert_allclose(
+            fa["feature_value"].to_numpy(), fb["feature_value"].to_numpy(), rtol=1e-12
+        )
+        sk = ["timeseries_id", "feature", "ref_group", "site"]
+        sa = _sorted(classic["site_scores"], sk)
+        sb = _sorted(vector["site_scores"], sk)
+        assert len(sa) == len(sb)
+        np.testing.assert_allclose(
+            sa["fdr_corrected_pvalue_logp"].to_numpy(),
+            sb["fdr_corrected_pvalue_logp"].to_numpy(), rtol=1e-9,
+        )
+
+    def test_vector_plan_mode_adaptive_parity(self, study, ray_session):
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        cfg = StudyConfig(autogenerate_timeseries="adaptive", features="average")
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        classic = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg
+        )
+        vector = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg,
+            plan_mode="vector",
+        )
+        a = _sorted(classic["timeseries"], ["timeseries_id"])
+        b = _sorted(vector["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
     def test_empty_data_returns_none(self, study, ray_session):
         import ray.data as rd
         from ctas_ray.pipelines.study import process_a_study_ray
