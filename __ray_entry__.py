@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship anomaly screen (KS not SQL-expressible -> rows-only)
         "study_screen_sitescores": q.study_screen_sitescores,
         "study_screen_features": q.study_screen_features,
+        "study_screen_pca": q.study_screen_pca,
     }
 
 

@@ -556,6 +556,24 @@ def study_screen_sitescores(sf_dir: str) -> pd.DataFrame:
     return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
 
 
+def study_screen_pca(sf_dir: str) -> pd.DataFrame:
+    """PCA similarity coordinates per (series, subject) — rows-only
+    (PC sign is an SVD convention, R/ctas.R:726-737)."""
+    from .study import process_a_study_ray
+
+    data, subjects, parameters = _events_study_tables(sf_dir)
+    out = process_a_study_ray(
+        rd.from_pandas(data).repartition(8),
+        subjects,
+        parameters,
+        cfg=StudyConfig(max_share_missing=0.8),
+    )
+    p = out["PCA_coordinates"]
+    if p is None:
+        return pd.DataFrame()
+    return p.sort_values(["timeseries_id", "subject_id"]).reset_index(drop=True)
+
+
 def study_screen_features(sf_dir: str) -> pd.DataFrame:
     from .study import process_a_study_ray
 

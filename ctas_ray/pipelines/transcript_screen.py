@@ -1,0 +1,143 @@
+"""The flagship composition: the ctas anomaly screen OVER transcripts.
+
+BASELINE.json north_star frames the engine as "reimplements ctas's
+anomaly/outlier pipeline ... over Parquet transcript tables": this
+module derives the reference's measurement model from a transcript
+Dataset DISTRIBUTED (per-conversation channels -> measurement rows,
+conversation-attribute table -> subjects) and runs the full study
+screen on it.
+
+Mapping (FIXTURES.md §A): conv_id -> subject_id, turn_idx+1 ->
+timepoint_rank, channels text_len / turn_latency_s -> result under
+derived parameter_ids, first-turn channel value -> baseline (enables
+the change-from-baseline path), hashed site/country/region hierarchy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..config import StudyConfig
+from .study import process_a_study_ray
+
+__all__ = ["transcript_measurements", "conversation_subjects", "screen_transcripts"]
+
+
+def _conv_partition_to_measurements(g: pd.DataFrame) -> pd.DataFrame:
+    """Whole salted partition of turns -> measurement rows for both
+    derived channels (vectorized; latency needs the per-conv lag)."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    conv = g["conv_id"].to_numpy(dtype=object)
+    newconv = np.r_[True, conv[1:] != conv[:-1]]
+    ts = g["ts"].astype("int64").to_numpy()
+    lat = np.diff(ts, prepend=ts[:1]).astype(np.float64) / 1e6
+    lat[newconv] = np.nan
+    tlen = g["text"].str.len().to_numpy(dtype=np.float64)
+    rank = (g["turn_idx"].to_numpy(dtype=np.int64) + 1).astype(np.float64)
+    tp1 = np.char.add("TURN ", rank.astype(np.int64).astype(str))
+    frames = []
+    for pid, series in (("text_len", tlen), ("turn_latency_s", lat)):
+        # baseline := the conversation's first turn value for this channel
+        first_val = series[newconv]
+        seg_id = np.cumsum(newconv) - 1
+        baseline = first_val[seg_id]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "subject_id": conv,
+                    "parameter_id": pid,
+                    "timepoint_1_name": tp1,
+                    "timepoint_2_name": "ND",
+                    "timepoint_rank": rank,
+                    "result": series,
+                    "baseline": baseline,
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def transcript_measurements(
+    transcripts: rd.Dataset, salt_buckets: int = 64
+) -> rd.Dataset:
+    """Transcript Dataset -> ctas measurement Dataset (M9 channel
+    extraction in the study data model), one salted exchange."""
+    import zlib
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["conv_id", "turn_idx", "text", "ts"]].copy()
+        b["part"] = [
+            zlib.crc32(str(c).encode()) % salt_buckets for c in b["conv_id"]
+        ]
+        return b
+
+    return (
+        transcripts.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: _conv_partition_to_measurements(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def conversation_subjects(conv_ids: list[str], n_sites: int = 12) -> pd.DataFrame:
+    """Deterministic conversation-attribute table playing ``subjects``:
+    hashed 3-level site/country/region hierarchy (FIXTURES.md §A)."""
+    import zlib
+
+    site_idx = np.array([zlib.crc32(str(c).encode()) % n_sites for c in conv_ids])
+    country_idx = site_idx % max(1, n_sites // 3)
+    region_idx = country_idx % max(1, n_sites // 9)
+    return pd.DataFrame(
+        {
+            "subject_id": conv_ids,
+            "site": [f"site_{i}" for i in site_idx],
+            "country": [f"country_{i}" for i in country_idx],
+            "region": [f"region_{i}" for i in region_idx],
+        }
+    )
+
+
+def _default_parameters() -> pd.DataFrame:
+    pids = ["text_len", "turn_latency_s"]
+    return pd.DataFrame(
+        {
+            "parameter_id": pids,
+            "parameter_name": ["Turn text length", "Inter-turn latency (s)"],
+            "parameter_category_1": "transcript",
+            "parameter_category_2": None,
+            "parameter_category_3": None,
+            "time_point_count_min": np.nan,
+            "subject_count_min": np.nan,
+            "max_share_missing": np.nan,
+            "generate_change_from_baseline": None,
+            "timeseries_features_to_calculate": None,
+            "use_only_custom_timeseries": None,
+        }
+    )
+
+
+def screen_transcripts(
+    transcripts: rd.Dataset,
+    cfg: StudyConfig = StudyConfig(max_share_missing=0.8),
+    n_sites: int = 12,
+    parameters: pd.DataFrame | None = None,
+    **study_kwargs,
+) -> dict:
+    """Transcripts in, the reference's four output frames out."""
+    measurements = transcript_measurements(transcripts)
+    conv_ids = sorted(transcripts.unique("conv_id"))  # returns a list of values
+    subjects = conversation_subjects(conv_ids, n_sites)
+    return process_a_study_ray(
+        measurements,
+        subjects,
+        parameters if parameters is not None else _default_parameters(),
+        cfg=cfg,
+        **study_kwargs,
+    )

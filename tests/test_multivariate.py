@@ -60,6 +60,24 @@ class TestLOF:
         np.testing.assert_allclose(lof, np.ones(5))
 
 
+class TestLofNaDistPath:
+    def test_nan_dist_drops_lof_rows(self):
+        # R/ctas.R:530-538: NA anywhere in the dist object -> all-NA lof
+        # (dropped by the long pivot) — triggered by subject pairs with
+        # zero overlapping non-NA timepoints
+        from ctas_ray.study_core import timeseries_features_long
+
+        wide = np.array(
+            [[1.0, np.nan, np.nan], [np.nan, 2.0, np.nan], [1.5, 2.5, 3.0]]
+        )
+        subj = np.array(["a", "b", "c"], dtype=object)
+        out = timeseries_features_long(
+            subj, wide, "original", "lof;average", {"a": "s1", "b": "s1", "c": "s2"}
+        )
+        assert not (out["feature"] == "lof").any()  # all lof rows dropped
+        assert (out["feature"] == "average").sum() == 3  # average survives
+
+
 class TestOwnSite:
     def test_matches_direct_auroc(self):
         rng = np.random.default_rng(1)
