@@ -30,6 +30,12 @@ class StudyConfig:
     # [graft] engine knobs
     ks_jitter_sd: float = 1e-5  # R/ctas.R:304; 0 disables for bit-exact tests
     ks_jitter_seed: int | None = 42  # reference is unseeded; we are deterministic
+    # the reference's scalability cliff is the O(n^2) subject-distance
+    # matrix per series (R/ctas.R:604). We hard-cap it: series with more
+    # eligible subjects than this skip lof/own_site_simil_score (emitting
+    # no rows, like the reference's NA-dist path) instead of OOMing a
+    # worker. 20k subjects ~ 3.2 GB distance matrix.
+    max_subjects_for_pairwise: int = 20_000
     def __post_init__(self) -> None:
         feats = set(self.features.split(";"))
         bad = feats - VALID_FEATURES

@@ -141,6 +141,7 @@ def process_a_study(
             srow["baseline"],
             feat_of_param[srow["parameter_id"]],
             site_of_subject,
+            max_subjects_for_pairwise=cfg.max_subjects_for_pairwise,
         )
         ts_rows.append(
             {

@@ -159,7 +159,8 @@ def _series_group(
         return pd.DataFrame(columns=cols)
     subj_ids, wide = built
     feats = timeseries_features_long(
-        subj_ids, wide, m["baseline"], m["features"], meta["site_of_subject"]
+        subj_ids, wide, m["baseline"], m["features"], meta["site_of_subject"],
+        max_subjects_for_pairwise=meta.get("max_pairwise", 20_000),
     )
     feats["kind"] = "feat"
     feats.insert(0, "timeseries_id", tsid)
@@ -745,6 +746,7 @@ def _finish_study(
             for _, s in series.iterrows()
         },
         "site_of_subject": dict(zip(subjects["subject_id"], subjects["site"])),
+        "max_pairwise": cfg.max_subjects_for_pairwise,
     }
     meta_ref = ray.put(meta)
     series_out = assigned.groupby("timeseries_id").map_groups(

@@ -37,6 +37,36 @@ def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     return ds
 
 
+def _coerce_transcript_types(b: pd.DataFrame) -> pd.DataFrame:
+    ts = b["ts"]
+    if pd.api.types.is_integer_dtype(ts):
+        ts = pd.to_datetime(ts, unit="us")  # integer timestamps = epoch us
+    else:
+        ts = pd.to_datetime(ts)
+    out = pd.DataFrame(
+        {
+            "conv_id": b["conv_id"].astype(str),
+            "turn_idx": b["turn_idx"].astype(np.int32),
+            "role": b["role"].astype(str),
+            "text": b["text"].astype(str),
+            "tool": b["tool"].astype(str) if "tool" in b.columns else "",
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+    return out
+
+
+def read_transcripts_json(path: str) -> rd.Dataset:
+    """Transcript source from JSON(L) files (same logical schema; types
+    coerced — JSON has no timestamp type)."""
+    return rd.read_json(path).map_batches(_coerce_transcript_types, batch_format="pandas")
+
+
+def read_transcripts_csv(path: str) -> rd.Dataset:
+    """Transcript source from CSV files (types coerced)."""
+    return rd.read_csv(path).map_batches(_coerce_transcript_types, batch_format="pandas")
+
+
 def _events_partition_to_turns(g: pd.DataFrame) -> pd.DataFrame:
     """Whole hash-partition (MANY users) -> turns in one vectorized pass
     (per-user UDF dispatch is the scale killer; see partition_rollup)."""

@@ -93,6 +93,7 @@ def timeseries_features_long(
     baseline: str,
     features_packed: str,
     site_of_subject: dict[str, str],
+    max_subjects_for_pairwise: int = 20_000,
 ) -> pd.DataFrame:
     """calculate_ts_features (R/ctas.R:589-681) for one series.
 
@@ -104,6 +105,11 @@ def timeseries_features_long(
     feats = features_packed.split(";")
     cols: dict[str, np.ndarray] = compute_series_features(wide, baseline, feats)
     needs_dist = "lof" in feats or "own_site_simil_score" in feats
+    if needs_dist and len(subject_ids) > max_subjects_for_pairwise:
+        # the reference's O(n^2) dist cliff (R/ctas.R:604): emit no
+        # pairwise-feature rows (same shape as its NA-dist path) rather
+        # than building an n^2 matrix that would OOM the worker
+        needs_dist = False
     if needs_dist:
         dist = r_dist_euclidean(wide)
         if "lof" in feats:
