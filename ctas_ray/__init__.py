@@ -12,3 +12,27 @@ delta-of-delta compression, gap-fill, and checkpoint manifests.
 """
 
 __version__ = "0.1.0"
+
+# public API (lazy: importing ctas_ray must not pull Ray until needed)
+from .config import RollupConfig, StudyConfig  # noqa: E402,F401
+from .schemas import TRANSCRIPT_SCHEMA, SchemaError  # noqa: E402,F401
+
+
+def __getattr__(name):  # PEP 562 lazy exports that need ray/ray.data
+    if name == "process_a_study":
+        from .oracle import process_a_study
+
+        return process_a_study
+    if name == "process_a_study_ray":
+        from .pipelines.study import process_a_study_ray
+
+        return process_a_study_ray
+    if name in ("run_rollup", "run_rollup_events", "apply_retention", "read_tier"):
+        from .pipelines import rollup
+
+        return getattr(rollup, name)
+    if name == "screen_transcripts":
+        from .pipelines.transcript_screen import screen_transcripts
+
+        return screen_transcripts
+    raise AttributeError(name)

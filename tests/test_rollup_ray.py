@@ -163,6 +163,69 @@ class TestFusedEventsPath:
                 )
 
 
+class TestSkewDistribution:
+    def test_giant_conversation_spreads_across_partitions(self):
+        """The north-rule skew story: a conversation 100x the median is
+        sub-split by chunk and its chunks hash to MANY salt partitions."""
+        import pyarrow as pa
+
+        from ctas_ray.stages.rollup import extract_channels
+
+        n = 5000
+        giant = pa.table(
+            {
+                "conv_id": pa.array(["whale"] * n),
+                "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+                "role": pa.array(["user"] * n),
+                "text": pa.array(["x" * 10] * n),
+                "tool": pa.array([""] * n),
+                "ts": pa.array(
+                    1_700_000_000_000_000 + np.arange(n, dtype=np.int64) * 1_000_000,
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        out = extract_channels(giant, chunk_turns=100, salt_buckets=64)
+        df = out.to_pandas()
+        real = df[df["carry"] == 0]
+        assert real["chunk"].nunique() == 50  # 5000 / 100
+        # the whale's chunks land on many partitions, not one hot key
+        assert real["part"].nunique() >= 20
+
+    def test_giant_conversation_values_exact(self, ray_session):
+        """Tier values for the sub-split whale equal a direct driver
+        computation (the chunk partials re-merge exactly)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ctas_ray.pipelines.rollup import rollup_datasets
+
+        rng = np.random.default_rng(4)
+        n = 3000
+        ts = 1_700_000_000_000_000 + np.cumsum(rng.integers(1, 10**7, n))
+        texts = ["y" * int(k) for k in rng.integers(1, 500, n)]
+        whale = pa.table(
+            {
+                "conv_id": pa.array(["whale"] * n),
+                "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+                "role": pa.array(["user"] * n),
+                "text": pa.array(texts),
+                "tool": pa.array([""] * n),
+                "ts": pa.array(ts.astype(np.int64), pa.timestamp("us")),
+            }
+        )
+        tiers = rollup_datasets(
+            rd.from_arrow(whale), RollupConfig(max_turns_per_chunk=97)
+        )
+        t1d = tiers["tier_1d"].to_pandas()
+        tl = t1d[t1d["channel"] == "text_len"]
+        assert tl["count"].sum() == n
+        assert tl["sum"].sum() == float(sum(len(t) for t in texts))
+        lat = t1d[t1d["channel"] == "turn_latency_us"]
+        assert lat["count"].sum() == n - 1
+        assert lat["sum"].sum() == float(ts[-1] - ts[0])
+
+
 class TestRunAndResume:
     def test_write_manifest_resume(self, transcripts, ray_session, tmp_path):
         import ray.data as rd

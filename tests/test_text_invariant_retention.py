@@ -70,6 +70,41 @@ class TestPipelineTextInvariant:
         assert sum(e["rows_in"] for e in parts) == tx.num_rows
 
 
+class TestResumeWithoutInput:
+    def test_tiers_rebuild_from_stage0_only(self, ray_session, tmp_path):
+        """Kill-after-stage0 resume: rebuilding the tiers must need ONLY
+        the persisted stage0 checkpoint — the raw input is never read
+        (run_rollup is handed transcripts=None)."""
+        import json
+
+        import ray.data as rd
+        from ctas_ray.pipelines.rollup import run_rollup
+
+        tx = generate_transcripts(n_conv=40, seed=8)
+        out = str(tmp_path / "res")
+        cfg = RollupConfig()
+        paths = run_rollup(rd.from_arrow(tx), out, cfg, transcripts_path="fp1")
+        t1d_before = rd.read_parquet(paths["tier_1d"]).to_pandas()
+        # simulate dying before the tiers step: drop its manifest entry + dir
+        mpath = os.path.join(out, "manifest.jsonl")
+        entries = [json.loads(l) for l in open(mpath)]
+        keep = [e for e in entries if not e["partition_id"].startswith("tiers")]
+        with open(mpath, "w") as fh:
+            for e in keep:
+                fh.write(json.dumps(e) + "\n")
+        import shutil
+
+        shutil.rmtree(os.path.join(out, "tiers"))
+        # resume WITHOUT the input dataset
+        paths2 = run_rollup(None, out, cfg, transcripts_path="fp1")
+        t1d_after = rd.read_parquet(paths2["tier_1d"]).to_pandas()
+        key = ["conv_id", "channel", "bucket"]
+        a = t1d_before.sort_values(key).reset_index(drop=True)
+        b = t1d_after.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        np.testing.assert_array_equal(a["sum"].to_numpy(), b["sum"].to_numpy())
+
+
 class TestRetention:
     def test_old_buckets_dropped_per_policy(self, ray_session, tmp_path):
         import ray.data as rd
