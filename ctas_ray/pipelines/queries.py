@@ -50,92 +50,119 @@ def _docs(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _salted(ds: rd.Dataset, buckets: int = 32) -> rd.Dataset:
+    def add(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["user_id"].to_numpy() % np.int64(buckets)).astype(np.int64)
+        return b
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
 def eligibility_counts(sf_dir: str) -> pd.DataFrame:
     """A1: measurement count per (parameter, subject) over non-null
-    results — the eligibility-rule input (R/ctas.R:922-927)."""
+    results — the eligibility-rule input (R/ctas.R:922-927).
+    Partition-batched: partial counts per block, merge per salt
+    partition (one UDF call per partition, not per group)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["value"].notna()]
-        g = b.groupby(["event_type", "user_id"], sort=False).size().rename("n")
+        g = b.groupby(["part", "event_type", "user_id"], sort=False).size().rename("n")
         return g.reset_index()
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "user_id"], sort=True)["n"].sum().reset_index()
         return pd.DataFrame(
             {
-                "parameter_id": [g["event_type"].iloc[0]],
-                "subject_id": [str(g["user_id"].iloc[0])],
-                "n_measurements": [int(g["n"].sum())],
+                "parameter_id": m["event_type"],
+                "subject_id": m["user_id"].astype(str),
+                "n_measurements": m["n"].astype(np.int64),
             }
         )
 
     out = (
-        _events(sf_dir, ["event_type", "user_id", "value"])
+        _salted(_events(sf_dir, ["event_type", "user_id", "value"]))
         .map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
+        .groupby("part")
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
-def _series_stats_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    x = g["value"].to_numpy(dtype=np.float64)
-    valid = x[~np.isnan(x)]
-    n = len(valid)
-    if n < 2:
+def _series_stats_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """All (event_type, user) series of one salt partition in one
+    vectorized pass (segment detection + reduceat, like the rollup)."""
+    g = part.sort_values(["event_type", "user_id", "ts", "event_id"], kind="mergesort")
+    g = g[g["value"].notna()]
+    if len(g) == 0:
         return pd.DataFrame(
-            columns=["parameter_id", "subject_id", "n", "average", "sd", "range_val", "unique_rel"]
+            columns=["parameter_id", "subject_id", "n", "avg_e6", "sd_e6",
+                     "range_e6", "uniq_e6"]
         )
-    avg = float(valid.sum() / n)
-    sd = float(np.sqrt(np.sum((valid - valid.mean()) ** 2) / (n - 1)))
-    rng = float(valid.max() - valid.min())
-    uniq = len(np.unique(valid)) / n
+    et = g["event_type"].to_numpy(dtype=object)
+    uid = g["user_id"].to_numpy()
+    x = g["value"].to_numpy(dtype=np.float64)
+    new = np.r_[True, (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])]
+    starts = np.nonzero(new)[0]
+    ends = np.r_[starts[1:], len(x)]
+    n = (ends - starts).astype(np.int64)
+    sums = np.add.reduceat(x, starts)
+    mins = np.minimum.reduceat(x, starts)
+    maxs = np.maximum.reduceat(x, starts)
+    avg = sums / n
+    seg_id = np.cumsum(new) - 1
+    dev = x - avg[seg_id]
+    ss = np.add.reduceat(dev * dev, starts)
+    with np.errstate(all="ignore"):
+        sd = np.sqrt(ss / (n - 1))
+    # distinct count per segment: sort values within segments
+    order = np.lexsort((x, seg_id))
+    xs, ss_id = x[order], seg_id[order]
+    is_new_val = np.r_[True, (xs[1:] != xs[:-1]) | (ss_id[1:] != ss_id[:-1])]
+    uniq_counts = np.bincount(ss_id[is_new_val], minlength=len(starts))
+    keep = n >= 2
     return pd.DataFrame(
         {
-            "parameter_id": [g["event_type"].iloc[0]],
-            "subject_id": [str(g["user_id"].iloc[0])],
-            "n": [n],
-            "avg_e6": _scaled_int(avg),
-            "sd_e6": _scaled_int(sd),
-            "range_e6": _scaled_int(rng),
-            "uniq_e6": _scaled_int(uniq),
+            "parameter_id": et[starts][keep],
+            "subject_id": uid[starts][keep].astype(str),
+            "n": n[keep],
+            "avg_e6": _scaled_int(avg[keep]),
+            "sd_e6": _scaled_int(sd[keep]),
+            "range_e6": _scaled_int((maxs - mins)[keep]),
+            "uniq_e6": _scaled_int(uniq_counts[keep] / n[keep]),
         }
     )
 
 
 def series_features_basic(sf_dir: str) -> pd.DataFrame:
     """F1/F2/F3/F5 per (subject, parameter) series over all timepoints —
-    distributed per-series kernels, SQL-verifiable."""
+    distributed per-series kernels, SQL-verifiable, partition-batched."""
     out = (
-        _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
-        .groupby(["event_type", "user_id"])
-        .map_groups(_series_stats_group, batch_format="pandas")
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_series_stats_partition, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
-def _autocorr_group(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["ts", "event_id"], kind="mergesort")
-    x = g["value"].to_numpy(dtype=np.float64)
-    ac = feature_autocorr(x[None, :])[0]  # F4, pairwise-complete lag pairs
-    if np.isnan(ac):
-        return pd.DataFrame(columns=["parameter_id", "subject_id", "autocorr_e6"])
-    return pd.DataFrame(
-        {
-            "parameter_id": [g["event_type"].iloc[0]],
-            "subject_id": [str(g["user_id"].iloc[0])],
-            "autocorr_e6": _scaled_int(float(ac)),
-        }
-    )
+def _autocorr_partition(part: pd.DataFrame) -> pd.DataFrame:
+    g = part.sort_values(["event_type", "user_id", "ts", "event_id"], kind="mergesort")
+    rows = []
+    for (et, uid), sub in g.groupby(["event_type", "user_id"], sort=True):
+        x = sub["value"].to_numpy(dtype=np.float64)
+        ac = feature_autocorr(x[None, :])[0]  # F4, pairwise-complete lag pairs
+        if not np.isnan(ac):
+            rows.append((et, str(uid), int(_scaled_int(float(ac)))))
+    return pd.DataFrame(rows, columns=["parameter_id", "subject_id", "autocorr_e6"])
 
 
 def autocorr_lag1(sf_dir: str) -> pd.DataFrame:
     out = (
-        _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
-        .groupby(["event_type", "user_id"])
-        .map_groups(_autocorr_group, batch_format="pandas")
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_autocorr_partition, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
@@ -538,19 +565,24 @@ def _events_study_tables(sf_dir: str):
     return data, subjects, parameters
 
 
-def study_screen_sitescores(sf_dir: str) -> pd.DataFrame:
-    """The flagship anomaly screen over events (distributed): series
-    planning, all 7 features, KS site scoring, global FDR."""
+@functools.lru_cache(maxsize=2)
+def _study_screen(sf_dir: str) -> dict:
+    """One distributed screen run shared by the three screen queries."""
     from .study import process_a_study_ray
 
     data, subjects, parameters = _events_study_tables(sf_dir)
-    out = process_a_study_ray(
+    return process_a_study_ray(
         rd.from_pandas(data).repartition(8),
         subjects,
         parameters,
         cfg=StudyConfig(max_share_missing=0.8),
     )
-    s = out["site_scores"]
+
+
+def study_screen_sitescores(sf_dir: str) -> pd.DataFrame:
+    """The flagship anomaly screen over events (distributed): series
+    planning, all 7 features, KS site scoring, global FDR."""
+    s = _study_screen(sf_dir)["site_scores"]
     if s is None:
         return pd.DataFrame()
     return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
@@ -559,32 +591,14 @@ def study_screen_sitescores(sf_dir: str) -> pd.DataFrame:
 def study_screen_pca(sf_dir: str) -> pd.DataFrame:
     """PCA similarity coordinates per (series, subject) — rows-only
     (PC sign is an SVD convention, R/ctas.R:726-737)."""
-    from .study import process_a_study_ray
-
-    data, subjects, parameters = _events_study_tables(sf_dir)
-    out = process_a_study_ray(
-        rd.from_pandas(data).repartition(8),
-        subjects,
-        parameters,
-        cfg=StudyConfig(max_share_missing=0.8),
-    )
-    p = out["PCA_coordinates"]
+    p = _study_screen(sf_dir)["PCA_coordinates"]
     if p is None:
         return pd.DataFrame()
     return p.sort_values(["timeseries_id", "subject_id"]).reset_index(drop=True)
 
 
 def study_screen_features(sf_dir: str) -> pd.DataFrame:
-    from .study import process_a_study_ray
-
-    data, subjects, parameters = _events_study_tables(sf_dir)
-    out = process_a_study_ray(
-        rd.from_pandas(data).repartition(8),
-        subjects,
-        parameters,
-        cfg=StudyConfig(max_share_missing=0.8),
-    )
-    f = out["timeseries_features"]
+    f = _study_screen(sf_dir)["timeseries_features"]
     if f is None:
         return pd.DataFrame()
     return f.sort_values(["timeseries_id", "subject_id", "feature"]).reset_index(drop=True)
