@@ -240,6 +240,8 @@ def _plan_vector(
     param_cfg: dict,
     autogen_type: str,
     salt_buckets: int = 64,
+    custom_timeseries: pd.DataFrame | None = None,
+    autogen_enabled: bool = True,
 ) -> tuple[pd.DataFrame, rd.Dataset]:
     """Scalable planning (see ctas_ray.planning_scale): two passes over
     the presence projection, O(#presence rows) work, no per-subject
@@ -393,7 +395,7 @@ def _plan_vector(
     accepted_by_key: dict[tuple[str, str], list[int]] = {}
     for pid in sorted(param_cfg):
         cfgp = param_cfg[pid]
-        if cfgp["use_only_custom_timeseries"]:
+        if not autogen_enabled or cfgp["use_only_custom_timeseries"]:
             continue
         variants = ["original", "cfb"] if cfgp["generate_change_from_baseline"] else ["original"]
         for variant in variants:
@@ -431,34 +433,119 @@ def _plan_vector(
             f"ts_{i + 1}_autogen_{bl}" for i, bl in enumerate(series["baseline"])
         ]
 
-    accepted_ref = ray.put((accepted_by_key, K_arrays))
+    # ---- custom series: position-sets + eligibility thresholds ----
+    # (pick_subjects_for_custom_timeseries semantics, R/ctas.R:803-829)
+    import math as _math
+
+    custom_defs: dict[tuple[str, str], list] = {}
+    if custom_timeseries is not None and len(custom_timeseries):
+        for _, crow in custom_timeseries.iterrows():
+            pid = crow["parameter_id"]
+            cfgp = param_cfg[pid]
+            variants = ["original", "cfb"] if cfgp["generate_change_from_baseline"] else ["original"]
+            combo_ranks = [float(t) for t in crow["timepoint_combo"].split(";")]
+            need = _math.ceil((1.0 - cfgp["max_share_missing"]) * len(combo_ranks))
+            for variant in variants:
+                key = (pid, variant)
+                pos_set = frozenset(
+                    pos_maps[key][r] for r in combo_ranks if key in pos_maps and r in pos_maps[key]
+                )
+                custom_defs.setdefault(key, []).append(
+                    (crow["timeseries_id"], pos_set, need, crow["timepoint_combo"])
+                )
+
+    accepted_ref = ray.put((accepted_by_key, K_arrays, custom_defs))
 
     def to_masks(b: pd.DataFrame) -> pd.DataFrame:
-        acc, K_l = ray.get(accepted_ref)
+        acc, K_l, cust = ray.get(accepted_ref)
         b = b[b["kind"] == "pos"]
         rows = []
         for _, r in b.iterrows():
             masks = {}
+            cmasks = {}
             for variant in ("original", "cfb"):
                 key = (r["parameter_id"], variant)
                 raw = r[f"pos_{variant}"]
-                if key in acc and acc[key] and raw:
-                    masks[variant] = subject_combo_mask(
-                        np.frombuffer(raw, dtype=np.int64), K_l[key], acc[key]
-                    )
+                positions = np.frombuffer(raw, dtype=np.int64) if raw else np.empty(0, np.int64)
+                if key in acc and acc[key] and len(positions):
+                    masks[variant] = subject_combo_mask(positions, K_l[key], acc[key])
                 else:
                     masks[variant] = 0
-            if masks["original"] or masks["cfb"]:
+                cm = 0
+                if key in cust and len(positions):
+                    pos_set_subject = set(positions.tolist())
+                    for bit, (_, pos_set, need, _) in enumerate(cust[key]):
+                        if len(pos_set_subject & pos_set) >= need:
+                            cm |= 1 << bit
+                cmasks[variant] = cm
+            if masks["original"] or masks["cfb"] or cmasks["original"] or cmasks["cfb"]:
                 rows.append(
                     {"parameter_id": r["parameter_id"], "subject_id": r["subject_id"],
-                     "mask_original": masks["original"], "mask_cfb": masks["cfb"]}
+                     "mask_original": masks["original"], "mask_cfb": masks["cfb"],
+                     "cmask_original": cmasks["original"], "cmask_cfb": cmasks["cfb"]}
                 )
         return pd.DataFrame(
-            rows, columns=["parameter_id", "subject_id", "mask_original", "mask_cfb"]
+            rows, columns=["parameter_id", "subject_id", "mask_original", "mask_cfb",
+                           "cmask_original", "cmask_cfb"]
         )
 
     membership = e2_out.map_batches(to_masks, batch_format="pandas")
-    plan_meta = {"pos_maps": pos_maps, "accepted": accepted_by_key}
+    if custom_defs:
+        membership = membership.materialize()  # consumed by gate + explode
+
+    if custom_defs:
+        # gate custom combos: enough eligible subjects (R/ctas.R:123 —
+        # note the reference's quirk: an EMPTY subject list still counts
+        # as 1 because str_count('',';')+1 == 1; replicated via max(n,1))
+        def _cmask_counts(b: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for variant in ("original", "cfb"):
+                vals = b[f"cmask_{variant}"].to_numpy(dtype=np.int64)
+                for pid, grp_idx in b.groupby("parameter_id").indices.items():
+                    v = vals[grp_idx]
+                    for bit in range(32):
+                        c = int(((v >> bit) & 1).sum())
+                        if c:
+                            rows.append((pid, variant, bit, c))
+            return pd.DataFrame(rows, columns=["parameter_id", "variant", "bit", "n"])
+
+        counts = membership.map_batches(_cmask_counts, batch_format="pandas").to_pandas()
+        counts = counts.groupby(["parameter_id", "variant", "bit"], as_index=False)["n"].sum()
+        custom_rows = []
+        for (pid, variant), defs in sorted(custom_defs.items()):
+            for bit, (tsid, _, _, combo_str) in enumerate(defs):
+                hit = counts[
+                    (counts["parameter_id"] == pid)
+                    & (counts["variant"] == variant)
+                    & (counts["bit"] == bit)
+                ]
+                n_elig = int(hit["n"].iloc[0]) if len(hit) else 0
+                gate_n = n_elig if n_elig >= 1 else 1
+                if gate_n >= param_cfg[pid]["subject_count_min"]:
+                    custom_rows.append(
+                        {"parameter_id": pid, "baseline": variant,
+                         "timepoint_combo": combo_str, "prefix_k": -1,
+                         "timeseries_id": f"{tsid}_{variant}",
+                         "custom_bit": bit}
+                    )
+        if len(series) and custom_timeseries is not None and len(custom_timeseries):
+            # anti-join: autogen combos duplicated by customs (after
+            # numbering — id gaps preserved like the reference)
+            dup = set(zip(custom_timeseries["parameter_id"], custom_timeseries["timepoint_combo"]))
+            series = series[
+                [(p, c) not in dup
+                 for p, c in zip(series["parameter_id"], series["timepoint_combo"])]
+            ]
+        if custom_rows:
+            series = pd.concat(
+                [series, pd.DataFrame(custom_rows)], ignore_index=True
+            )
+
+    plan_meta = {
+        "pos_maps": pos_maps,
+        "accepted": accepted_by_key,
+        "custom_defs": custom_defs,
+    }
     return series, membership, plan_meta
 
 
@@ -610,19 +697,30 @@ def process_a_study_ray(
 
 def _explode_by_mask(batch: pd.DataFrame, vmeta_ref) -> pd.DataFrame:
     """Vector-mode explode: membership via per-subject combo bitmasks
-    (broadcast) + rank-position threshold — no packed subject sets."""
+    (broadcast) + rank-position predicates — no packed subject sets.
+    Autogen combos test pos <= k (prefix); custom combos test pos in
+    the combo's position set."""
     vm = ray.get(vmeta_ref) if not isinstance(vmeta_ref, dict) else vmeta_ref
     frames = []
     for pid, combos in vm["combos"].items():
         sub = batch[batch["parameter_id"] == pid]
         if len(sub) == 0:
             continue
-        masks_o = sub["subject_id"].map(vm["mask_original"].get(pid, {})).fillna(0).astype(np.int64)
-        masks_c = sub["subject_id"].map(vm["mask_cfb"].get(pid, {})).fillna(0).astype(np.int64)
-        for tsid, variant, k, bit in combos:
+        mask_cols = {
+            ("auto", "original"): sub["subject_id"].map(vm["mask_original"].get(pid, {})).fillna(0).astype(np.int64),
+            ("auto", "cfb"): sub["subject_id"].map(vm["mask_cfb"].get(pid, {})).fillna(0).astype(np.int64),
+            ("custom", "original"): sub["subject_id"].map(vm["cmask_original"].get(pid, {})).fillna(0).astype(np.int64),
+            ("custom", "cfb"): sub["subject_id"].map(vm["cmask_cfb"].get(pid, {})).fillna(0).astype(np.int64),
+        }
+        for tsid, variant, k, bit, pos_set in combos:
             pos = sub["timepoint_rank"].map(vm["pos_maps"][(pid, variant)])
-            masks = masks_o if variant == "original" else masks_c
-            m = (pos.notna()) & (pos <= k) & ((masks // (1 << bit)) % 2 == 1)
+            if pos_set is None:  # autogen prefix combo
+                in_combo = pos.notna() & (pos <= k)
+                masks = mask_cols[("auto", variant)]
+            else:
+                in_combo = pos.isin(pos_set)
+                masks = mask_cols[("custom", variant)]
+            m = in_combo & ((masks // (1 << bit)) % 2 == 1)
             if m.any():
                 sel = sub.loc[m, ["subject_id", "timepoint_rank", "result", "baseline"]].copy()
                 sel.insert(0, "timeseries_id", tsid)
@@ -649,11 +747,6 @@ def _run_vector_mode(
     """Scalable planning mode (see planning_scale): no per-parameter
     presence matrices, no ';'-packed subject lists — eligibility via
     interval deltas and membership via per-subject bitmasks."""
-    if len(custom_timeseries):
-        raise NotImplementedError(
-            "plan_mode='vector' does not support custom_timeseries yet; "
-            "use plan_mode='classic'"
-        )
     if cfg.optimize_sites_and_patients:
         raise NotImplementedError(
             "plan_mode='vector' does not support optimize_sites_and_patients; "
@@ -663,10 +756,12 @@ def _run_vector_mode(
         "timeseries": None, "timeseries_features": None,
         "PCA_coordinates": None, "site_scores": None,
     }
-    if not cfg.autogen_enabled:
+    if not cfg.autogen_enabled and not len(custom_timeseries):
         return empty
     series, membership, plan_meta = _plan_vector(
-        pres_ds, param_cfg, cfg.autogen_type
+        pres_ds, param_cfg, cfg.autogen_type,
+        custom_timeseries=custom_timeseries,
+        autogen_enabled=cfg.autogen_enabled,
     )
     if len(series) == 0:
         return empty
@@ -675,7 +770,8 @@ def _run_vector_mode(
     if len(series) == 0:
         return empty
 
-    # combos per parameter with their accepted-list bit index
+    # combos per parameter: autogen prefixes (bit in mask_*) and custom
+    # position-sets (bit in cmask_*)
     combos: dict[str, list] = {}
     for (pid, variant), accepted in plan_meta["accepted"].items():
         for bit, k in enumerate(accepted):
@@ -686,8 +782,17 @@ def _run_vector_mode(
             ]
             if len(row):
                 combos.setdefault(pid, []).append(
-                    (row["timeseries_id"].iloc[0], variant, k, bit)
+                    (row["timeseries_id"].iloc[0], variant, k, bit, None)
                 )
+    if "custom_bit" in series.columns:
+        cust_defs = plan_meta["custom_defs"]
+        for _, row in series[series["prefix_k"] == -1].iterrows():
+            pid, variant = row["parameter_id"], row["baseline"]
+            bit = int(row["custom_bit"])
+            pos_set = cust_defs[(pid, variant)][bit][1]
+            combos.setdefault(pid, []).append(
+                (row["timeseries_id"], variant, None, bit, pos_set)
+            )
 
     # membership: broadcast (dict) — at 10^8 subjects switch this to a
     # Dataset.join on (subject_id, parameter_id), mirroring
@@ -695,22 +800,30 @@ def _run_vector_mode(
     mem = membership.to_pandas()
     mask_o: dict[str, dict] = {}
     mask_c: dict[str, dict] = {}
+    cmask_o: dict[str, dict] = {}
+    cmask_c: dict[str, dict] = {}
     for _, r in mem.iterrows():
         mask_o.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["mask_original"])
         mask_c.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["mask_cfb"])
+        cmask_o.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["cmask_original"])
+        cmask_c.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["cmask_cfb"])
     vmeta_ref = ray.put(
         {
             "combos": combos,
             "pos_maps": plan_meta["pos_maps"],
             "mask_original": mask_o,
             "mask_cfb": mask_c,
+            "cmask_original": cmask_o,
+            "cmask_cfb": cmask_c,
         }
     )
     assigned = data.map_batches(
         functools.partial(_explode_by_mask, vmeta_ref=vmeta_ref),
         batch_format="pandas",
     )
-    series = series.drop(columns=["prefix_k"])
+    series = series.drop(columns=["prefix_k"], errors="ignore")
+    if "custom_bit" in series.columns:
+        series = series.drop(columns=["custom_bit"])
     return _finish_study(
         assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
         rank_names, features_as_dataset, decorate_with_join,

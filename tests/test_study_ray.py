@@ -190,6 +190,57 @@ class TestParityVariants:
             sb["fdr_corrected_pvalue_logp"].to_numpy(), rtol=1e-9,
         )
 
+    def test_vector_plan_mode_custom_parity(self, study, ray_session):
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        custom = pd.DataFrame(
+            {"timeseries_id": ["cx1", "cx2"], "parameter_id": ["param_1", "param_2"],
+             "timepoint_combo": ["1;2;3;4;5", "2;4;6"]}
+        )
+        cfg = StudyConfig(features="average;sd")
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        classic = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], custom, cfg=cfg
+        )
+        vector = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], custom, cfg=cfg,
+            plan_mode="vector",
+        )
+        a = _sorted(classic["timeseries"], ["timeseries_id"])
+        b = _sorted(vector["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        keys = ["timeseries_id", "subject_id", "feature"]
+        fa = _sorted(classic["timeseries_features"], keys)
+        fb = _sorted(vector["timeseries_features"], keys)
+        assert len(fa) == len(fb)
+        np.testing.assert_allclose(
+            fa["feature_value"].to_numpy(), fb["feature_value"].to_numpy(), rtol=1e-12
+        )
+
+    def test_vector_plan_mode_custom_only(self, study, ray_session):
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        custom = pd.DataFrame(
+            {"timeseries_id": ["solo"], "parameter_id": ["param_1"],
+             "timepoint_combo": ["1;2;3;4"]}
+        )
+        cfg = StudyConfig(autogenerate_timeseries=False, features="average")
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        classic = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], custom, cfg=cfg
+        )
+        vector = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], custom, cfg=cfg,
+            plan_mode="vector",
+        )
+        pd.testing.assert_frame_equal(
+            _sorted(classic["timeseries"], ["timeseries_id"]),
+            _sorted(vector["timeseries"], ["timeseries_id"]),
+            check_dtype=False,
+        )
+
     def test_vector_plan_mode_adaptive_parity(self, study, ray_session):
         import ray.data as rd
         from ctas_ray.pipelines.study import process_a_study_ray
