@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_counts": q.text_quality_counts,
         "topk_similarity": q.topk_similarity,
         "minhash_clusters": q.minhash_clusters,            # rows-only
+        "ngram_jaccard_clusters": q.ngram_jaccard_clusters,  # rows-only
         "simhash_clusters": q.simhash_clusters,            # rows-only
         "embedding_neardup": q.embedding_neardup,          # rows-only
         "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only

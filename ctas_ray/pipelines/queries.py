@@ -457,6 +457,12 @@ def minhash_clusters(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_dedup(_docs(sf_dir), threshold=0.9, concurrency=2)
 
 
+def ngram_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.9)
+
+
 def simhash_clusters(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import simhash_dedup
 

@@ -40,6 +40,7 @@ from ..functions.text import (
 __all__ = [
     "exact_dedup",
     "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
     "simhash_dedup",
     "embedding_cosine_dedup",
     "jaccard",
@@ -212,6 +213,71 @@ def _connected_components(pairs: pd.DataFrame, id_col: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[id_col, "cluster_id"]).sort_values(
         id_col, kind="mergesort"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (anchor-blocked exact verify)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    anchor_mod: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Near-dup clusters by EXACT n-gram Jaccard with anchor-shingle
+    candidate blocking: each doc is indexed under its shingles with
+    hash % anchor_mod == 0 ("anchors", ~1/anchor_mod of shingles); two
+    docs with Jaccard >= t share anchors with overwhelming probability
+    (a pair sharing m shingles misses all anchors with
+    (1-1/anchor_mod)^m). Candidates sharing an anchor bucket get exact
+    set-Jaccard verification; union-find closes clusters.
+
+    Unlike MinHash-LSH this verifies the TRUE Jaccard (no signature
+    estimate); the cost is shipping shingle sets of bucket-colliding
+    docs into the verify groups (bounded by anchor collisions).
+    """
+
+    def index_anchors(b: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_anchor, rows_sh = [], [], []
+        for did, text in zip(b[id_col], b[text_col]):
+            sh = char_shingles(text, shingle_k)
+            anchors = sh[sh % np.uint64(anchor_mod) == 0]
+            blob = sh.tobytes()
+            for a in anchors.tolist():
+                rows_id.append(did)
+                rows_anchor.append(a)
+                rows_sh.append(blob)
+        return pd.DataFrame(
+            {id_col: rows_id, "anchor": rows_anchor, "shingles": rows_sh}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+        ids = g[id_col].to_numpy()
+        sets = [np.frombuffer(s, dtype=np.uint64) for s in g["shingles"]]
+        oa, ob, oj = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = jaccard(sets[i], sets[j])
+                if jac >= threshold:
+                    oa.append(ids[i])
+                    ob.append(ids[j])
+                    oj.append(jac)
+        return pd.DataFrame({"id_a": oa, "id_b": ob, "jaccard": oj})
+
+    pairs = (
+        docs.map_batches(index_anchors, batch_format="pandas")
+        .groupby("anchor")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    return _connected_components(pairs, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,28 @@ class TestMinHash:
             assert true_j >= 0.8, (r["doc_id"], r["cluster_id"], true_j)
 
 
+class TestNgramJaccard:
+    def test_exact_jaccard_clusters_and_agrees_with_minhash(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.functions.text import char_shingles
+        from ctas_ray.stages.dedup import jaccard, ngram_jaccard_dedup
+
+        df = _docs_with_dups(docs_pd)
+        clusters = ngram_jaccard_dedup(rd.from_pandas(df), threshold=0.8)
+        cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+        id0 = int(docs_pd["doc_id"].iloc[0])
+        maxid = int(docs_pd["doc_id"].max())
+        assert cl.get(maxid + 1) == cl.get(id0) == id0  # exact dup
+        assert cl.get(maxid + 3) == id0  # near dup (tail edit)
+        # every merged pair is a TRUE >= threshold pair
+        text_of = df.set_index("doc_id")["text"]
+        for _, r in clusters[clusters["doc_id"] != clusters["cluster_id"]].iterrows():
+            assert jaccard(
+                char_shingles(text_of[r["doc_id"]]),
+                char_shingles(text_of[r["cluster_id"]]),
+            ) >= 0.6  # transitive closure can chain slightly below t
+
+
 class TestSimHash:
     def test_near_dup_detected(self, docs_pd, ray_session):
         import ray.data as rd
