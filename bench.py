@@ -144,6 +144,23 @@ def main() -> None:
     timings["rollup_e2e"] = round(min(rollup_e2e_once() for _ in range(repeat)), 3)
 
     if not headline_only:
+        # canonical-input path: the same engine fed from a transcript
+        # parquet (schema per BASELINE.json input_hint) instead of the
+        # fused events derivation
+        def rollup_from_transcripts() -> None:
+            from ctas_ray.pipelines.rollup import run_rollup
+            from ctas_ray.sources.transcripts import read_transcripts
+
+            tx_dir = tempfile.mkdtemp(prefix="ctas_txin_")
+            transcripts_from_events(sf_dir).write_parquet(tx_dir)
+            out2 = tempfile.mkdtemp(prefix="ctas_txout_")
+            t0 = time.perf_counter()
+            run_rollup(read_transcripts(tx_dir), out2, RollupConfig(), transcripts_path=tx_dir)
+            timings["rollup_from_transcript_parquet"] = round(time.perf_counter() - t0, 3)
+            shutil.rmtree(tx_dir, ignore_errors=True)
+            shutil.rmtree(out2, ignore_errors=True)
+
+        rollup_from_transcripts()
         timed("study_screen", lambda: q.study_screen_sitescores(sf_dir))
         timed("series_features_basic", lambda: q.series_features_basic(sf_dir))
         timed("minhash_dedup", lambda: q.minhash_clusters(sf_dir))
