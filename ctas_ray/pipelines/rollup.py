@@ -305,7 +305,8 @@ def run_rollup_events(
                 "event_id": b["event_id"],
                 "ts": b["ts"],
                 "user_id": b["user_id"],
-                "text_len": b["props"].str.len().astype(np.int64),
+                # null props -> empty text (len 0), like '' in SQL LENGTH
+                "text_len": b["props"].str.len().fillna(0).astype(np.int64),
                 "part": (b["user_id"].to_numpy() % buckets).astype(np.int64),
             }
         )

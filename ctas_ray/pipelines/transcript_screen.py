@@ -130,7 +130,14 @@ def screen_transcripts(
     parameters: pd.DataFrame | None = None,
     **study_kwargs,
 ) -> dict:
-    """Transcripts in, the reference's four output frames out."""
+    """Transcripts in, the reference's four output frames out.
+
+    Scale note: the conversation-attribute table is one row per
+    conversation and is handed to the study pipeline as pandas — at
+    ~10^7+ conversations pass ``decorate_with_join=True`` (the study
+    pipeline then joins it instead of broadcasting) and build the
+    subjects frame from a distributed unique() rather than this driver
+    collect."""
     measurements = transcript_measurements(transcripts)
     conv_ids = sorted(transcripts.unique("conv_id"))  # returns a list of values
     subjects = conversation_subjects(conv_ids, n_sites)
