@@ -33,9 +33,9 @@ def _random_presence(seed, n_subj=40, n_ranks=25, p=0.6, dup_p=0.1):
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("msm", [0.0, 0.3, 0.5, 1.0])
-def test_vector_planner_matches_classic(seed, msm):
+@pytest.mark.parametrize("tp_min,subj_min", [(3, 3), (1, 2), (8, 5)])
+def test_vector_planner_matches_classic(seed, msm, tp_min, subj_min):
     pres = _random_presence(seed)
-    tp_min, subj_min = 3, 3
     classic = pick_timepoint_combos(
         "consecutive", pres, tp_min, subj_min, msm, "original"
     )

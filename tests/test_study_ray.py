@@ -258,6 +258,38 @@ class TestParityVariants:
         b = _sorted(vector["timeseries"], ["timeseries_id"])
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
+    def test_features_as_dataset_mode(self, study, ray_session):
+        # big-study mode: features/PCA come back as lazy Datasets
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        cfg = StudyConfig(features="average;sd")
+        out = process_a_study_ray(
+            rd.from_pandas(study["data"]).repartition(8),
+            study["subjects"], study["parameters"], cfg=cfg,
+            features_as_dataset=True,
+        )
+        feats = out["timeseries_features"]
+        assert isinstance(feats, rd.Dataset)
+        fdf = feats.to_pandas()
+        assert len(fdf) > 0 and {"subject_id", "feature", "value", "site"} <= set(fdf.columns)
+        # site_scores still a concrete frame (post-FDR driver output)
+        assert len(out["site_scores"]) > 0
+
+    def test_duplicate_measurements_parity(self, study, ray_session):
+        # values_fn=mean duplicate handling must agree distributed vs oracle
+        dup = pd.concat([study["data"], study["data"].head(300)], ignore_index=True)
+        study2 = dict(study, data=dup)
+        cfg = StudyConfig(features="average;range")
+        oracle, dist = _run_both(study2, cfg, ray_session)
+        keys = ["timeseries_id", "subject_id", "feature"]
+        fa = _sorted(oracle["timeseries_features"], keys)
+        fb = _sorted(dist["timeseries_features"], keys)
+        assert len(fa) == len(fb)
+        np.testing.assert_allclose(
+            fa["feature_value"].to_numpy(), fb["feature_value"].to_numpy(), rtol=1e-12
+        )
+
     def test_empty_data_returns_none(self, study, ray_session):
         import ray.data as rd
         from ctas_ray.pipelines.study import process_a_study_ray
