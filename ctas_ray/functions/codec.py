@@ -103,20 +103,53 @@ class _BitWriter:
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """Buffered MSB-first bit reader: refills an int accumulator 8 bytes
+    at a time (one int.from_bytes per 64 bits instead of per field) and
+    supports cheap peek/consume for variable-length control codes.
+    Peeks past the end of the stream see phantom zero bits (safe: the
+    decoder's loop counts are known, so phantom bits are never consumed
+    as data)."""
+
+    __slots__ = ("data", "byte_pos", "acc", "nbits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
-        self.pos = 0  # bit position
+        self.byte_pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, bits: int) -> None:
+        while self.nbits < bits:
+            take = min(8, len(self.data) - self.byte_pos)
+            if take <= 0:  # phantom zero padding past stream end
+                self.acc <<= bits - self.nbits
+                self.nbits = bits
+                return
+            chunk = int.from_bytes(
+                self.data[self.byte_pos : self.byte_pos + take], "big"
+            )
+            self.byte_pos += take
+            self.acc = (self.acc << (take << 3)) | chunk
+            self.nbits += take << 3
 
     def read(self, bits: int) -> int:
-        pos = self.pos
-        end = pos + bits
-        byte_start = pos >> 3
-        byte_end = (end + 7) >> 3
-        chunk = int.from_bytes(self.data[byte_start:byte_end], "big")
-        self.pos = end
-        return (chunk >> ((byte_end << 3) - end)) & ((1 << bits) - 1)
+        if self.nbits < bits:
+            self._fill(bits)
+        self.nbits -= bits
+        out = (self.acc >> self.nbits) & ((1 << bits) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def peek(self, bits: int) -> int:
+        if self.nbits < bits:
+            self._fill(bits)
+        return (self.acc >> (self.nbits - bits)) & ((1 << bits) - 1)
+
+    def skip(self, bits: int) -> None:
+        if self.nbits < bits:
+            self._fill(bits)
+        self.nbits -= bits
+        self.acc &= (1 << self.nbits) - 1
 
 
 _TS_RANGES = (
@@ -237,17 +270,22 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     ts[0] = first - (1 << 64) if first >= 1 << 63 else first
     prev_ts, prev_delta = first, 0  # mod-2^64 residues
     for i in range(1, n):
-        if tr.read(1) == 0:
+        prefix = tr.peek(4)  # '0xxx' | '10xx' | '110x' | '1110' | '1111'
+        if prefix < 0b1000:
+            tr.skip(1)
             dod = 0
+        elif prefix < 0b1100:
+            tr.skip(2)
+            dod = tr.read(7) - 63
+        elif prefix < 0b1110:
+            tr.skip(3)
+            dod = tr.read(9) - 255
+        elif prefix == 0b1110:
+            tr.skip(4)
+            dod = tr.read(12) - 2047
         else:
-            idx = 0
-            while idx < 3 and tr.read(1) == 1:
-                idx += 1
-            if idx < 3:
-                bits, off = _TS_RANGES[idx]
-                dod = tr.read(bits) - off
-            else:
-                dod = tr.read(64)
+            tr.skip(4)
+            dod = tr.read(64)
         prev_delta = (prev_delta + dod) & _MASK64
         prev_ts = (prev_ts + prev_delta) & _MASK64
         ts[i] = prev_ts - (1 << 64) if prev_ts >= 1 << 63 else prev_ts
@@ -255,17 +293,20 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     bits_out = np.empty(n, dtype=np.uint64)
     prev_bits = vr.read(64)
     bits_out[0] = prev_bits
-    lead, mlen = 0, 0
+    lead, mlen, trail = 0, 0, 64
     for i in range(1, n):
-        if vr.read(1) == 0:
+        ctrl = vr.peek(2)  # '0x' zero | '10' reuse | '11' new window
+        if ctrl < 0b10:
+            vr.skip(1)
             bits_out[i] = prev_bits
             continue
-        if vr.read(1) == 0:  # reuse window
-            trail = 64 - lead - mlen
+        if ctrl == 0b10:
+            vr.skip(2)
             x = vr.read(mlen) << trail
         else:
-            lead = vr.read(5)
-            mlen = vr.read(6) + 1
+            head = vr.read(13)  # '11' + 5-bit lead + 6-bit (mlen-1)
+            lead = (head >> 6) & 0x1F
+            mlen = (head & 0x3F) + 1
             trail = 64 - lead - mlen
             x = vr.read(mlen) << trail
         prev_bits ^= x
