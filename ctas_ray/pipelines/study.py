@@ -242,6 +242,8 @@ def _plan_vector(
     salt_buckets: int = 64,
     custom_timeseries: pd.DataFrame | None = None,
     autogen_enabled: bool = True,
+    optimize: bool = False,
+    site_of_subject: dict | None = None,
 ) -> tuple[pd.DataFrame, rd.Dataset]:
     """Scalable planning (see ctas_ray.planning_scale): two passes over
     the presence projection, O(#presence rows) work, no per-subject
@@ -343,15 +345,18 @@ def _plan_vector(
         for key, order in rank_orders.items()
         if key[0] in param_cfg
     }
-    plan_refs = ray.put((pos_maps, K_arrays))
+    site_map = site_of_subject if optimize else None
+    plan_refs = ray.put((pos_maps, K_arrays, site_map))
 
-    # ---- E2: per-subject positions + delta partials ----
+    # ---- E2: per-subject positions + delta partials (per-site deltas
+    # too when the max-sites optimisation needs distinct-site counts) ----
     def e2(g: pd.DataFrame) -> pd.DataFrame:
-        pos_maps_l, K_l = ray.get(plan_refs)
+        pos_maps_l, K_l, sites_l = ray.get(plan_refs)
         g = g.drop_duplicates(
             subset=["parameter_id", "subject_id", "timepoint_rank", "has_baseline_value"]
         )
         delta_rows = []
+        site_delta_rows = []
         pos_rows = []
         for (pid, subj), sub in g.groupby(["parameter_id", "subject_id"], sort=False):
             row = {"parameter_id": pid, "subject_id": subj, "kind": "pos"}
@@ -371,17 +376,32 @@ def _plan_vector(
                 ks, ds = subject_eligibility_deltas(positions, K_l[key], n_ranks)
                 for k, d in zip(ks, ds):
                     delta_rows.append((pid, variant, int(k), int(d)))
+                if sites_l is not None:
+                    # sentinel for unknown site: classic counts a NaN
+                    # site as one distinct site via pd.unique
+                    site = sites_l.get(subj, "__nosite__")
+                    for k, d in zip(ks, ds):
+                        site_delta_rows.append((pid, variant, site, int(k), int(d)))
             pos_rows.append(row)
         out_pos = pd.DataFrame(pos_rows)
+        frames = [out_pos]
         if delta_rows:
             dd = pd.DataFrame(delta_rows, columns=["parameter_id", "variant", "k", "delta"])
             dd = dd.groupby(["parameter_id", "variant", "k"], as_index=False)["delta"].sum()
             dd["kind"] = "delta"
-            out = pd.concat([out_pos, dd], ignore_index=True)
-        else:
-            out = out_pos
+            frames.append(dd)
+        if site_delta_rows:
+            sd = pd.DataFrame(
+                site_delta_rows, columns=["parameter_id", "variant", "site", "k", "delta"]
+            )
+            sd = sd.groupby(
+                ["parameter_id", "variant", "site", "k"], as_index=False
+            )["delta"].sum()
+            sd["kind"] = "site_delta"
+            frames.append(sd)
+        out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else out_pos
         cols = ["kind", "parameter_id", "subject_id", "pos_original", "pos_cfb",
-                "variant", "k", "delta"]
+                "variant", "k", "delta", "site"]
         return out.reindex(columns=cols)
 
     e2_out = salted.groupby("salt").map_groups(e2, batch_format="pandas").materialize()
@@ -389,6 +409,17 @@ def _plan_vector(
         lambda b: b[b["kind"] == "delta"][["parameter_id", "variant", "k", "delta"]],
         batch_format="pandas",
     ).to_pandas()
+    site_deltas = None
+    if optimize:
+        site_deltas = e2_out.map_batches(
+            lambda b: b[b["kind"] == "site_delta"][
+                ["parameter_id", "variant", "site", "k", "delta"]
+            ],
+            batch_format="pandas",
+        ).to_pandas()
+        site_deltas = site_deltas.groupby(
+            ["parameter_id", "variant", "site", "k"], as_index=False
+        )["delta"].sum()
 
     # ---- driver: acceptance walks + id minting (reference order) ----
     series_rows = []
@@ -410,8 +441,23 @@ def _plan_vector(
                 dsub["delta"].to_numpy(dtype=np.int64),
                 n_ranks,
             )
+            n_sites_per_k = None
+            if optimize and site_deltas is not None:
+                ssub = site_deltas[
+                    (site_deltas["parameter_id"] == pid)
+                    & (site_deltas["variant"] == variant)
+                ]
+                n_sites_per_k = np.zeros(n_ranks, dtype=np.int64)
+                for _, sgrp in ssub.groupby("site"):
+                    vec = eligible_counts_from_deltas(
+                        sgrp["k"].to_numpy(dtype=np.int64),
+                        sgrp["delta"].to_numpy(dtype=np.int64),
+                        n_ranks,
+                    )
+                    n_sites_per_k += (vec > 0).astype(np.int64)
             accepted = acceptance_walk(
-                n_eligible, cfgp["time_point_count_min"], cfgp["subject_count_min"]
+                n_eligible, cfgp["time_point_count_min"], cfgp["subject_count_min"],
+                optimize=optimize, n_sites_per_k=n_sites_per_k,
             )
             accepted_by_key[key] = accepted
             for k in accepted:
@@ -747,11 +793,6 @@ def _run_vector_mode(
     """Scalable planning mode (see planning_scale): no per-parameter
     presence matrices, no ';'-packed subject lists — eligibility via
     interval deltas and membership via per-subject bitmasks."""
-    if cfg.optimize_sites_and_patients:
-        raise NotImplementedError(
-            "plan_mode='vector' does not support optimize_sites_and_patients; "
-            "use plan_mode='classic'"
-        )
     empty = {
         "timeseries": None, "timeseries_features": None,
         "PCA_coordinates": None, "site_scores": None,
@@ -762,6 +803,8 @@ def _run_vector_mode(
         pres_ds, param_cfg, cfg.autogen_type,
         custom_timeseries=custom_timeseries,
         autogen_enabled=cfg.autogen_enabled,
+        optimize=cfg.optimize_sites_and_patients,
+        site_of_subject=dict(zip(subjects["subject_id"], subjects["site"])),
     )
     if len(series) == 0:
         return empty

@@ -241,6 +241,23 @@ class TestParityVariants:
             check_dtype=False,
         )
 
+    def test_vector_plan_mode_optimize_parity(self, study, ray_session):
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        cfg = StudyConfig(optimize_sites_and_patients=True, features="average")
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        classic = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg
+        )
+        vector = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg,
+            plan_mode="vector",
+        )
+        a = _sorted(classic["timeseries"], ["timeseries_id"])
+        b = _sorted(vector["timeseries"], ["timeseries_id"])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
     def test_vector_plan_mode_adaptive_parity(self, study, ray_session):
         import ray.data as rd
         from ctas_ray.pipelines.study import process_a_study_ray
