@@ -631,10 +631,28 @@ def process_a_study_ray(
         for _, r in params.iterrows()
     }
 
-    # ---- rank -> readable-name mapping (small distinct) ----
-    names = data.map_batches(
-        lambda b: b[["parameter_id", "timepoint_rank", "timepoint_1_name", "timepoint_2_name"]]
-        .drop_duplicates(subset=["parameter_id", "timepoint_rank"]),
+    # ---- ONE projection scan of the raw data feeds both the rank-name
+    # mapping and the presence index (the only other raw scan is the
+    # feature explode after planning -> 2 total scans of the big table).
+    # The projection is materialized: bounded by distinct (param,
+    # subject, rank, flag) tuples, a few % of raw at worst, spillable.
+    def _project(b: pd.DataFrame) -> pd.DataFrame:
+        pres = _presence_project(b).assign(kind="pres")
+        names = (
+            b[["parameter_id", "timepoint_rank", "timepoint_1_name", "timepoint_2_name"]]
+            .drop_duplicates(subset=["parameter_id", "timepoint_rank"])
+            .assign(kind="name")
+        )
+        return pd.concat([pres, names], ignore_index=True).reindex(
+            columns=["kind", "parameter_id", "subject_id", "timepoint_rank",
+                     "has_baseline_value", "timepoint_1_name", "timepoint_2_name"]
+        )
+
+    projection = data.map_batches(_project, batch_format="pandas").materialize()
+    names = projection.map_batches(
+        lambda b: b[b["kind"] == "name"][
+            ["parameter_id", "timepoint_rank", "timepoint_1_name", "timepoint_2_name"]
+        ],
         batch_format="pandas",
     ).to_pandas().drop_duplicates(subset=["parameter_id", "timepoint_rank"])
     rank_names = {}
@@ -645,7 +663,12 @@ def process_a_study_ray(
         rank_names.setdefault(key, f"{r['timepoint_1_name']}_{t2 if t2 is not None and t2 == t2 else 'NA'}")
 
     # ---- presence + per-parameter planning (shuffle P1) ----
-    pres_ds = data.map_batches(_presence_project, batch_format="pandas")
+    pres_ds = projection.map_batches(
+        lambda b: b[b["kind"] == "pres"][
+            ["parameter_id", "subject_id", "timepoint_rank", "has_baseline_value"]
+        ],
+        batch_format="pandas",
+    )
 
     if plan_mode == "vector":
         return _run_vector_mode(
