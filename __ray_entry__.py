@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_lag1": q.autocorr_lag1,                  # F4
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
+        "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
         "distinct_counts": q.distinct_counts,              # O3
         "topk_events_by_value": q.topk_events_by_value,    # O2
         # [graft] rollup/downsample tiers (A10) — SQL computes DIRECT from
@@ -159,6 +160,42 @@ def oracle_sql() -> dict[str, str]:
                 THEN 1 ELSE 0 END AS is_signal
     FROM site s JOIN fence f USING (event_type)
     ORDER BY 1, 2""",
+        "ks_statistic_by_site": """
+    WITH base AS (
+      SELECT event_type, user_id % 12 AS site, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    sites AS (SELECT DISTINCT event_type, site FROM base),
+    pairs AS (
+      SELECT s.event_type, s.site, b.value,
+             CASE WHEN b.site = s.site THEN 1 ELSE 0 END AS is_in
+      FROM sites s JOIN base b ON b.event_type = s.event_type
+    ),
+    tot AS (
+      SELECT event_type, site, SUM(is_in) AS n_in, SUM(1 - is_in) AS n_out
+      FROM pairs GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT event_type, site, value,
+             SUM(is_in) OVER (PARTITION BY event_type, site ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS cum_in,
+             SUM(1 - is_in) OVER (PARTITION BY event_type, site ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS cum_out
+      FROM pairs
+    ),
+    vals AS (
+      -- tie collapse: ECDF steps evaluated AFTER each full tie group
+      SELECT event_type, site, value,
+             MAX(cum_in) AS cum_in, MAX(cum_out) AS cum_out
+      FROM walk GROUP BY 1, 2, 3
+    )
+    SELECT v.event_type AS parameter_id, v.site,
+           CAST(FLOOR(MAX(ABS(v.cum_in * 1.0 / t.n_in
+                             - v.cum_out * 1.0 / t.n_out)) * 1000000 + 0.5)
+                AS BIGINT) AS ks_e6
+    FROM vals v JOIN tot t USING (event_type, site)
+    WHERE t.n_in > 0 AND t.n_out > 0
+    GROUP BY 1, 2 ORDER BY 1, 2""",
         "distinct_counts": """
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
            COUNT(*) AS n_events, COUNT(DISTINCT value) AS n_values

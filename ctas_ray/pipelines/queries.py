@@ -168,6 +168,37 @@ def autocorr_lag1(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
+def _ks_stat_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Two-sample KS statistic per site vs all other sites of this
+    parameter (A6's core statistic; jitter off, tie-collapsed walk)."""
+    from ..functions.stats import ks_test
+
+    vals = g["value"].to_numpy(dtype=np.float64)
+    sites = (g["user_id"].to_numpy() % 12).astype(np.int64)
+    rows = []
+    for site in np.unique(sites):
+        x = vals[sites == site]
+        y = vals[sites != site]
+        if len(x) == 0 or len(y) == 0:
+            continue
+        stat, _ = ks_test(x, y, "two.sided")
+        rows.append((g["event_type"].iloc[0], int(site), int(_scaled_int(stat))))
+    return pd.DataFrame(rows, columns=["parameter_id", "site", "ks_e6"])
+
+
+def ks_statistic_by_site(sf_dir: str) -> pd.DataFrame:
+    """KS site-bias statistic (R/ctas.R:354) with a full SQL oracle —
+    only the p-value branches are non-SQL-expressible."""
+    out = (
+        _events(sf_dir, ["event_type", "user_id", "value"])
+        .map_batches(lambda b: b[b["value"].notna()], batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_ks_stat_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "site"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # rollup tiers over events-derived transcripts (the tier-exactness gate:
 # SQL computes each tier DIRECT from raw; the engine computes 1h/1d by
