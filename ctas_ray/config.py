@@ -37,8 +37,10 @@ class StudyConfig:
     # worker. 20k subjects ~ 3.2 GB distance matrix.
     max_subjects_for_pairwise: int = 20_000
     def __post_init__(self) -> None:
+        from .functions.series import FEATURE_REGISTRY  # user extensions (§2.10)
+
         feats = set(self.features.split(";"))
-        bad = feats - VALID_FEATURES
+        bad = feats - VALID_FEATURES - set(FEATURE_REGISTRY)
         if bad:
             raise SchemaError(f"unknown features: {sorted(bad)}")  # R/ctas.R:1161-1163
         if self.min_subjects_per_series < 2:
@@ -46,7 +48,9 @@ class StudyConfig:
             raise SchemaError("default_minimum_subjects_per_series must be >= 2")
         if not (0 <= self.max_share_missing <= 1):
             raise SchemaError("max_share_missing must be within [0, 1]")  # R/ctas.R:1168
-        if self.site_scoring_method not in VALID_SITE_SCORING:
+        from .study_core import SCORING_REGISTRY
+
+        if self.site_scoring_method not in VALID_SITE_SCORING | set(SCORING_REGISTRY):
             raise SchemaError(f"bad site_scoring_method: {self.site_scoring_method}")
         if self.autogenerate_timeseries not in (True, False, "consecutive", "adaptive"):
             raise SchemaError("autogenerate_timeseries must be bool|consecutive|adaptive")

@@ -96,10 +96,55 @@ def feature_average(wide: np.ndarray) -> np.ndarray:
         return np.nanmean(wide, axis=1)
 
 
+# --------------------------------------------------------------------------
+# user-extension registry (SURVEY.md §2.10): the reference's extension
+# surface is a ';'-list of built-in feature names (R/ctas.R:59,596);
+# ours additionally accepts REGISTERED per-series functions so the
+# generic map_groups stage never changes. A registered fn has signature
+# fn(wide: (n_subjects, n_timepoints) float64 NaN-for-missing,
+#    baseline: str) -> per-subject float64 vector (NaN rows are dropped
+# by the long pivot, like the built-ins).
+# --------------------------------------------------------------------------
+FEATURE_REGISTRY: dict[str, "callable"] = {}
+
+
+def _ensure_by_value(fn) -> None:
+    """Registered extension fns often live in modules Ray workers cannot
+    import (scripts, notebooks, test files). Tell cloudpickle to ship
+    such modules BY VALUE so the closure travels with the task instead
+    of hanging worker deserialization on an unimportable module."""
+    import sys
+
+    mod = getattr(fn, "__module__", None)
+    if not mod or mod.startswith(("ctas_ray", "builtins", "__main__", "numpy", "pandas")):
+        return
+    module = sys.modules.get(mod)
+    if module is None:
+        return
+    # Ray serializes with its VENDORED cloudpickle — register there;
+    # also register with the standalone package for non-Ray picklers.
+    for modname in ("ray.cloudpickle", "cloudpickle"):
+        try:
+            import importlib
+
+            cp = importlib.import_module(modname)
+            cp.register_pickle_by_value(module)
+        except Exception:
+            pass  # best effort; __main__ and library fns work regardless
+
+
+def register_feature(name: str, fn) -> None:
+    """Register (or override) a per-series feature usable in any
+    ``timeseries_features_to_calculate`` list / StudyConfig.features."""
+    _ensure_by_value(fn)
+    FEATURE_REGISTRY[name] = fn
+
+
 def compute_series_features(
     wide: np.ndarray,
     baseline: str,
     features: list[str],
+    extra: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """The univariate feature gate logic of calculate_ts_features
     (R/ctas.R:608-652): most features are constant unless
@@ -107,6 +152,7 @@ def compute_series_features(
 
     Cross-subject features (lof, own_site_simil_score) live in
     :mod:`ctas_ray.functions.multivariate` — the caller joins them in.
+    Unknown names fall through to FEATURE_REGISTRY entries.
     """
     n_rows, n_cols = wide.shape
     rich = n_cols > 1 and baseline == "original"
@@ -122,6 +168,12 @@ def compute_series_features(
             out[feat] = feature_autocorr(wide) if rich else np.zeros(n_rows)
         elif feat == "average":
             out[feat] = feature_average(wide)
+        else:
+            # ``extra`` = registry snapshot shipped to workers (module
+            # globals don't travel to Ray worker processes)
+            fn = (extra or {}).get(feat, FEATURE_REGISTRY.get(feat))
+            if fn is not None:
+                out[feat] = np.asarray(fn(wide, baseline), dtype=np.float64)
     return out
 
 

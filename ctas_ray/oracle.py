@@ -16,6 +16,7 @@ from .config import StudyConfig
 from .planning import plan_study_series, presence_index
 from .functions.stats import p_adjust
 from .study_core import (
+    SCORING_REGISTRY,
     build_wide_timeseries,
     finalize_ks_scores,
     score_sites_iqr,
@@ -212,6 +213,9 @@ def process_a_study(
             )
         elif cfg.site_scoring_method == "avg_feat_value":
             res = score_sites_iqr(g).rename(columns={"site": "entity"})
+        elif cfg.site_scoring_method in SCORING_REGISTRY:  # §2.10 extension
+            fn, cols = SCORING_REGISTRY[cfg.site_scoring_method]
+            res = fn(g).reindex(columns=cols)
         else:  # mixedeffects (documented approximation)
             res = score_sites_mixedeffects_approx(g)
         res.insert(0, "timeseries_id", tsid)
@@ -225,6 +229,8 @@ def process_a_study(
             tso_scores = finalize_ks_scores(all_scores, p_adjust, cfg.padjust_method)
         elif cfg.site_scoring_method == "avg_feat_value":
             tso_scores = all_scores[["timeseries_id", "feature", "entity", "is_signal"]]
+        elif cfg.site_scoring_method in SCORING_REGISTRY:
+            tso_scores = all_scores  # registered method owns its statistics
         else:
             adj = p_adjust(
                 all_scores["p_value"].to_numpy(dtype=np.float64), cfg.padjust_method

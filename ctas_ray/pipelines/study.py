@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 
 from ..config import StudyConfig
+from ..functions.series import FEATURE_REGISTRY
 from ..functions.stats import p_adjust
 from ..oracle import fill_parameter_defaults, readable_combo
 from ..planning import pick_timepoint_combos, pick_subjects_for_custom_timeseries
@@ -161,6 +162,7 @@ def _series_group(
     feats = timeseries_features_long(
         subj_ids, wide, m["baseline"], m["features"], meta["site_of_subject"],
         max_subjects_for_pairwise=meta.get("max_pairwise", 20_000),
+        extra_features=meta.get("extra_features"),
     )
     feats["kind"] = "feat"
     feats.insert(0, "timeseries_id", tsid)
@@ -201,7 +203,10 @@ def _decorate(batch: pd.DataFrame, lookup_ref) -> pd.DataFrame:
     return out
 
 
-def _score_group(group: pd.DataFrame, method: str, jitter_sd: float, jitter_seed) -> pd.DataFrame:
+def _score_group(
+    group: pd.DataFrame, method: str, jitter_sd: float, jitter_seed,
+    scoring_registry: dict | None = None,
+) -> pd.DataFrame:
     """Per-(timeseries, feature, ref_group) scoring with the eligibility
     gates (A5, R/ctas.R:200-207)."""
     tsid = group["timeseries_id"].iloc[0]
@@ -211,11 +216,19 @@ def _score_group(group: pd.DataFrame, method: str, jitter_sd: float, jitter_seed
                "kstest_statistic", "region", "country", "subj_count"]
     n_sites = group["site"].nunique()
     n = len(group)
+    # module registries don't travel to workers: the caller ships a
+    # snapshot through the task closure
+    SCORING_REGISTRY = scoring_registry or {}
+
     if n_sites < 2 or n < group["subject_count_min"].iloc[0] or not (n_sites < n):
         if method == "ks":
             return pd.DataFrame(columns=ks_cols)
         if method == "avg_feat_value":
             return pd.DataFrame(columns=["timeseries_id", "feature", "ref_group", "entity", "avg_value", "is_signal"])
+        if method in SCORING_REGISTRY:
+            return pd.DataFrame(
+                columns=["timeseries_id", "feature", "ref_group"] + SCORING_REGISTRY[method][1]
+            )
         return pd.DataFrame(columns=["timeseries_id", "feature", "ref_group", "entity",
                                      "groupFctr", "mean", "median", "sd", "z_score", "p_value"])
     if method == "ks":
@@ -225,6 +238,10 @@ def _score_group(group: pd.DataFrame, method: str, jitter_sd: float, jitter_seed
         )
     elif method == "avg_feat_value":
         res = score_sites_iqr(group).rename(columns={"site": "entity"})
+    elif method in SCORING_REGISTRY:
+        res = SCORING_REGISTRY[method][0](group).reindex(
+            columns=SCORING_REGISTRY[method][1]
+        )
     else:
         res = score_sites_mixedeffects_approx(group)
     res.insert(0, "timeseries_id", tsid)
@@ -926,6 +943,9 @@ def _finish_study(
         },
         "site_of_subject": dict(zip(subjects["subject_id"], subjects["site"])),
         "max_pairwise": cfg.max_subjects_for_pairwise,
+        # §2.10 extension surface: registered per-series features travel
+        # to workers as a snapshot (module globals don't)
+        "extra_features": dict(FEATURE_REGISTRY),
     }
     meta_ref = ray.put(meta)
     series_out = assigned.groupby("timeseries_id").map_groups(
@@ -1000,12 +1020,15 @@ def _finish_study(
             functools.partial(_decorate, lookup_ref=lookup_ref), batch_format="pandas"
         )
     decorated = decorated.materialize()  # consumed by scoring + output
+    from ..study_core import SCORING_REGISTRY as _SCORING_REGISTRY
+
     scored = decorated.groupby(["timeseries_id", "feature", "ref_group"]).map_groups(
         functools.partial(
             _score_group,
             method=cfg.site_scoring_method,
             jitter_sd=cfg.ks_jitter_sd,
             jitter_seed=cfg.ks_jitter_seed,
+            scoring_registry=dict(_SCORING_REGISTRY),
         ),
         batch_format="pandas",
     ).to_pandas()
@@ -1016,6 +1039,8 @@ def _finish_study(
             site_scores = finalize_ks_scores(scored, p_adjust, cfg.padjust_method)
         elif cfg.site_scoring_method == "avg_feat_value":
             site_scores = scored[["timeseries_id", "feature", "entity", "is_signal"]]
+        elif cfg.site_scoring_method in _SCORING_REGISTRY:
+            site_scores = scored  # registered method owns its statistics
         else:
             adj = p_adjust(scored["p_value"].to_numpy(dtype=np.float64), cfg.padjust_method)
             with np.errstate(all="ignore"):

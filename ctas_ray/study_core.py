@@ -36,6 +36,23 @@ __all__ = [
 
 UNIVARIATE_FEATURES = ("range", "sd", "unique_value_count_relative", "autocorr", "average")
 
+# user-extension registry for site-scoring methods (SURVEY.md §2.10):
+# fn(group: DataFrame[subject_id, value, site, country, region]) ->
+# DataFrame with an 'entity' column + any metric columns; the engine
+# attaches (timeseries_id, feature, ref_group) and returns rows as-is
+# (no FDR pass — a registered method owns its own statistics).
+SCORING_REGISTRY: dict[str, tuple] = {}
+
+
+def register_scoring(name: str, fn, empty_columns: list[str] | None = None) -> None:
+    """``empty_columns`` = the scorer's output columns, used to emit
+    schema-stable zero-row frames for groups failing the eligibility
+    gates (distributed blocks must share one schema)."""
+    from .functions.series import _ensure_by_value
+
+    _ensure_by_value(fn)
+    SCORING_REGISTRY[name] = (fn, list(empty_columns or ["entity"]))
+
 
 def build_wide_timeseries(
     measurements: pd.DataFrame,
@@ -94,6 +111,7 @@ def timeseries_features_long(
     features_packed: str,
     site_of_subject: dict[str, str],
     max_subjects_for_pairwise: int = 20_000,
+    extra_features: dict | None = None,
 ) -> pd.DataFrame:
     """calculate_ts_features (R/ctas.R:589-681) for one series.
 
@@ -103,7 +121,9 @@ def timeseries_features_long(
     (dropped rows), matching R/ctas.R:530-538.
     """
     feats = features_packed.split(";")
-    cols: dict[str, np.ndarray] = compute_series_features(wide, baseline, feats)
+    cols: dict[str, np.ndarray] = compute_series_features(
+        wide, baseline, feats, extra=extra_features
+    )
     needs_dist = "lof" in feats or "own_site_simil_score" in feats
     if needs_dist and len(subject_ids) > max_subjects_for_pairwise:
         # the reference's O(n^2) dist cliff (R/ctas.R:604): emit no
@@ -126,9 +146,11 @@ def timeseries_features_long(
             sites = np.array([site_of_subject.get(s) for s in subject_ids], dtype=object)
             with np.errstate(all="ignore"):
                 cols["own_site_simil_score"] = own_site_similarity(dist, sites)
-    # long pivot in feature-column order, per subject (order irrelevant)
-    order = [f for f in ("range", "sd", "unique_value_count_relative", "autocorr",
-                         "average", "lof", "own_site_simil_score") if f in cols]
+    # long pivot in feature-column order, per subject (order irrelevant);
+    # registered custom features follow the built-ins
+    builtin = ("range", "sd", "unique_value_count_relative", "autocorr",
+               "average", "lof", "own_site_simil_score")
+    order = [f for f in builtin if f in cols] + [f for f in cols if f not in builtin]
     frames = []
     for f in order:
         v = cols[f]
