@@ -43,11 +43,16 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    import os as _os
+
     import ray
 
     if not ray.is_initialized():
+        # sandbox default is a local session (RAY_ADDRESS=local preset);
+        # under `ray job submit` RAY_ADDRESS points at the cluster and
+        # this driver joins it unchanged
         ray.init(
-            address="local",
+            address=_os.environ.get("RAY_ADDRESS", "local"),
             num_cpus=getattr(args, "num_cpus", None),
             include_dashboard=False,
             ignore_reinit_error=True,

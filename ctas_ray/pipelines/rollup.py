@@ -392,12 +392,30 @@ def apply_retention(
     return deleted
 
 
-def read_tier(out_dir: str, tier: str, derived: bool = True) -> rd.Dataset:
+def read_tier(
+    out_dir: str,
+    tier: str,
+    derived: bool = True,
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> rd.Dataset:
     """Read a persisted tier (``tier`` like 'tier_1m'); optionally append
     derived mean/sd columns (exactness: derived at read from the
-    partials, A10)."""
+    partials, A10).
+
+    ``start_us``/``end_us`` prune at the READ: the bucket range becomes
+    a parquet row-group filter so out-of-range data never leaves
+    storage (half-open [start, end))."""
+    import pyarrow.compute as pc
+
     path = os.path.join(out_dir, "tiers", f"tier={tier.removeprefix('tier_')}")
-    ds = rd.read_parquet(path, columns=TIER_PARTIAL_COLUMNS).map_batches(
+    flt = None
+    if start_us is not None:
+        flt = pc.field("bucket") >= start_us
+    if end_us is not None:
+        upper = pc.field("bucket") < end_us
+        flt = upper if flt is None else flt & upper
+    ds = rd.read_parquet(path, columns=TIER_PARTIAL_COLUMNS, filter=flt).map_batches(
         _coerce_partial_types, batch_format="pandas"
     )
     if derived:

@@ -267,3 +267,11 @@ class TestRunAndResume:
         assert {"mean", "sd"} <= set(t1d.columns)
         # derived stats sanity: mean == sum/count exactly
         np.testing.assert_allclose(t1d["mean"], t1d["sum"] / t1d["count"], rtol=0)
+        # predicate pushdown: a bucket-range read returns exactly the
+        # in-range subset (filter applied AT the read)
+        lo = int(np.quantile(t1d["bucket"], 0.3))
+        hi = int(np.quantile(t1d["bucket"], 0.7))
+        sub = read_tier(out_dir, "tier_1d", derived=False, start_us=lo, end_us=hi).to_pandas()
+        want = t1d[(t1d["bucket"] >= lo) & (t1d["bucket"] < hi)]
+        assert len(sub) == len(want)
+        assert sub["bucket"].between(lo, hi - 1).all()
