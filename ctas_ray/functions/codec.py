@@ -203,11 +203,15 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
             dod_u[0] = 0
             dod_u[1:] = delta[1:] - delta[:-1]
         dod = dod_u.view(np.int64)  # two's-complement signed residue
-        for i in range(1, n):
+        # runs of dod==0 are single '0'-bit emissions: write each run in
+        # ONE call (bitstream identical; loop touches only nonzero points)
+        nz_t = np.nonzero(dod[1:])[0] + 1
+        prev_end = 1
+        for i in nz_t.tolist():
+            if i > prev_end:
+                tw.write(0, i - prev_end)
             d = int(dod[i])
-            if d == 0:
-                tw.write(0, 1)
-            elif -63 <= d <= 64:
+            if -63 <= d <= 64:
                 tw.write((0b10 << 7) | (d + 63), 9)
             elif -255 <= d <= 256:
                 tw.write((0b110 << 9) | (d + 255), 12)
@@ -215,6 +219,9 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
                 tw.write((0b1110 << 12) | (d + 2047), 16)
             else:
                 tw.write((0b1111 << 64) | (d & _MASK64), 68)
+            prev_end = i + 1
+        if n > prev_end:
+            tw.write(0, n - prev_end)
 
         bits_arr = vals.view(np.uint64)
         with np.errstate(over="ignore"):
@@ -226,11 +233,12 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
         trail_arr = 63 - _clz64(low_isolated)  # ctz (x==0 -> -1, unused)
         vw.write(int(bits_arr[0]), 64)
         prev_lead, prev_mlen = 65, 0  # 65 = "no previous window"
-        for i in range(1, n):
+        nz_v = np.nonzero(xor[1:])[0] + 1
+        prev_end = 1
+        for i in nz_v.tolist():
+            if i > prev_end:
+                vw.write(0, i - prev_end)  # run of identical values
             x = int(xor[i])
-            if x == 0:
-                vw.write(0, 1)
-                continue
             lead = int(lead_arr[i])
             trail = int(trail_arr[i])
             mlen = 64 - lead - trail
@@ -247,6 +255,9 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
                     13 + mlen,
                 )
                 prev_lead, prev_mlen = lead, mlen
+            prev_end = i + 1
+        if n > prev_end:
+            vw.write(0, n - prev_end)
     tb = tw.finish()
     vb = vw.finish()
     head = (
