@@ -151,6 +151,28 @@ class _BitReader:
         self.nbits -= bits
         self.acc &= (1 << self.nbits) - 1
 
+    def zero_run(self, limit: int) -> int:
+        """Consume up to ``limit`` consecutive '0' bits; returns how many
+        were consumed (stops early at the first '1'). Mirrors the
+        encoder's run-length zero emission."""
+        count = 0
+        while count < limit:
+            if self.nbits == 0:
+                if self.byte_pos >= len(self.data):
+                    break  # stream exhausted: remaining run is implicit
+                self._fill(1)
+            if self.acc == 0:
+                take = min(self.nbits, limit - count)
+            else:
+                lead = self.nbits - self.acc.bit_length()
+                take = min(lead, limit - count)
+                if take == 0:
+                    break  # '1' bit at the head
+            self.nbits -= take
+            # acc's top bits were zero; low bits unchanged
+            count += take
+        return count
+
 
 _TS_RANGES = (
     (7, 63),  # '10'
@@ -280,12 +302,24 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     first = tr.read(64)
     ts[0] = first - (1 << 64) if first >= 1 << 63 else first
     prev_ts, prev_delta = first, 0  # mod-2^64 residues
-    for i in range(1, n):
+    i = 1
+    while i < n:
         prefix = tr.peek(4)  # '0xxx' | '10xx' | '110x' | '1110' | '1111'
         if prefix < 0b1000:
-            tr.skip(1)
-            dod = 0
-        elif prefix < 0b1100:
+            # zero-run: constant delta -> arithmetic progression, filled
+            # vectorized in wrapping uint64 (exact mod-2^64)
+            run = tr.zero_run(n - i)
+            if run == 0:
+                run = 1
+                tr.skip(1)
+            with np.errstate(over="ignore"):
+                steps = np.arange(1, run + 1, dtype=np.uint64)
+                vals_u = np.uint64(prev_ts) + np.uint64(prev_delta) * steps
+            ts[i : i + run] = vals_u.view(np.int64)
+            prev_ts = int(vals_u[-1])
+            i += run
+            continue
+        if prefix < 0b1100:
             tr.skip(2)
             dod = tr.read(7) - 63
         elif prefix < 0b1110:
@@ -300,16 +334,22 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         prev_delta = (prev_delta + dod) & _MASK64
         prev_ts = (prev_ts + prev_delta) & _MASK64
         ts[i] = prev_ts - (1 << 64) if prev_ts >= 1 << 63 else prev_ts
+        i += 1
     vr = _BitReader(blob[12 + tlen :])
     bits_out = np.empty(n, dtype=np.uint64)
     prev_bits = vr.read(64)
     bits_out[0] = prev_bits
     lead, mlen, trail = 0, 0, 64
-    for i in range(1, n):
+    i = 1
+    while i < n:
         ctrl = vr.peek(2)  # '0x' zero | '10' reuse | '11' new window
         if ctrl < 0b10:
-            vr.skip(1)
-            bits_out[i] = prev_bits
+            run = vr.zero_run(n - i)
+            if run == 0:
+                run = 1
+                vr.skip(1)
+            bits_out[i : i + run] = prev_bits
+            i += run
             continue
         if ctrl == 0b10:
             vr.skip(2)
@@ -322,5 +362,6 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
             x = vr.read(mlen) << trail
         prev_bits ^= x
         bits_out[i] = prev_bits
+        i += 1
     vals[:] = bits_out.view(np.float64)
     return ts, vals
