@@ -180,6 +180,45 @@ _TS_RANGES = (
     (12, 2047),  # '1110'
 )
 
+_RAW_MARKER = (0xFFFFFFFF).to_bytes(4, "little") + (0xFFFFFFFF).to_bytes(4, "little")
+
+
+def _analyze(ts: np.ndarray, vals: np.ndarray):
+    """One vectorized pass producing everything the encoder needs:
+    (dod int64 [0]=0, xor uint64 [0]=0, lead, trail, est_bits).
+    est_bits is a no-window-reuse upper bound used only for the
+    raw-storage fallback decision (overestimate biases toward raw)."""
+    n = len(ts)
+    tsu = ts.view(np.uint64)
+    with np.errstate(over="ignore"):
+        delta = np.empty(n, dtype=np.uint64)
+        delta[0] = 0
+        delta[1:] = tsu[1:] - tsu[:-1]
+        dod_u = np.empty(n, dtype=np.uint64)
+        dod_u[0] = 0
+        dod_u[1:] = delta[1:] - delta[:-1]
+    dod = dod_u.view(np.int64)
+    d1 = dod[1:]
+    ts_bits = 64 + int(
+        np.select(
+            [d1 == 0, (d1 >= -63) & (d1 <= 64), (d1 >= -255) & (d1 <= 256),
+             (d1 >= -2047) & (d1 <= 2048)],
+            [1, 9, 12, 16],
+            default=68,
+        ).sum()
+    )
+    bits_arr = vals.view(np.uint64)
+    with np.errstate(over="ignore"):
+        xor = np.empty(n, dtype=np.uint64)
+        xor[0] = 0
+        xor[1:] = bits_arr[1:] ^ bits_arr[:-1]
+    lead_arr = np.minimum(_clz64(xor), 31)  # 5-bit field cap (paper)
+    low_isolated = xor & (~xor + np.uint64(1))  # x & -x
+    trail_arr = 63 - _clz64(low_isolated)  # ctz (x==0 -> -1, unused)
+    mlen1 = (64 - lead_arr - trail_arr)[1:]
+    val_bits = 64 + int(np.where(xor[1:] == 0, 1, 13 + mlen1).sum())
+    return dod, xor, lead_arr, trail_arr, ts_bits + val_bits
+
 
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (x == 0 -> 64)."""
@@ -210,21 +249,22 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)
     assert len(vals) == n
+    if n:
+        dod, xor, lead_arr, trail_arr, est_bits = _analyze(ts, vals)
+        if est_bits >= n * 128 * 0.95:
+            # incompressible series (near-random payloads): store RAW at
+            # memcpy speed instead of paying the bit-packing loop for a
+            # <5% size win (real TSDBs do the same; decode stays exact)
+            return (
+                n.to_bytes(4, "little")
+                + _RAW_MARKER
+                + ts.tobytes()
+                + vals.tobytes()
+            )
     tw = _BitWriter()
     vw = _BitWriter()
     if n:
         tw.write(int(ts[0]) & _MASK64, 64)
-        # timestamp arithmetic mod 2^64 (numpy uint64 wraps like the
-        # scalar version): dod = delta-of-delta as signed residue
-        tsu = ts.view(np.uint64)
-        with np.errstate(over="ignore"):
-            delta = np.empty(n, dtype=np.uint64)
-            delta[0] = 0
-            delta[1:] = tsu[1:] - tsu[:-1]
-            dod_u = np.empty(n, dtype=np.uint64)
-            dod_u[0] = 0
-            dod_u[1:] = delta[1:] - delta[:-1]
-        dod = dod_u.view(np.int64)  # two's-complement signed residue
         # runs of dod==0 are single '0'-bit emissions: write each run in
         # ONE call (bitstream identical; loop touches only nonzero points)
         nz_t = np.nonzero(dod[1:])[0] + 1
@@ -245,15 +285,7 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
         if n > prev_end:
             tw.write(0, n - prev_end)
 
-        bits_arr = vals.view(np.uint64)
-        with np.errstate(over="ignore"):
-            xor = np.empty(n, dtype=np.uint64)
-            xor[0] = 0
-            xor[1:] = bits_arr[1:] ^ bits_arr[:-1]
-        lead_arr = np.minimum(_clz64(xor), 31)  # 5-bit field cap (paper)
-        low_isolated = xor & (~xor + np.uint64(1))  # x & -x
-        trail_arr = 63 - _clz64(low_isolated)  # ctz (x==0 -> -1, unused)
-        vw.write(int(bits_arr[0]), 64)
+        vw.write(int(vals.view(np.uint64)[0]), 64)
         prev_lead, prev_mlen = 65, 0  # 65 = "no previous window"
         nz_v = np.nonzero(xor[1:])[0] + 1
         prev_end = 1
@@ -293,6 +325,10 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
 def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of :func:`encode_series`; exact round-trip."""
     n = int.from_bytes(blob[0:4], "little")
+    if blob[4:12] == _RAW_MARKER:
+        ts = np.frombuffer(blob[12 : 12 + 8 * n], dtype=np.int64).copy()
+        vals = np.frombuffer(blob[12 + 8 * n :], dtype=np.float64).copy()
+        return ts, vals
     tlen = int.from_bytes(blob[4:8], "little")
     ts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.float64)
