@@ -34,9 +34,9 @@ def _scaling_main() -> None:
             # the scaling criterion measures throughput scaling, which
             # at sf0.1's raw size (~26 MB) would only measure Ray's
             # constant costs
-            GRAFT_AMPLIFY=os.environ.get("GRAFT_AMPLIFY", "10"),
+            GRAFT_AMPLIFY=os.environ.get("GRAFT_AMPLIFY", "20"),
             GRAFT_HEADLINE_ONLY="1",
-            GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "2"),
+            GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
