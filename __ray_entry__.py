@@ -64,11 +64,132 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters": q.simhash_clusters,            # rows-only
         "embedding_neardup": q.embedding_neardup,          # rows-only
         "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
-        # flagship anomaly screen (KS not SQL-expressible -> rows-only)
+        # flagship anomaly screen, full config (crc32 sites, jitter on,
+        # lof/own_site features -> rows-only)
         "study_screen_sitescores": q.study_screen_sitescores,
         "study_screen_features": q.study_screen_features,
         "study_screen_pca": q.study_screen_pca,
+        # flagship anomaly screen, hash-verified variants (mod-12 sites,
+        # SQL feature set, jitter off): planning walk, feature values,
+        # IQR site scores and the KS statistic are value-exact vs DuckDB
+        "study_screen_plan": q.study_screen_plan,
+        "study_screen_features_exact": q.study_screen_features_exact,
+        "study_screen_iqr_sitescores": q.study_screen_iqr_sitescores,
+        "study_screen_ks_statistics": q.study_screen_ks_statistics,
     }
+
+
+# Shared CTE chain for the hash-verified study-screen oracles: the full
+# process_a_study pipeline in SQL — presence/planning (recursive-CTE
+# acceptance walk, R/ctas.R:845-972), membership, per-subject feature
+# values over the series' wide matrix (R/ctas.R:589-652), site
+# decoration and the scoring eligibility gates (R/ctas.R:200-207).
+# Constants mirror ctas_ray.pipelines.queries: max_share_missing = 0.8,
+# subject_count_min = time_point_count_min = 3, sites = user_id % 12.
+_SCREEN_CTE = """
+WITH RECURSIVE meas AS (
+  SELECT event_type AS parameter_id,
+         'u' || CAST(user_id AS VARCHAR) AS subject_id,
+         user_id % 12 AS site_idx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+              ORDER BY ts, event_id) AS DOUBLE) AS rank,
+         value AS result
+  FROM events
+),
+nsub AS (
+  SELECT parameter_id, subject_id, ANY_VALUE(site_idx) AS site_idx,
+         COUNT(*) AS n_i
+  FROM meas GROUP BY 1, 2
+),
+rmax AS (SELECT parameter_id, MAX(n_i) AS kmax FROM nsub GROUP BY 1),
+cand AS (
+  SELECT parameter_id, UNNEST(generate_series(3, CAST(kmax AS INT))) AS k
+  FROM rmax
+),
+elig AS (
+  SELECT c.parameter_id, c.k,
+         (SELECT COUNT(*) FROM nsub n
+          WHERE n.parameter_id = c.parameter_id
+            AND n.n_i >= CEIL((1.0 - 0.8) * c.k)) AS num
+  FROM cand c
+),
+walk AS (
+  SELECT e.parameter_id, e.k, e.num,
+         (e.num >= 3) AS accepted,
+         CASE WHEN e.num >= 3 THEN e.num ELSE 0 END AS prev
+  FROM elig e JOIN rmax r
+    ON r.parameter_id = e.parameter_id AND e.k = r.kmax
+  UNION ALL
+  SELECT e.parameter_id, e.k, e.num,
+         CASE WHEN e.num < 3 THEN FALSE
+              WHEN w.prev = 0 THEN TRUE
+              WHEN e.num - w.prev >= 3 AND e.num * 1.0 / w.prev >= 1.2 THEN TRUE
+              ELSE FALSE END AS accepted,
+         CASE WHEN e.num < 3 THEN w.prev
+              WHEN w.prev = 0 THEN e.num
+              WHEN e.num - w.prev >= 3 AND e.num * 1.0 / w.prev >= 1.2 THEN e.num
+              ELSE w.prev END AS prev
+  FROM walk w JOIN elig e
+    ON e.parameter_id = w.parameter_id AND e.k = w.k - 1
+  WHERE w.k > 3
+),
+series AS (
+  SELECT parameter_id, k,
+         'ts_' || CAST(ROW_NUMBER() OVER (ORDER BY parameter_id, k DESC)
+                       AS VARCHAR) || '_autogen_original' AS timeseries_id
+  FROM walk WHERE accepted
+),
+memb AS (
+  SELECT s.timeseries_id, s.parameter_id, s.k, n.subject_id, n.site_idx
+  FROM series s JOIN nsub n
+    ON n.parameter_id = s.parameter_id
+   AND n.n_i >= CEIL((1.0 - 0.8) * s.k)
+),
+vals AS (
+  SELECT mb.timeseries_id, mb.subject_id, mb.site_idx, m.rank, m.result
+  FROM memb mb JOIN meas m
+    ON m.parameter_id = mb.parameter_id
+   AND m.subject_id = mb.subject_id AND m.rank <= mb.k
+),
+feat AS (
+  SELECT timeseries_id, subject_id, site_idx, 'average' AS feature,
+         AVG(result) AS value
+  FROM vals GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT timeseries_id, subject_id, site_idx, 'range',
+         MAX(result) - MIN(result)
+  FROM vals GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT timeseries_id, subject_id, site_idx, 'sd', STDDEV_SAMP(result)
+  FROM vals GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+  UNION ALL
+  SELECT timeseries_id, subject_id, site_idx, 'unique_value_count_relative',
+         COUNT(DISTINCT result) * 1.0 / COUNT(*)
+  FROM vals GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT timeseries_id, subject_id, site_idx, 'autocorr', CORR(result, prev)
+  FROM (
+    SELECT timeseries_id, subject_id, site_idx, result,
+           LAG(result) OVER (PARTITION BY timeseries_id, subject_id
+                             ORDER BY rank) AS prev
+    FROM vals
+  ) GROUP BY 1, 2, 3
+  HAVING CORR(result, prev) IS NOT NULL AND NOT isnan(CORR(result, prev))
+),
+dec AS (
+  SELECT f.timeseries_id, f.subject_id, f.feature, f.value,
+         'site_' || CAST(f.site_idx AS VARCHAR) AS site,
+         'country_' || CAST(f.site_idx % 4 AS VARCHAR) AS country,
+         'region_' || CAST(f.site_idx % 2 AS VARCHAR) AS region
+  FROM feat f
+),
+gate AS (
+  SELECT timeseries_id, feature
+  FROM dec GROUP BY 1, 2
+  HAVING COUNT(DISTINCT site) >= 2 AND COUNT(*) >= 3
+     AND COUNT(DISTINCT site) < COUNT(*)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -293,4 +414,79 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT query_id, vec_id, cos_e5, rank
     FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+        "study_screen_plan": _SCREEN_CTE + """
+    SELECT s.timeseries_id, s.parameter_id, 'original' AS baseline,
+           array_to_string(list_transform(generate_series(1, s.k),
+               x -> CAST(x AS VARCHAR)), ';') AS timepoint_combo,
+           array_to_string(list_transform(generate_series(1, s.k),
+               x -> 'T' || CAST(x AS VARCHAR)), ';') AS timepoint_combo_readable,
+           CAST(s.k AS BIGINT) AS timepoint_count
+    FROM series s ORDER BY s.timeseries_id""",
+        "study_screen_features_exact": _SCREEN_CTE + """
+    SELECT timeseries_id, subject_id, feature,
+           CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6,
+           site, country, region
+    FROM dec ORDER BY 1, 2, 3""",
+        "study_screen_iqr_sitescores": _SCREEN_CTE + """,
+    sitemeans AS (
+      SELECT d.timeseries_id, d.feature, d.site, AVG(d.value) AS avg_value
+      FROM dec d JOIN gate g USING (timeseries_id, feature)
+      GROUP BY 1, 2, 3
+    ),
+    fence AS (
+      SELECT timeseries_id, feature,
+             quantile_cont(avg_value, 0.25) AS q1,
+             quantile_cont(avg_value, 0.75) AS q3
+      FROM sitemeans GROUP BY 1, 2
+    )
+    SELECT s.timeseries_id, s.feature, s.site AS entity,
+           CASE WHEN s.avg_value < f.q1 - 1.5 * (f.q3 - f.q1)
+                  OR s.avg_value > f.q3 + 1.5 * (f.q3 - f.q1)
+                THEN 1 ELSE 0 END AS is_signal
+    FROM sitemeans s JOIN fence f USING (timeseries_id, feature)
+    ORDER BY 1, 2, 3""",
+        "study_screen_ks_statistics": _SCREEN_CTE + """,
+    kbase AS (
+      SELECT d.timeseries_id, d.feature, d.subject_id, d.site, d.value
+      FROM dec d JOIN gate g USING (timeseries_id, feature)
+    ),
+    ksites AS (SELECT DISTINCT timeseries_id, feature, site FROM kbase),
+    pairs AS (
+      SELECT s.timeseries_id, s.feature, s.site, b.value, b.subject_id,
+             CASE WHEN b.site = s.site THEN 1 ELSE 0 END AS is_in
+      FROM ksites s JOIN kbase b USING (timeseries_id, feature)
+    ),
+    tot AS (
+      SELECT timeseries_id, feature, site, SUM(is_in) AS n_in,
+             SUM(1 - is_in) AS n_out,
+             COUNT(DISTINCT CASE WHEN is_in = 1 THEN subject_id END) AS n_subj
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    kwalk AS (
+      SELECT timeseries_id, feature, site, value,
+             SUM(is_in) OVER (PARTITION BY timeseries_id, feature, site
+                 ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_in,
+             SUM(1 - is_in) OVER (PARTITION BY timeseries_id, feature, site
+                 ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_out
+      FROM pairs
+    ),
+    kvals AS (
+      -- tie collapse: ECDF steps evaluated AFTER each full tie group
+      SELECT timeseries_id, feature, site, value,
+             MAX(cum_in) AS cum_in, MAX(cum_out) AS cum_out
+      FROM kwalk GROUP BY 1, 2, 3, 4
+    )
+    SELECT v.timeseries_id, v.feature, v.site,
+           -- alternative per feature (R/ctas.R:308-313): 'greater' for
+           -- unique_value_count_relative (D+), two.sided (max |D|) else
+           CASE WHEN v.feature = 'unique_value_count_relative'
+                THEN CAST(FLOOR(MAX(v.cum_in * 1.0 / t.n_in
+                    - v.cum_out * 1.0 / t.n_out) * 1000000 + 0.5) AS BIGINT)
+                ELSE CAST(FLOOR(MAX(ABS(v.cum_in * 1.0 / t.n_in
+                    - v.cum_out * 1.0 / t.n_out)) * 1000000 + 0.5) AS BIGINT)
+           END AS ks_e6,
+           ANY_VALUE(t.n_subj) AS subject_count
+    FROM kvals v JOIN tot t USING (timeseries_id, feature, site)
+    WHERE t.n_in > 0 AND t.n_out > 0
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     }

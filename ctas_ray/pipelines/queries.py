@@ -552,7 +552,12 @@ def ivf_topk_similarity(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _events_study_tables(sf_dir: str):
+def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
+    """Events -> (data, subjects, parameters) study tables.
+
+    ``site_mode``: 'crc32' (rows-only screen queries) or 'mod12'
+    (user_id % 12 — SQL-expressible, used by the hash-verified
+    study-screen oracle queries)."""
     import pyarrow.parquet as pq
     import zlib
 
@@ -574,7 +579,10 @@ def _events_study_tables(sf_dir: str):
         }
     )
     users = sorted(ev["user_id"].unique())
-    site_idx = np.array([zlib.crc32(str(u).encode()) % 12 for u in users])
+    if site_mode == "mod12":
+        site_idx = np.array([u % 12 for u in users])
+    else:
+        site_idx = np.array([zlib.crc32(str(u).encode()) % 12 for u in users])
     subjects = pd.DataFrame(
         {
             "subject_id": ["u" + str(u) for u in users],
@@ -639,3 +647,71 @@ def study_screen_features(sf_dir: str) -> pd.DataFrame:
     if f is None:
         return pd.DataFrame()
     return f.sort_values(["timeseries_id", "subject_id", "feature"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# hash-verified study screen (VERDICT r01 item 1): same distributed
+# pipeline, but with a SQL-expressible site derivation (user_id % 12),
+# the SQL-expressible feature set, and KS jitter off — so planning,
+# wide assembly, features, decoration, eligibility gates, IQR fences
+# and the KS statistic are all value-exact against the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+SQL_SCREEN_FEATURES = "autocorr;average;range;sd;unique_value_count_relative"
+SQL_SCREEN_MSM = 0.8  # max_share_missing used by both engine and oracle
+
+
+@functools.lru_cache(maxsize=4)
+def _study_screen_sql(sf_dir: str, method: str) -> dict:
+    from .study import process_a_study_ray
+
+    data, subjects, parameters = _events_study_tables(sf_dir, site_mode="mod12")
+    return process_a_study_ray(
+        rd.from_pandas(data).repartition(8),
+        subjects,
+        parameters,
+        cfg=StudyConfig(
+            features=SQL_SCREEN_FEATURES,
+            max_share_missing=SQL_SCREEN_MSM,
+            site_scoring_method=method,
+            ks_jitter_sd=0.0,
+        ),
+    )
+
+
+def study_screen_plan(sf_dir: str) -> pd.DataFrame:
+    """Planning output (series ids, combos, readable names) hash-verified
+    against the oracle's recursive-CTE acceptance walk (R/ctas.R:845-972)."""
+    t = _study_screen_sql(sf_dir, "avg_feat_value")["timeseries"]
+    t = t.copy()
+    t["timepoint_count"] = t["timepoint_count"].astype(np.int64)
+    return t.sort_values("timeseries_id").reset_index(drop=True)
+
+
+def study_screen_features_exact(sf_dir: str) -> pd.DataFrame:
+    """Per-(series, subject) feature values, value-exact (scaled e6)."""
+    f = _study_screen_sql(sf_dir, "avg_feat_value")["timeseries_features"].copy()
+    f["value_e6"] = _scaled_int(f["feature_value"].to_numpy())
+    f = f[["timeseries_id", "subject_id", "feature", "value_e6", "site", "country", "region"]]
+    return f.sort_values(["timeseries_id", "subject_id", "feature"]).reset_index(drop=True)
+
+
+def study_screen_iqr_sitescores(sf_dir: str) -> pd.DataFrame:
+    """Flagship screen with site_scoring_method='avg_feat_value'
+    (R/ctas.R:243-251, 1251-1275): site means -> type-7 IQR fences ->
+    is_signal, end-to-end hash-verified."""
+    s = _study_screen_sql(sf_dir, "avg_feat_value")["site_scores"].copy()
+    s["is_signal"] = s["is_signal"].astype(np.int64)
+    return s.sort_values(["timeseries_id", "feature", "entity"]).reset_index(drop=True)
+
+
+def study_screen_ks_statistics(sf_dir: str) -> pd.DataFrame:
+    """Flagship KS screen, statistic branch (R/ctas.R:301-379) with
+    jitter disabled: per-site two-sample KS statistic (alternative per
+    feature) + subject counts, hash-verified; only the p-value branches
+    (Smirnov lattice DP) stay pytest-pinned."""
+    s = _study_screen_sql(sf_dir, "ks")["site_scores"].copy()
+    s["ks_e6"] = _scaled_int(s["kstest_statistic"].to_numpy())
+    s["subject_count"] = s["subject_count"].astype(np.int64)
+    s = s[["timeseries_id", "feature", "site", "ks_e6", "subject_count"]]
+    return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
