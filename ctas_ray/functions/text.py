@@ -180,4 +180,9 @@ def simhash64(tokens: list[str]) -> int:
 
 
 def hamming64(a: int, b: int) -> int:
-    return int(bin(a ^ b).count("1"))
+    """Hamming distance of two 64-bit patterns. Inputs are masked to 64
+    bits first: a uint64 fingerprint that round-tripped through a signed
+    int64 column arrives as a NEGATIVE int, and ``bin()`` of a negative
+    counts magnitude bits (wrong answer) — masking restores the
+    bit pattern regardless of how the value was transported."""
+    return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
