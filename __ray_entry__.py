@@ -62,8 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q.minhash_clusters,            # rows-only
         "ngram_jaccard_clusters": q.ngram_jaccard_clusters,  # rows-only
         "simhash_clusters": q.simhash_clusters,            # rows-only
-        "embedding_neardup": q.embedding_neardup,          # rows-only
+        "embedding_neardup": q.embedding_neardup,          # rows-only (planted dups -> non-vacuous)
         "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
+        "ivf_recall": q.ivf_recall,                        # rows-only (recall@k vs brute force)
         # flagship anomaly screen, full config (crc32 sites, jitter on,
         # lof/own_site features -> rows-only)
         "study_screen_sitescores": q.study_screen_sitescores,
