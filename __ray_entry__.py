@@ -199,7 +199,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
              epoch_us(ts) AS ts_us,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_ix,
-             CAST(LENGTH(props) AS DOUBLE) AS text_len,
+             CAST(COALESCE(LENGTH(props), 0) AS DOUBLE) AS text_len,
              CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS turn_latency_us
       FROM events

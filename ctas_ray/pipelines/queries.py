@@ -66,8 +66,16 @@ def eligibility_counts(sf_dir: str) -> pd.DataFrame:
     partition (one UDF call per partition, not per group)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["value"].notna()]
-        g = b.groupby(["part", "event_type", "user_id"], sort=False).size().rename("n")
+        # count non-null values WITHOUT pre-filtering rows, so a
+        # (parameter, subject) pair whose values are all NULL still emits
+        # a group with n_measurements = 0 — matching the oracle's
+        # GROUP BY + COUNT(value) semantics on all-null groups
+        g = (
+            b.assign(nn=b["value"].notna().astype(np.int64))
+            .groupby(["part", "event_type", "user_id"], sort=False)["nn"]
+            .sum()
+            .rename("n")
+        )
         return g.reset_index()
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -185,16 +185,18 @@ def _series_group(
 
 def _decorate(batch: pd.DataFrame, lookup_ref) -> pd.DataFrame:
     """Attach site/country/region + subject_count_min + ref_group via
-    broadcast dict lookups (J2/J3)."""
+    broadcast dict lookups (J2/J3).
+
+    Subjects missing from the subjects table are KEPT with NaN
+    site/country/region — the reference left-joins subjects for the
+    timeseries_features output (R/ctas.R:177-180); the scoring branch
+    drops them downstream (inner-join semantics, R/ctas.R:196)."""
     lk = ray.get(lookup_ref) if not isinstance(lookup_ref, dict) else lookup_ref
     out = batch.copy()
     subj = out["subject_id"].map(lk["subjects"])
-    missing = subj.isna()
-    out = out[~missing]
-    subj = subj[~missing]
-    out["site"] = [s[0] for s in subj]
-    out["country"] = [s[1] for s in subj]
-    out["region"] = [s[2] for s in subj]
+    out["site"] = [s[0] if isinstance(s, tuple) else None for s in subj]
+    out["country"] = [s[1] if isinstance(s, tuple) else None for s in subj]
+    out["region"] = [s[2] if isinstance(s, tuple) else None for s in subj]
     pid = out["timeseries_id"].map(lk["param_of_series"])
     out["parameter_id"] = pid
     out["subject_count_min"] = pid.map(lk["scm"])
@@ -325,6 +327,11 @@ def _plan_vector(
     stats = (
         salted.groupby("salt").map_groups(e1, batch_format="pandas").to_pandas()
     )
+    if "parameter_id" not in stats.columns:  # empty presence -> no columns
+        stats = pd.DataFrame(
+            columns=["parameter_id", "timepoint_rank", "nr_patients",
+                     "consistency", "variant"]
+        )
     rank_orders: dict[tuple[str, str], np.ndarray] = {}
     for (pid, variant), grp in stats.groupby(["parameter_id", "variant"]):
         merged = grp.groupby("timepoint_rank").agg(
@@ -516,19 +523,35 @@ def _plan_vector(
                 custom_defs.setdefault(key, []).append(
                     (crow["timeseries_id"], pos_set, need, crow["timepoint_combo"])
                 )
+        # the cmask_* columns are int64 bitmasks: one bit per custom
+        # series per (parameter, variant). Guard the width instead of
+        # silently overflowing / gating out series 63+.
+        from ..schemas import SchemaError
+
+        for key, defs in custom_defs.items():
+            if len(defs) > 62:
+                raise SchemaError(
+                    f"parameter {key[0]} ({key[1]}) has {len(defs)} custom "
+                    "timeseries; the vector planner supports at most 62 per "
+                    "parameter/variant (int64 bitmask width)"
+                )
 
     accepted_ref = ray.put((accepted_by_key, K_arrays, custom_defs))
 
     def to_masks(b: pd.DataFrame) -> pd.DataFrame:
+        """Per-subject combo bitmasks — runs DISTRIBUTED over the E2
+        partials (per-row work is irreducible: each row carries a ragged
+        positions array); zip over columns, no iterrows."""
         acc, K_l, cust = ray.get(accepted_ref)
         b = b[b["kind"] == "pos"]
         rows = []
-        for _, r in b.iterrows():
+        for pid, subj, raw_o, raw_c in zip(
+            b["parameter_id"], b["subject_id"], b["pos_original"], b["pos_cfb"]
+        ):
             masks = {}
             cmasks = {}
-            for variant in ("original", "cfb"):
-                key = (r["parameter_id"], variant)
-                raw = r[f"pos_{variant}"]
+            for variant, raw in (("original", raw_o), ("cfb", raw_c)):
+                key = (pid, variant)
                 positions = np.frombuffer(raw, dtype=np.int64) if raw else np.empty(0, np.int64)
                 if key in acc and acc[key] and len(positions):
                     masks[variant] = subject_combo_mask(positions, K_l[key], acc[key])
@@ -543,7 +566,7 @@ def _plan_vector(
                 cmasks[variant] = cm
             if masks["original"] or masks["cfb"] or cmasks["original"] or cmasks["cfb"]:
                 rows.append(
-                    {"parameter_id": r["parameter_id"], "subject_id": r["subject_id"],
+                    {"parameter_id": pid, "subject_id": subj,
                      "mask_original": masks["original"], "mask_cfb": masks["cfb"],
                      "cmask_original": cmasks["original"], "cmask_cfb": cmasks["cfb"]}
                 )
@@ -560,13 +583,17 @@ def _plan_vector(
         # gate custom combos: enough eligible subjects (R/ctas.R:123 —
         # note the reference's quirk: an EMPTY subject list still counts
         # as 1 because str_count('',';')+1 == 1; replicated via max(n,1))
+        n_bits = {}  # (pid, variant) -> number of custom-series bits
+        for key, defs in custom_defs.items():
+            n_bits[key] = len(defs)
+
         def _cmask_counts(b: pd.DataFrame) -> pd.DataFrame:
             rows = []
             for variant in ("original", "cfb"):
                 vals = b[f"cmask_{variant}"].to_numpy(dtype=np.int64)
                 for pid, grp_idx in b.groupby("parameter_id").indices.items():
                     v = vals[grp_idx]
-                    for bit in range(32):
+                    for bit in range(n_bits.get((pid, variant), 0)):
                         c = int(((v >> bit) & 1).sum())
                         if c:
                             rows.append((pid, variant, bit, c))
@@ -614,17 +641,22 @@ def _plan_vector(
 
 def process_a_study_ray(
     data: rd.Dataset,
-    subjects: pd.DataFrame,
+    subjects: pd.DataFrame | rd.Dataset,
     parameters: pd.DataFrame,
     custom_timeseries: pd.DataFrame | None = None,
     custom_reference_groups: pd.DataFrame | None = None,
     cfg: StudyConfig = StudyConfig(),
     features_as_dataset: bool = False,
     decorate_with_join: bool | None = None,
-    plan_mode: str = "classic",
+    plan_mode: str = "vector",
 ) -> dict:
     """Distributed study screen. ``data`` is the (possibly huge)
     measurement Dataset; dimension tables are small pandas frames.
+    ``subjects`` may also be a Dataset (scale path): decoration then
+    runs as a hash join and the table is never collected to the driver
+    — unless the feature set needs a per-subject site map inside the
+    per-series groups (own_site_simil_score) or the max-sites
+    optimisation is on, both of which are documented collects.
 
     Returns the reference's four outputs; ``timeseries_features`` and
     ``PCA_coordinates`` come back as pandas by default or as Datasets
@@ -647,6 +679,20 @@ def process_a_study_ray(
         }
         for _, r in params.iterrows()
     }
+
+    subjects_ds: rd.Dataset | None = None
+    if isinstance(subjects, rd.Dataset):
+        subjects_ds = subjects.materialize()
+        if decorate_with_join is None:
+            decorate_with_join = True
+        needs_site_map = cfg.optimize_sites_and_patients or any(
+            "own_site_simil_score" in str(c["features"] or "")
+            for c in param_cfg.values()
+        )
+        if needs_site_map:
+            subjects = subjects_ds.to_pandas()
+        else:
+            subjects = pd.DataFrame(columns=["subject_id", "site", "country", "region"])
 
     # ---- ONE projection scan of the raw data feeds both the rank-name
     # mapping and the presence index (the only other raw scan is the
@@ -691,7 +737,7 @@ def process_a_study_ray(
         return _run_vector_mode(
             data, pres_ds, subjects, param_cfg, custom_timeseries,
             custom_reference_groups, cfg, rank_names, features_as_dataset,
-            decorate_with_join,
+            decorate_with_join, subjects_ds=subjects_ds,
         )
 
     planned = (
@@ -778,6 +824,7 @@ def process_a_study_ray(
     return _finish_study(
         assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
         rank_names, features_as_dataset, decorate_with_join,
+        subjects_ds=subjects_ds,
     )
 
 
@@ -818,6 +865,36 @@ def _explode_by_mask(batch: pd.DataFrame, vmeta_ref) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+def _explode_by_mask_joined(batch: pd.DataFrame, vmeta_ref) -> pd.DataFrame:
+    """Join-path explode: the measurement batch already carries this
+    subject's mask columns (hash-joined on (parameter_id, subject_id)) —
+    only the tiny combo/pos-map metadata is broadcast."""
+    vm = ray.get(vmeta_ref) if not isinstance(vmeta_ref, dict) else vmeta_ref
+    frames = []
+    for pid, combos in vm["combos"].items():
+        sub = batch[batch["parameter_id"] == pid]
+        if len(sub) == 0:
+            continue
+        for tsid, variant, k, bit, pos_set in combos:
+            pos = sub["timepoint_rank"].map(vm["pos_maps"][(pid, variant)])
+            col = f"mask_{variant}" if pos_set is None else f"cmask_{variant}"
+            masks = sub[col].fillna(0).astype(np.int64)
+            if pos_set is None:
+                in_combo = pos.notna() & (pos <= k)
+            else:
+                in_combo = pos.isin(pos_set)
+            m = in_combo & ((masks // (1 << bit)) % 2 == 1)
+            if m.any():
+                sel = sub.loc[m, ["subject_id", "timepoint_rank", "result", "baseline"]].copy()
+                sel.insert(0, "timeseries_id", tsid)
+                frames.append(sel)
+    if not frames:
+        return pd.DataFrame(
+            columns=["timeseries_id", "subject_id", "timepoint_rank", "result", "baseline"]
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
 def _run_vector_mode(
     data: rd.Dataset,
     pres_ds: rd.Dataset,
@@ -829,6 +906,7 @@ def _run_vector_mode(
     rank_names: dict,
     features_as_dataset: bool,
     decorate_with_join: bool | None,
+    subjects_ds: rd.Dataset | None = None,
 ) -> dict:
     """Scalable planning mode (see planning_scale): no per-parameter
     presence matrices, no ';'-packed subject lists — eligibility via
@@ -877,39 +955,88 @@ def _run_vector_mode(
                 (row["timeseries_id"], variant, None, bit, pos_set)
             )
 
-    # membership: broadcast (dict) — at 10^8 subjects switch this to a
-    # Dataset.join on (subject_id, parameter_id), mirroring
-    # decorate_with_join (the masks Dataset is already shaped for it)
-    mem = membership.to_pandas()
-    mask_o: dict[str, dict] = {}
-    mask_c: dict[str, dict] = {}
-    cmask_o: dict[str, dict] = {}
-    cmask_c: dict[str, dict] = {}
-    for _, r in mem.iterrows():
-        mask_o.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["mask_original"])
-        mask_c.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["mask_cfb"])
-        cmask_o.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["cmask_original"])
-        cmask_c.setdefault(r["parameter_id"], {})[r["subject_id"]] = int(r["cmask_cfb"])
-    vmeta_ref = ray.put(
-        {
-            "combos": combos,
-            "pos_maps": plan_meta["pos_maps"],
-            "mask_original": mask_o,
-            "mask_cfb": mask_c,
-            "cmask_original": cmask_o,
-            "cmask_cfb": cmask_c,
-        }
+    # membership routing: broadcast the per-subject masks when small,
+    # hash-join them onto the measurements when large (no driver-side
+    # per-row loops on either path; the join path never collects
+    # membership to the driver at all)
+    membership = membership.materialize()
+    n_members = membership.count()
+    use_member_join = (
+        decorate_with_join
+        if decorate_with_join is not None
+        else n_members > BROADCAST_SUBJECT_LIMIT
     )
-    assigned = data.map_batches(
-        functools.partial(_explode_by_mask, vmeta_ref=vmeta_ref),
-        batch_format="pandas",
-    )
+    if use_member_join:
+        vmeta_ref = ray.put({"combos": combos, "pos_maps": plan_meta["pos_maps"]})
+
+        def _narrow(b: pd.DataFrame):
+            # project to the explode columns and emit an EXPLICIT Arrow
+            # schema: Ray types an all-NaN pandas column as Arrow `null`,
+            # which pyarrow's hash join rejects for non-key fields
+            import pyarrow as pa
+
+            def col(s: pd.Series):
+                if s.dtype == object and s.notna().any():
+                    return pa.Array.from_pandas(s)
+                return pa.Array.from_pandas(
+                    s.astype(np.float64), type=pa.float64()
+                )
+
+            return pa.table(
+                {
+                    "parameter_id": pa.Array.from_pandas(b["parameter_id"].astype(str)),
+                    "subject_id": pa.Array.from_pandas(b["subject_id"].astype(str)),
+                    "timepoint_rank": pa.Array.from_pandas(
+                        b["timepoint_rank"].astype(np.float64), type=pa.float64()
+                    ),
+                    "result": col(b["result"]),
+                    "baseline": col(b["baseline"]),
+                }
+            )
+
+        joined = data.map_batches(_narrow, batch_format="pandas").join(
+            membership,
+            join_type="inner",
+            num_partitions=16,
+            on=("parameter_id", "subject_id"),
+        )
+        assigned = joined.map_batches(
+            functools.partial(_explode_by_mask_joined, vmeta_ref=vmeta_ref),
+            batch_format="pandas",
+        )
+    else:
+        mem = membership.to_pandas()
+        mask_o: dict[str, dict] = {}
+        mask_c: dict[str, dict] = {}
+        cmask_o: dict[str, dict] = {}
+        cmask_c: dict[str, dict] = {}
+        for pid, g in mem.groupby("parameter_id", sort=False):
+            subj = g["subject_id"]
+            mask_o[pid] = dict(zip(subj, g["mask_original"].astype(np.int64)))
+            mask_c[pid] = dict(zip(subj, g["mask_cfb"].astype(np.int64)))
+            cmask_o[pid] = dict(zip(subj, g["cmask_original"].astype(np.int64)))
+            cmask_c[pid] = dict(zip(subj, g["cmask_cfb"].astype(np.int64)))
+        vmeta_ref = ray.put(
+            {
+                "combos": combos,
+                "pos_maps": plan_meta["pos_maps"],
+                "mask_original": mask_o,
+                "mask_cfb": mask_c,
+                "cmask_original": cmask_o,
+                "cmask_cfb": cmask_c,
+            }
+        )
+        assigned = data.map_batches(
+            functools.partial(_explode_by_mask, vmeta_ref=vmeta_ref),
+            batch_format="pandas",
+        )
     series = series.drop(columns=["prefix_k"], errors="ignore")
     if "custom_bit" in series.columns:
         series = series.drop(columns=["custom_bit"])
     return _finish_study(
         assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
         rank_names, features_as_dataset, decorate_with_join,
+        subjects_ds=subjects_ds,
     )
 
 
@@ -923,6 +1050,7 @@ def _finish_study(
     rank_names: dict,
     features_as_dataset: bool,
     decorate_with_join: bool | None,
+    subjects_ds: rd.Dataset | None = None,
 ) -> dict:
     """Shared downstream of both planning modes: per-series features +
     PCA groups, decoration, scoring groups, FDR barrier, output shaping."""
@@ -974,12 +1102,20 @@ def _finish_study(
         # J2 scale path: subjects too big to broadcast -> hash-partitioned
         # Dataset.join keyed on subject_id (co-partitioned with the
         # feature rows), then the small per-series/ref-group lookups
-        subjects_ds = rd.from_pandas(
-            subjects[["subject_id", "site", "country", "region"]]
-        )
+        if subjects_ds is None:
+            subjects_ds = rd.from_pandas(
+                subjects[["subject_id", "site", "country", "region"]]
+            )
+        else:
+            subjects_ds = subjects_ds.map_batches(
+                lambda b: b[["subject_id", "site", "country", "region"]],
+                batch_format="pandas",
+            )
         n_parts = 16
+        # left outer: features keep subjects missing from the subjects
+        # table (R/ctas.R:177-180); scoring filters them out below
         joined = feat_ds.join(
-            subjects_ds, join_type="inner", num_partitions=n_parts,
+            subjects_ds, join_type="left_outer", num_partitions=n_parts,
             on=("subject_id",),
         )
         small = {
@@ -1022,7 +1158,12 @@ def _finish_study(
     decorated = decorated.materialize()  # consumed by scoring + output
     from ..study_core import SCORING_REGISTRY as _SCORING_REGISTRY
 
-    scored = decorated.groupby(["timeseries_id", "feature", "ref_group"]).map_groups(
+    # scoring inner-joins subjects (R/ctas.R:196): rows whose subject is
+    # absent from the subjects table never reach the gates or scorers
+    scoring_in = decorated.map_batches(
+        lambda b: b[b["site"].notna()], batch_format="pandas"
+    )
+    scored = scoring_in.groupby(["timeseries_id", "feature", "ref_group"]).map_groups(
         functools.partial(
             _score_group,
             method=cfg.site_scoring_method,

@@ -25,7 +25,8 @@ import ray.data as rd
 from ..config import StudyConfig
 from .study import process_a_study_ray
 
-__all__ = ["transcript_measurements", "conversation_subjects", "screen_transcripts"]
+__all__ = ["transcript_measurements", "conversation_subjects",
+           "conversation_subjects_ds", "screen_transcripts"]
 
 
 def _conv_partition_to_measurements(g: pd.DataFrame) -> pd.DataFrame:
@@ -104,6 +105,27 @@ def conversation_subjects(conv_ids: list[str], n_sites: int = 12) -> pd.DataFram
     )
 
 
+def conversation_subjects_ds(
+    transcripts: rd.Dataset, n_sites: int = 12
+) -> rd.Dataset:
+    """Distributed conversation-attribute table: per-batch local dedup
+    of conv_ids -> hashed attributes, then a global one-row-per-subject
+    groupby — the conversation ids never collect to the driver."""
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["conv_id"].drop_duplicates().tolist()
+        return conversation_subjects(ids, n_sites)
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return (
+        transcripts.map_batches(per_batch, batch_format="pandas")
+        .groupby("subject_id")
+        .map_groups(head1, batch_format="pandas")
+    )
+
+
 def _default_parameters() -> pd.DataFrame:
     pids = ["text_len", "turn_latency_s"]
     return pd.DataFrame(
@@ -132,15 +154,15 @@ def screen_transcripts(
 ) -> dict:
     """Transcripts in, the reference's four output frames out.
 
-    Scale note: the conversation-attribute table is one row per
-    conversation and is handed to the study pipeline as pandas — at
-    ~10^7+ conversations pass ``decorate_with_join=True`` (the study
-    pipeline then joins it instead of broadcasting) and build the
-    subjects frame from a distributed unique() rather than this driver
-    collect."""
+    Scale note: the conversation-attribute table is built DISTRIBUTED
+    (conversation_subjects_ds) and handed to the study pipeline as a
+    Dataset — decoration runs as a hash join, and the conversation ids
+    never collect to the driver. The study pipeline itself falls back
+    to one documented collect only when the feature set includes
+    own_site_simil_score (per-series site map) or the max-sites
+    optimisation is enabled; both are subject-count-bounded."""
     measurements = transcript_measurements(transcripts)
-    conv_ids = sorted(transcripts.unique("conv_id"))  # returns a list of values
-    subjects = conversation_subjects(conv_ids, n_sites)
+    subjects = conversation_subjects_ds(transcripts, n_sites)
     return process_a_study_ray(
         measurements,
         subjects,

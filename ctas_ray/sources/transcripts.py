@@ -78,7 +78,10 @@ def _events_partition_to_turns(g: pd.DataFrame) -> pd.DataFrame:
             "conv_id": "u" + g["user_id"].astype(str),
             "turn_idx": turn_idx.astype(np.int32),
             "role": roles[turn_idx % 3],
-            "text": g["props"].astype(str),
+            # null props -> '' (text_len 0), agreeing with
+            # run_rollup_events (fillna(0) on lengths) and the oracle's
+            # COALESCE(LENGTH(props), 0) — not the string 'None'
+            "text": g["props"].fillna("").astype(str),
             "tool": np.where(turn_idx % 3 == 2, g["event_type"].astype(str), ""),
             "ts": g["ts"],
         }

@@ -317,3 +317,31 @@ class TestParityVariants:
             rd.from_pandas(d), study["subjects"], study["parameters"], cfg=StudyConfig()
         )
         assert all(v is None for v in out.values())
+
+
+class TestSubjectsDataset:
+    def test_subjects_as_dataset_matches_pandas(self, study, ray_session):
+        """Scale path: subjects passed as a Dataset (decoration via hash
+        join, no driver collect when the feature set needs no site map)
+        must equal the pandas-subjects run."""
+        import ray.data as rd
+        from ctas_ray.pipelines.study import process_a_study_ray
+
+        cfg = StudyConfig(features="average;sd;range")
+        data_ds = rd.from_pandas(study["data"]).repartition(8)
+        a = process_a_study_ray(
+            data_ds, study["subjects"], study["parameters"], cfg=cfg
+        )
+        b = process_a_study_ray(
+            data_ds,
+            rd.from_pandas(study["subjects"]).repartition(4),
+            study["parameters"],
+            cfg=cfg,
+        )
+        keys = ["timeseries_id", "subject_id", "feature"]
+        fa = _sorted(a["timeseries_features"], keys)
+        fb = _sorted(b["timeseries_features"], keys)
+        pd.testing.assert_frame_equal(fa, fb, check_dtype=False)
+        sa = _sorted(a["site_scores"], ["timeseries_id", "feature", "ref_group", "site"])
+        sb = _sorted(b["site_scores"], ["timeseries_id", "feature", "ref_group", "site"])
+        pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
