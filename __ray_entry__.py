@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d": q.rollup_1d,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
+        "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
         "codec_blobs": q.codec_blobs,                      # S1 (rows-only)
         # [graft] training-data operators
         "dedup_exact": q.dedup_exact,
@@ -355,6 +356,37 @@ def oracle_sql() -> dict[str, str]:
     FROM grid g ASOF JOIN points p
       ON g.conv_id = p.conv_id AND g.grid_ts >= p.ts_us
     ORDER BY 1, 2""",
+        "rollup_1m_gapfilled": f"""
+    WITH {turns_cte},
+    points AS (
+      SELECT conv_id, channel, ts_us, arg_max(v, turn_ix) AS v
+      FROM chan GROUP BY 1, 2, 3
+    ),
+    bounds AS (
+      SELECT conv_id, channel,
+             ((MIN(ts_us) + 14999999) // 15000000) * 15000000 AS gstart,
+             (MAX(ts_us) // 15000000) * 15000000 AS gend
+      FROM points GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT conv_id, channel,
+             UNNEST(generate_series(gstart, gend, 15000000)) AS grid_ts
+      FROM bounds WHERE gend >= gstart
+    ),
+    fills AS (
+      SELECT g.conv_id, g.channel, g.grid_ts, p.v
+      FROM grid g ASOF JOIN points p
+        ON g.conv_id = p.conv_id AND g.channel = p.channel
+       AND g.grid_ts >= p.ts_us
+    )
+    SELECT conv_id, channel, (grid_ts // 60000000) * 60000000 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(arg_min(v, grid_ts) AS BIGINT) AS first_val,
+           CAST(arg_max(v, grid_ts) AS BIGINT) AS last_val
+    FROM fills GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "gapfill_linear_1m": f"""
     WITH {turns_cte},
     points AS (

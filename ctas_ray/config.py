@@ -77,6 +77,10 @@ class RollupConfig:
     tiers_s: tuple[int, ...] = (60, 3600, 86400)  # 1m -> 1h -> 1d
     gap_fill_method: str = "locf"  # or "linear"
     gap_fill_step_s: int = 60
+    # F10 placement: regularise each complete series onto the gap-fill
+    # grid BEFORE tier-1 aggregation (multi-chunk conversations fall
+    # back to raw points, logged)
+    gapfill_tiers: bool = False
     salt_buckets: int = 64  # salted-hash partition count for conv_id
     max_turns_per_chunk: int = 100_000  # long-conv sub-split threshold
     rolling_window: int = 8  # rolling mean/sd window (turns)

@@ -265,6 +265,43 @@ def rollup_1d(sf_dir: str) -> pd.DataFrame:
     return _rollup_tier(sf_dir, "tier_1d")
 
 
+GAPFILL_TIER_STEP_S = 15  # finer than the 60s tier => 4 grid points/bucket
+
+
+def rollup_1m_gapfilled(sf_dir: str) -> pd.DataFrame:
+    """F10-in-the-rollup (SURVEY F10 placement): the 1m tier computed
+    from LOCF gap-filled series (15s epoch grid) instead of raw
+    irregular points — RollupConfig(gapfill_tiers=True). SQL oracle
+    regenerates the grid with generate_series + ASOF JOIN and
+    aggregates it directly to 1m buckets."""
+    import tempfile
+
+    from .rollup import run_rollup_events
+
+    out_dir = tempfile.mkdtemp(prefix="ctas_tiers_gf_")
+    paths = run_rollup_events(
+        sf_dir, out_dir,
+        RollupConfig(gapfill_tiers=True, gap_fill_method="locf",
+                     gap_fill_step_s=GAPFILL_TIER_STEP_S),
+    )
+    t = rd.read_parquet(paths["tier_1m"]).to_pandas()
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            # LOCF values are integral (chars / whole microseconds)
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
 def codec_blobs(sf_dir: str) -> pd.DataFrame:
     """Gorilla-encoded per-(conv, channel) series with round-trip flags
     (rows-only driver check; pytest enforces roundtrip_ok)."""

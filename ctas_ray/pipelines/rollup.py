@@ -69,6 +69,8 @@ def _stage0(transcripts: rd.Dataset, cfg: RollupConfig, verify_roundtrip: bool) 
             verify_roundtrip=verify_roundtrip,
             inline_tiers_s=tuple(cfg.tiers_s),
             with_text=cfg.archive_text,
+            gapfill=(cfg.gap_fill_method, cfg.gap_fill_step_s)
+            if cfg.gapfill_tiers else None,
         ),
         batch_format="pandas",
     )
@@ -322,6 +324,8 @@ def run_rollup_events(
                 with_codec=True,
                 verify_roundtrip=verify_roundtrip,
                 inline_tiers_s=tuple(cfg.tiers_s),
+                gapfill=(cfg.gap_fill_method, cfg.gap_fill_step_s)
+                if cfg.gapfill_tiers else None,
             ),
             batch_format="pandas",
         )

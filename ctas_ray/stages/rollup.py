@@ -284,6 +284,77 @@ def conv_chunk_rollup(
     return out.reindex(columns=UNION_COLUMNS)
 
 
+def _points_to_partials(
+    conv_by_seg: np.ndarray,
+    sid: np.ndarray,
+    t_ok: np.ndarray,
+    v_ok: np.ndarray,
+    tier1_s: int,
+    channel: str,
+) -> pd.DataFrame:
+    """Segment-tagged sorted points -> one partial row per
+    (segment, bucket) via segment detection + np.reduceat."""
+    b = _bucket(t_ok, tier1_s)
+    cut = np.r_[True, (sid[1:] != sid[:-1]) | (b[1:] != b[:-1])]
+    starts = np.nonzero(cut)[0]
+    ends = np.r_[starts[1:], len(b)]
+    return pd.DataFrame(
+        {
+            "_seg": sid[starts],  # caller-internal (complete-flag routing)
+            "conv_id": conv_by_seg[sid[starts]],
+            "channel": channel,
+            "bucket": b[starts],
+            "count": (ends - starts).astype(np.int64),
+            "sum": np.add.reduceat(v_ok, starts),
+            "min": np.minimum.reduceat(v_ok, starts),
+            "max": np.maximum.reduceat(v_ok, starts),
+            "sumsq": np.add.reduceat(v_ok * v_ok, starts),
+            "first_ts": t_ok[starts],
+            "first_val": v_ok[starts],
+            "last_ts": t_ok[ends - 1],
+            "last_val": v_ok[ends - 1],
+        }
+    )
+
+
+def _gapfill_segments(
+    sid: np.ndarray,
+    t_ok: np.ndarray,
+    v_ok: np.ndarray,
+    method: str,
+    step_us: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-segment gap-fill of sorted (segment, ts, value) points onto
+    the epoch-aligned grid; returns segment-tagged grid points (NaN grid
+    values dropped)."""
+    from ..functions.series import gap_fill
+
+    cut = np.r_[True, sid[1:] != sid[:-1]]
+    sstarts = np.nonzero(cut)[0]
+    sends = np.r_[sstarts[1:], len(sid)]
+    g_sid, g_ts, g_v = [], [], []
+    for s0, e0 in zip(sstarts, sends):
+        t_seg, v_seg = t_ok[s0:e0], v_ok[s0:e0]
+        # duplicate-timestamp rule: keep the LAST point per ts (turn
+        # order), matching LOCF's searchsorted pick and the oracle's
+        # arg_max(v, turn_ix) — linear interp needs the dedup explicitly
+        keep = np.r_[t_seg[1:] != t_seg[:-1], True]
+        grid, out = gap_fill(t_seg[keep], v_seg[keep], step_us, method)
+        keep = ~np.isnan(out)
+        if keep.any():
+            g_ts.append(grid[keep])
+            g_v.append(out[keep])
+            g_sid.append(np.full(int(keep.sum()), sid[s0], dtype=sid.dtype))
+    if not g_ts:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(g_sid),
+        np.concatenate(g_ts),
+        np.concatenate(g_v),
+    )
+
+
 def partition_rollup(
     part: pd.DataFrame,
     tier1_s: int = 60,
@@ -292,6 +363,7 @@ def partition_rollup(
     inline_tiers_s: tuple[int, ...] | None = None,
     with_text: bool = False,
     emit_partition_manifest: bool = True,
+    gapfill: tuple[str, int] | None = None,
 ) -> pd.DataFrame:
     """Vectorized partition body: ONE call processes every conv-chunk of
     a salted-hash partition (``part`` column from extract_channels).
@@ -310,6 +382,12 @@ def partition_rollup(
     computed here and emitted as kind='tier' rows; only multi-chunk
     (giant) conversations emit kind='t1' partials for the (now tiny)
     merge exchange. One shuffle rolls up almost everything.
+
+    ``gapfill`` = (method, step_s) regularises each complete series onto
+    the epoch-aligned grid BEFORE tier-1 aggregation (SURVEY F10
+    placement); requires ``inline_tiers_s``. Multi-chunk conversations
+    fall back to raw partials (their grid ownership across chunk
+    boundaries is not defined here) — logged once per partition.
     """
     import time as _time
 
@@ -340,45 +418,63 @@ def partition_rollup(
     seg_chunk = chunk[seg_starts]
     seg_complete = (seg_chunk == 0) & ~has_next
 
+    if gapfill is not None and inline_tiers_s is None:
+        raise ValueError("gapfill requires inline_tiers_s (complete-conversation cascade)")
+
+    conv_by_seg = conv[seg_starts]
     frames: list[pd.DataFrame] = []
+    warned_gapfill_fallback = False
     for channel, values in (("text_len", tlen), ("turn_latency_us", lat)):
         ok = real & ~np.isnan(values)
         if ok.any():
-            sid = seg_id[ok]
-            t_ok = ts[ok]
-            v_ok = values[ok]
-            b = _bucket(t_ok, tier1_s)
-            cut = np.r_[True, (sid[1:] != sid[:-1]) | (b[1:] != b[:-1])]
-            starts = np.nonzero(cut)[0]
-            ends = np.r_[starts[1:], len(b)]
-            partials = pd.DataFrame(
-                {
-                    "conv_id": conv[ok.nonzero()[0][starts]],
-                    "channel": channel,
-                    "bucket": b[starts],
-                    "count": (ends - starts).astype(np.int64),
-                    "sum": np.add.reduceat(v_ok, starts),
-                    "min": np.minimum.reduceat(v_ok, starts),
-                    "max": np.maximum.reduceat(v_ok, starts),
-                    "sumsq": np.add.reduceat(v_ok * v_ok, starts),
-                    "first_ts": t_ok[starts],
-                    "first_val": v_ok[starts],
-                    "last_ts": t_ok[ends - 1],
-                    "last_val": v_ok[ends - 1],
-                }
-            )
-            if inline_tiers_s is None:
-                frames.append(partials.assign(kind="t1"))
+            if gapfill is None:
+                partials = _points_to_partials(
+                    conv_by_seg, seg_id[ok], ts[ok], values[ok], tier1_s, channel
+                )
+                complete_mask = seg_complete[partials.pop("_seg").to_numpy()]
+                if inline_tiers_s is None:
+                    frames.append(partials.assign(kind="t1"))
+                else:
+                    multi = partials[~complete_mask]
+                    if len(multi):
+                        frames.append(multi.assign(kind="t1"))
+                    done_part = partials[complete_mask]
+                    if len(done_part):
+                        frames.append(
+                            partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
+                        )
             else:
-                complete_mask = seg_complete[sid[starts]]
-                multi = partials[~complete_mask]
-                if len(multi):
-                    frames.append(multi.assign(kind="t1"))
-                done_part = partials[complete_mask]
-                if len(done_part):
-                    frames.append(
-                        partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
+                method, step_s = gapfill
+                comp_rows = ok & seg_complete[seg_id]
+                raw_rows = ok & ~seg_complete[seg_id]
+                if raw_rows.any():
+                    if not warned_gapfill_fallback:
+                        import logging
+
+                        logging.getLogger("ctas_ray.rollup").warning(
+                            "gapfill_tiers: multi-chunk conversations present; "
+                            "their tiers use RAW (un-gap-filled) points"
+                        )
+                        warned_gapfill_fallback = True
+                    raw_partials = _points_to_partials(
+                        conv_by_seg, seg_id[raw_rows], ts[raw_rows],
+                        values[raw_rows], tier1_s, channel,
                     )
+                    raw_partials.pop("_seg")
+                    frames.append(raw_partials.assign(kind="t1"))
+                if comp_rows.any():
+                    g_sid, g_ts, g_v = _gapfill_segments(
+                        seg_id[comp_rows], ts[comp_rows], values[comp_rows],
+                        method, step_s * 1_000_000,
+                    )
+                    if len(g_ts):
+                        done_part = _points_to_partials(
+                            conv_by_seg, g_sid, g_ts, g_v, tier1_s, channel
+                        )
+                        done_part.pop("_seg")
+                        frames.append(
+                            partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
+                        )
         if with_codec:
             # per-segment encode over REAL rows (NaNs kept in the series)
             rows_conv, rows_chan, rows_chunk, rows_n = [], [], [], []
@@ -482,6 +578,7 @@ def fused_events_rollup(
     with_codec: bool = True,
     verify_roundtrip: bool = False,
     inline_tiers_s: tuple[int, ...] | None = (60, 3600, 86400),
+    gapfill: tuple[str, int] | None = None,
 ) -> pd.DataFrame:
     """Fused partition body for the events-derived input: ONE exchange
     (salted by conversation) carries turn derivation + channel extraction
@@ -515,6 +612,7 @@ def fused_events_rollup(
         with_codec=with_codec,
         verify_roundtrip=verify_roundtrip,
         inline_tiers_s=inline_tiers_s,
+        gapfill=gapfill,
     )
 
 
