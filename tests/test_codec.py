@@ -91,3 +91,64 @@ def test_compression_ratio_on_regular_series():
     blob = encode_series(ts, vals)
     raw = n * 16
     assert len(blob) < raw * 0.55  # beats raw comfortably
+
+
+class TestPerStreamRaw:
+    """Per-stream raw flags (r02): mixed raw/encoded stream combinations
+    must round-trip exactly, including NaN payloads in a raw value
+    stream and the legacy whole-blob raw marker."""
+
+    def test_mixed_raw_combinations(self):
+        import numpy as np
+
+        from ctas_ray.functions.codec import decode_series, encode_series
+
+        rng = np.random.default_rng(17)
+        n = 5000
+        ts_random = np.sort(rng.integers(0, 2**60, n)).astype(np.int64)
+        ts_smooth = np.arange(n, dtype=np.int64) * 60_000_000
+        v_random = rng.random(n)
+        v_smooth = np.round(np.sin(np.arange(n) / 100.0), 1)
+        v_nan = v_random.copy()
+        v_nan[::7] = np.nan
+        for ts in (ts_random, ts_smooth):
+            for vals in (v_random, v_smooth, v_nan):
+                blob = encode_series(ts, vals)
+                ts2, v2 = decode_series(blob)
+                assert np.array_equal(ts2, ts)
+                assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
+
+    def test_legacy_whole_raw_marker_decodes(self):
+        import numpy as np
+
+        from ctas_ray.functions.codec import _RAW_MARKER, decode_series
+
+        n = 100
+        ts = np.arange(n, dtype=np.int64)
+        vals = np.linspace(0, 1, n)
+        blob = n.to_bytes(4, "little") + _RAW_MARKER + ts.tobytes() + vals.tobytes()
+        ts2, v2 = decode_series(blob)
+        assert np.array_equal(ts2, ts) and np.array_equal(v2, vals)
+
+    def test_worst_case_throughput_floor(self):
+        """Coarse regression floor: the slowest encode shape must stay
+        well above the round-1 0.5M pts/s loop (threshold lax for CI
+        noise; the measured rate is ~2.1M pts/s)."""
+        import time
+
+        import numpy as np
+
+        from ctas_ray.functions.codec import encode_series
+
+        rng = np.random.default_rng(3)
+        n = 100_000
+        ts = np.arange(n, dtype=np.int64) * 30_000_000
+        vals = np.round(np.cumsum(rng.normal(size=n)), 3)
+        encode_series(ts[:1000], vals[:1000])  # warm
+        best = min(
+            (lambda t0: (encode_series(ts, vals), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(3)
+        )
+        assert n / best > 1_000_000, f"{n/best:.0f} pts/s"
