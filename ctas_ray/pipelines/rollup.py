@@ -299,23 +299,27 @@ def run_rollup_events(
 
     buckets = np.int64(cfg.salt_buckets)
 
-    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+    def add_part(b: pa.Table) -> pa.Table:
         # project text -> text_len BEFORE the exchange: only 4 narrow
-        # int columns enter the shuffle, never the strings
-        out = pd.DataFrame(
+        # int columns enter the shuffle, never the strings — and keep
+        # the blocks Arrow so the sort exchange moves zero-copy buffers
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        tlen = pc.cast(
+            pc.coalesce(pc.utf8_length(b["props"]), pa.scalar(0, pa.int32())),
+            pa.int64(),
+        )
+        return pa.table(
             {
-                "event_id": b["event_id"],
-                "ts": b["ts"],
-                "user_id": b["user_id"],
-                # null props -> empty text (len 0), like '' in SQL LENGTH
-                "text_len": b["props"].str.len().fillna(0).astype(np.int64),
-                "part": (b["user_id"].to_numpy() % buckets).astype(np.int64),
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "text_len": tlen,
+                "part": pa.array((uid % buckets).astype(np.int64)),
             }
         )
-        return out
 
     grouped = (
-        ds.map_batches(add_part, batch_format="pandas")
+        ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(
             functools.partial(
@@ -327,7 +331,7 @@ def run_rollup_events(
                 gapfill=(cfg.gap_fill_method, cfg.gap_fill_step_s)
                 if cfg.gapfill_tiers else None,
             ),
-            batch_format="pandas",
+            batch_format="pyarrow",
         )
     )
     return run_rollup(

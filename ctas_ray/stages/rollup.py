@@ -364,6 +364,8 @@ def partition_rollup(
     with_text: bool = False,
     emit_partition_manifest: bool = True,
     gapfill: tuple[str, int] | None = None,
+    presorted: bool = False,
+    conv_labels=None,
 ) -> pd.DataFrame:
     """Vectorized partition body: ONE call processes every conv-chunk of
     a salted-hash partition (``part`` column from extract_channels).
@@ -392,8 +394,16 @@ def partition_rollup(
     import time as _time
 
     t_start = _time.perf_counter()
-    df = part.sort_values(["conv_id", "chunk", "turn_idx", "carry"], kind="mergesort")
-    conv = df["conv_id"].to_numpy(dtype=object)
+    if presorted:
+        df = part
+    else:
+        df = part.sort_values(["conv_id", "chunk", "turn_idx", "carry"], kind="mergesort")
+    # ``conv`` may be ANY comparable key array (e.g. int64 user ids on
+    # the fused events path — faster sort/compare than object strings);
+    # ``conv_labels`` maps per-SEGMENT keys to output conv_id labels.
+    conv = df["conv_id"].to_numpy()
+    if conv.dtype.kind not in "iu":
+        conv = df["conv_id"].to_numpy(dtype=object)
     chunk = df["chunk"].to_numpy(dtype=np.int64)
     carry = df["carry"].to_numpy()
     ts = df["ts_us"].to_numpy(dtype=np.int64)
@@ -422,6 +432,8 @@ def partition_rollup(
         raise ValueError("gapfill requires inline_tiers_s (complete-conversation cascade)")
 
     conv_by_seg = conv[seg_starts]
+    if conv_labels is not None:
+        conv_by_seg = conv_labels(conv_by_seg)
     frames: list[pd.DataFrame] = []
     warned_gapfill_fallback = False
     for channel, values in (("text_len", tlen), ("turn_latency_us", lat)):
@@ -480,7 +492,7 @@ def partition_rollup(
             rows_conv, rows_chan, rows_chunk, rows_n = [], [], [], []
             rows_blob, rows_f, rows_l, rows_ok = [], [], [], []
             seg_ends = np.r_[seg_starts[1:], n]
-            for s, e in zip(seg_starts, seg_ends):
+            for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
                 rmask = real[s:e]
                 if not rmask.any():
                     continue
@@ -495,7 +507,7 @@ def partition_rollup(
                         np.array_equal(ts2, ts_seg)
                         and np.array_equal(v2.view(np.uint64), v_seg.view(np.uint64))
                     )
-                rows_conv.append(conv[idx[0]])
+                rows_conv.append(conv_by_seg[si])
                 rows_chan.append(channel)
                 rows_chunk.append(int(chunk[idx[0]]))
                 rows_n.append(len(idx))
@@ -529,7 +541,7 @@ def partition_rollup(
         texts_all = df["text"].to_numpy(dtype=object)
         rows = {"conv_id": [], "chunk": [], "n": [], "blob": [],
                 "first_ts": [], "last_ts": [], "roundtrip_ok": []}
-        for s, e in zip(seg_starts, seg_ends_t):
+        for si, (s, e) in enumerate(zip(seg_starts, seg_ends_t)):
             rmask = real[s:e]
             if not rmask.any():
                 continue
@@ -539,7 +551,7 @@ def partition_rollup(
             ok_flag = True
             if verify_roundtrip:
                 ok_flag = decode_text_block(blob) == texts
-            rows["conv_id"].append(conv[idx[0]])
+            rows["conv_id"].append(conv_by_seg[si])
             rows["chunk"].append(int(chunk[idx[0]]))
             rows["n"].append(len(idx))
             rows["blob"].append(blob)
@@ -572,8 +584,13 @@ def partition_rollup(
     return pd.concat(frames, ignore_index=True).reindex(columns=UNION_COLUMNS)
 
 
+def _uid_labels(uids: np.ndarray) -> np.ndarray:
+    """Per-segment conv_id labels for the events path ('u' + user id)."""
+    return np.array([f"u{int(u)}" for u in uids], dtype=object)
+
+
 def fused_events_rollup(
-    g: pd.DataFrame,
+    g,
     tier1_s: int = 60,
     with_codec: bool = True,
     verify_roundtrip: bool = False,
@@ -585,27 +602,46 @@ def fused_events_rollup(
     + the whole rollup/cascade/codec. Conversations are complete within
     their partition, so no chunk-carry machinery and no second exchange
     are needed, and the role/tool/text strings are never materialized —
-    only (ts, text_len) leave the partition UDF."""
-    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-    turn_idx = g.groupby("user_id", sort=False).cumcount().to_numpy()
-    # text_len was computed BEFORE the exchange (so the heavy text/props
-    # strings never enter the shuffle); fall back for direct callers
-    if "text_len" in g.columns:
-        tlen = g["text_len"].to_numpy(dtype=np.int64)
+    only (ts, text_len) leave the partition UDF.
+
+    Arrow-native: accepts a ``pa.Table`` (preferred — the exchange then
+    moves zero-copy Arrow blocks and the group key is int64 user_id, not
+    object strings) or a legacy pandas frame. conv_id strings are minted
+    per SEGMENT at output time, never per input row."""
+    if isinstance(g, pa.Table):
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            g["ts_us"].to_numpy(zero_copy_only=False)
+            if "ts_us" in g.schema.names
+            else pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        tlen = g["text_len"].to_numpy(zero_copy_only=False)
+        part_id = int(g["part"][0].as_py()) if "part" in g.schema.names and len(g) else -1
     else:
-        tlen = g["props"].str.len().to_numpy(dtype=np.int64)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy() if "ts_us" not in g.columns else g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        if "text_len" in g.columns:
+            tlen = g["text_len"].to_numpy(dtype=np.int64)
+        else:
+            tlen = g["props"].str.len().to_numpy(dtype=np.int64)
+        part_id = int(g["part"].iloc[0]) if "part" in g.columns and len(g) else -1
+    n = len(uid)
+    if n == 0:
+        return _empty_union()
+    order = np.lexsort((eid, ts, uid))
     df = pd.DataFrame(
         {
-            "conv_id": ("u" + g["user_id"].astype(str)).to_numpy(dtype=object),
-            "turn_idx": turn_idx.astype(np.int64),
-            "ts_us": g["ts"].astype("int64").to_numpy(),
-            "text_len": tlen,
-            "chunk": np.zeros(len(g), dtype=np.int64),
-            "carry": np.zeros(len(g), dtype=np.int8),
+            "conv_id": uid[order],  # int64 keys; labels minted per segment
+            "ts_us": ts[order],
+            "text_len": tlen[order],
+            "chunk": np.zeros(n, dtype=np.int64),
+            "carry": np.zeros(n, dtype=np.int8),
         }
     )
-    if "part" in g.columns:  # keep the salt id for the partition manifest
-        df["part"] = int(g["part"].iloc[0])
+    if part_id >= 0:
+        df["part"] = part_id
     return partition_rollup(
         df,
         tier1_s=tier1_s,
@@ -613,6 +649,8 @@ def fused_events_rollup(
         verify_roundtrip=verify_roundtrip,
         inline_tiers_s=inline_tiers_s,
         gapfill=gapfill,
+        presorted=True,
+        conv_labels=_uid_labels,
     )
 
 
