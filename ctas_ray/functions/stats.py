@@ -163,7 +163,7 @@ def ks_test(
 
 def p_adjust(p: np.ndarray, method: str = "fdr") -> np.ndarray:
     """R ``stats::p.adjust``. Supports fdr/BH, BY, bonferroni, holm,
-    hochberg, hommel(->hochberg approx not provided; raises), none.
+    hochberg, hommel, none.
 
     Reference call: R/ctas.R:222 (default method "fdr" = BH).
     NaNs are kept in place and ignored for n (R semantics: n = number of
@@ -198,6 +198,30 @@ def p_adjust(p: np.ndarray, method: str = "fdr") -> np.ndarray:
         adj = np.minimum.accumulate((np.arange(n) + 1) * pv[o])
         res = np.empty(n)
         res[o] = np.minimum(1.0, adj)
+        out[ok] = res
+        return out
+    if method == "hommel":
+        # R's p.adjust(method="hommel"): Hommel (1988) closed testing
+        # with Simes local tests, the O(n^2) recurrence from the R
+        # sources. Values never exceed 1 by construction (each min/ pmin
+        # chain ends at a raw p <= 1), matching R's lack of clamping.
+        if n == 1:
+            out[ok] = pv
+            return out
+        o = np.argsort(pv, kind="mergesort")
+        ps = pv[o]
+        i = np.arange(1, n + 1, dtype=np.float64)
+        pa_ = np.full(n, np.min(n * ps / i))
+        q = pa_.copy()
+        for m in range(n - 1, 1, -1):
+            i2 = np.arange(n - m + 1, n)
+            q1 = np.min(m * ps[i2] / np.arange(2, m + 1, dtype=np.float64))
+            i1 = np.arange(n - m + 1)
+            q[i1] = np.minimum(m * ps[i1], q1)
+            q[i2] = q[n - m]
+            np.maximum(pa_, q, out=pa_)
+        res = np.empty(n)
+        res[o] = np.maximum(pa_, ps)
         out[ok] = res
         return out
     if method in ("BH", "BY"):

@@ -147,6 +147,44 @@ class TestPAdjust:
         out = p_adjust(p, "none")
         assert np.isnan(out[1]) and out[0] == 0.1
 
+    @staticmethod
+    def _hommel_bruteforce(p: np.ndarray) -> np.ndarray:
+        """Closed-testing definition: adj p_i = max over subsets I
+        containing i of the Simes p-value of I. Exponential — oracle for
+        tiny n only (Hommel 1988)."""
+        import itertools
+
+        n = len(p)
+        out = np.zeros(n)
+        for r in range(1, n + 1):
+            for idx in itertools.combinations(range(n), r):
+                sub = np.sort(p[list(idx)])
+                simes = np.min(r * sub / np.arange(1, r + 1))
+                for i in idx:
+                    out[i] = max(out[i], simes)
+        return out
+
+    def test_hommel_vs_bruteforce(self):
+        rng = np.random.default_rng(7)
+        for n in (1, 2, 3, 5, 8):
+            p = np.sort(rng.uniform(0.001, 0.9, size=n))
+            rng.shuffle(p)
+            np.testing.assert_allclose(
+                p_adjust(p, "hommel"), self._hommel_bruteforce(p), rtol=1e-12
+            )
+
+    def test_hommel_known_vector(self):
+        # R: p.adjust(c(0.01, 0.02, 0.04), "hommel") == c(0.03, 0.04, 0.04)
+        np.testing.assert_allclose(
+            p_adjust(np.array([0.01, 0.02, 0.04]), "hommel"), [0.03, 0.04, 0.04]
+        )
+        # hommel is uniformly <= hochberg <= holm (known dominance)
+        p = np.array([0.011, 0.02, 0.031, 0.2, 0.5, 0.6])
+        hom = p_adjust(p, "hommel")
+        hoch = p_adjust(p, "hochberg")
+        holm = p_adjust(p, "holm")
+        assert (hom <= hoch + 1e-15).all() and (hoch <= holm + 1e-15).all()
+
 
 class TestSmall:
     def test_auroc_hand(self):
