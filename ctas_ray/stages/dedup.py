@@ -5,27 +5,41 @@ verification, embedding-cosine near-dup.
 Scale design (ray_guide.md "Aggregation at scale"), hardened against
 the skew dedup actually meets (masses of identical documents):
 
-- exact: content-hash column in a vectorized map_batches, then
-  groupby(hash) keep-first — a hash-partitioned shuffle of ONE narrow
-  column plus ids, never the texts twice.
-- MinHash-LSH: per-batch shingle->signature (actor pool: permutation
-  tables built once per actor); an EXACT-DUP COLLAPSE on the content
-  hash so identical-text mass becomes one representative before LSH
-  (the common skew case never reaches the buckets); band rows carry
-  only (band, band_hash, doc_id) — signatures are re-joined onto the
-  deduplicated candidate pairs, not replicated into all 16 band rows;
-  per-bucket pair generation is CAPPED (clique below the cap, sorted
-  chain above it, logged) so a pathological bucket is O(n), not O(n^2);
-  connected components run driver-side below a pair-count limit and as
-  distributed min-label propagation above it.
+- EVERY groupby below groups by a salted "part" column and processes a
+  partition's many groups in ONE vectorized UDF call (per-PARTITION
+  dispatch, like stages/rollup.py) — never one Python call per
+  group/pair/bucket. Fingerprint stages are plain TASK map_batches
+  (their state is a seeded 128-int table, recomputed per worker via
+  lru_cache) so nothing pays actor-pool startup and they scale
+  elastically.
+- exact: content-hash column in a vectorized map_batches, then one
+  hash-partitioned keep-first exchange of ONE narrow column plus ids;
+  texts never shuffle.
+- MinHash-LSH: per-batch shingle->signature tasks; an EXACT-DUP
+  COLLAPSE on the content hash so identical-text mass becomes one
+  representative before LSH (the common skew case never reaches the
+  buckets); band rows carry only (band, band_hash, doc_id) —
+  signatures are attached to candidate pairs by a doc-keyed
+  gather/pair-keyed meet (_gather_verify_pairs), which also dedups
+  pairs globally in the doc partition, so a signature ships once per
+  pair side and never into band rows; per-bucket pair generation is
+  CAPPED (clique below the cap, sorted chain above it, logged) so a
+  pathological bucket is O(n), not O(n^2); connected components run
+  driver-side below a pair-count limit and as distributed min-label
+  propagation above it.
+- n-gram Jaccard: bottom-k sketch anchors (the k smallest shingle
+  hashes — shared by a Jaccard-J pair with prob ~1-(1-J)^k, and buckets
+  stay small even when the corpus shares a tiny vocabulary), exact
+  set-Jaccard verify on gathered shingle sets.
 - SimHash: 64-bit fingerprints, banded into 4x16-bit LSH keys, exact
-  collapse + capped buckets + Hamming<=threshold verify.
+  collapse + capped buckets + vectorized popcount Hamming verify.
 - embedding cosine: normalize + random-hyperplane multi-probe bucket,
   capped buckets, exact cosine verify within buckets.
 """
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import numpy as np
@@ -36,7 +50,6 @@ import ray.data as rd
 from ..functions.text import (
     WS_RE,
     char_shingles,
-    hamming64,
     md5_fingerprint,
     minhash_band_hashes,
     minhash_perms,
@@ -62,6 +75,44 @@ CC_DRIVER_PAIR_LIMIT = 2_000_000
 # the full clique (size^2/2 pairs). Connectivity of a genuinely-similar
 # bucket survives chaining; a hash-skew bucket stops being quadratic.
 MAX_BUCKET_SIZE = 256
+# hash partitions for the groupby exchanges below. Every groupby in this
+# module groups by a salted "part" column and processes ALL of a
+# partition's groups in ONE vectorized UDF call (per-PARTITION dispatch,
+# like stages/rollup.py) — never one Python call per group/pair/bucket.
+# Size to ~cluster cores at real scale.
+NUM_PARTS = 64
+
+
+def _row_part(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
+    """Deterministic per-row hash partition over the given columns."""
+    h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+# 16-bit popcount table (64 KiB) for vectorized 64-bit Hamming distance
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit lookups."""
+    x = x.astype(np.uint64)
+    m = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
+
+def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in an already-sorted key array."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.nonzero(change)[0]
+    return starts, np.r_[starts[1:], n]
 
 
 # ---------------------------------------------------------------------------
@@ -78,26 +129,27 @@ def exact_dedup(
     shuffled."""
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: b[id_col],
                 "content_hash": [md5_fingerprint(t) for t in b[text_col]],
             }
         )
+        out["part"] = _row_part(out, ["content_hash"], NUM_PARTS)
+        return out
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                id_col: [g[id_col].min()],
-                "content_hash": [g["content_hash"].iloc[0]],
-                "n_copies": [len(g)],
-            }
+    def keep_first_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("content_hash", sort=True)
+            .agg(**{id_col: (id_col, "min"), "n_copies": (id_col, "size")})
+            .reset_index()
         )
+        return agg[[id_col, "content_hash", "n_copies"]]
 
     return (
         docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
+        .groupby("part")
+        .map_groups(keep_first_part, batch_format="pandas")
     )
 
 
@@ -111,7 +163,7 @@ def _bucket_pairs_frame(ids: np.ndarray, max_bucket: int, bucket_desc: str) -> p
     below ``max_bucket``, sorted chain above it (logged)."""
     n = len(ids)
     if n < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
     if n > max_bucket:
         logger.warning(
             "dedup bucket %s has %d members (> cap %d): emitting chain "
@@ -122,47 +174,89 @@ def _bucket_pairs_frame(ids: np.ndarray, max_bucket: int, bucket_desc: str) -> p
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
 
-def _distinct_pairs(pairs: rd.Dataset) -> rd.Dataset:
-    """Global pair dedup (a pair colliding in many buckets verifies once)."""
-
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(head1, batch_format="pandas")
-
-
-def _join_attr(
-    pairs: rd.Dataset,
+def _gather_verify_pairs(
+    candidates: rd.Dataset,
     attrs: rd.Dataset,
-    side: str,
     id_col: str,
-    attr_cols: list[str],
-    num_partitions: int,
+    attr_col: str,
+    verify_rows,
+    num_parts: int = NUM_PARTS,
 ) -> rd.Dataset:
-    """Hash-join one side's attributes onto the candidate pairs: ships
-    each attribute value only to the pairs that need it (instead of
-    replicating it into every band/bucket row). The joined attribute
-    columns are renamed to ``<attr>_<side>``."""
-    joined = pairs.join(
-        attrs,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=(side,),
-        right_on=(id_col,),
-        right_suffix="_r",
+    """Attach each side's per-doc attribute (signature / shingle set) to
+    the candidate pairs and verify them — as TWO vectorized hash
+    exchanges instead of two JoinOperators:
+
+    1. doc-keyed gather: pair-side requests (doc, other, side) union the
+       attribute supply rows, hash-partitioned on doc; a per-partition
+       pandas merge attaches the attribute to each requesting side. An
+       attribute ships once per requesting pair side, never once per
+       band/bucket row.
+    2. pair-keyed meet: both attached sides hash-partition on the pair;
+       a per-partition merge pairs them up and ``verify_rows`` (columns
+       id_a, id_b, attr_a, attr_b) filters to verified pairs.
+    """
+
+    def requests(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc": pd.concat([b["id_a"], b["id_b"]], ignore_index=True),
+                "other": pd.concat([b["id_b"], b["id_a"]], ignore_index=True),
+                "side": np.r_[
+                    np.zeros(len(b), dtype=np.int8), np.ones(len(b), dtype=np.int8)
+                ],
+            }
+        )
+        out["attr"] = None
+        out["part"] = _row_part(out, ["doc"], num_parts)
+        return out[["doc", "other", "side", "attr", "part"]]
+
+    def supply(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc": b[id_col],
+                "other": b[id_col],  # typed placeholder; never read
+                "side": np.full(len(b), -1, dtype=np.int8),
+                "attr": b[attr_col],
+            }
+        )
+        out["part"] = _row_part(out, ["doc"], num_parts)
+        return out[["doc", "other", "side", "attr", "part"]]
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sup = g.loc[g["side"] == -1, ["doc", "attr"]]
+        # duplicate requests for the same pair side (a pair colliding in
+        # many buckets) all hash to THIS doc partition — dedup here is
+        # global, so no separate distinct-pairs exchange is needed and
+        # each attribute ships once per pair side
+        req = g.loc[g["side"] >= 0, ["doc", "other", "side"]].drop_duplicates()
+        m = req.merge(sup, on="doc", how="inner")
+        side = m["side"].to_numpy()
+        doc = m["doc"].to_numpy(dtype=object)
+        other = m["other"].to_numpy(dtype=object)
+        out = pd.DataFrame(
+            {
+                "id_a": np.where(side == 0, doc, other),
+                "id_b": np.where(side == 0, other, doc),
+                "side": side,
+                "attr": m["attr"],
+            }
+        )
+        out["part"] = _row_part(out, ["id_a", "id_b"], num_parts)
+        return out
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, ["id_a", "id_b", "attr"]]
+        b = g.loc[g["side"] == 1, ["id_a", "id_b", "attr"]]
+        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        return verify_rows(m)
+
+    gathered = (
+        candidates.map_batches(requests, batch_format="pandas")
+        .union(attrs.map_batches(supply, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(attach, batch_format="pandas")
     )
-
-    def clean(b: pd.DataFrame) -> pd.DataFrame:
-        ren = {}
-        for c in attr_cols:
-            src = c if c in b.columns else f"{c}_r"
-            ren[src] = f"{c}_{side}"
-        return b.rename(columns=ren)
-
-    # materialize: two JoinOperators in ONE streaming plan can deadlock
-    # each other's aggregator pools on small CPU counts; the joined pair
-    # set is bounded by LSH collisions, so pinning it is cheap
-    return joined.map_batches(clean, batch_format="pandas").materialize()
+    return gathered.groupby("part").map_groups(meet, batch_format="pandas")
 
 
 def _connected_components(pairs: pd.DataFrame, id_col: str) -> pd.DataFrame:
@@ -215,14 +309,26 @@ def _connected_components_distributed(
             }
         )
 
-    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    def add_src_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = _row_part(b, ["src"], num_partitions)
+        return b
 
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["src"].iloc[0]
-        return pd.DataFrame({"node": [node], "label": [min(node, g["dst"].min())]})
+    edges = (
+        pairs.map_batches(to_edges, batch_format="pandas")
+        .map_batches(add_src_part, batch_format="pandas")
+        .materialize()
+    )
+
+    def init_labels_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("src", sort=False)["dst"].min().reset_index()
+        return pd.DataFrame(
+            {"node": agg["src"], "label": np.minimum(agg["src"], agg["dst"])}
+        )
 
     labels = (
-        edges.groupby("src").map_groups(init_labels, batch_format="pandas").materialize()
+        edges.groupby("part").map_groups(init_labels_part, batch_format="pandas")
+        .materialize()
     )
     for _ in range(max_iters):
         nbr = edges.join(
@@ -234,13 +340,19 @@ def _connected_components_distributed(
         ).materialize()  # keep Join and the groupby Sort in separate plans
         merged = labels.union(nbr)
 
-        def take_min(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
-            )
+        def add_node_part(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[["node", "label"]].copy()
+            b["part"] = _row_part(b, ["node"], num_partitions)
+            return b
+
+        def take_min_part(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", sort=False)["label"].min().reset_index()
 
         new_labels = (
-            merged.groupby("node").map_groups(take_min, batch_format="pandas").materialize()
+            merged.map_batches(add_node_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(take_min_part, batch_format="pandas")
+            .materialize()
         )
         changed = (
             new_labels.join(
@@ -279,13 +391,14 @@ def _dup_members(members_ds: rd.Dataset, id_col: str) -> pd.DataFrame:
     """Collect only the exact-dup groups of size >= 2 to the driver:
     singleton members are their own representative and are already
     covered by the cluster table, so the collected frame is bounded by
-    the duplicate mass (which is output anyway), not the corpus."""
-
-    def groups_only(g: pd.DataFrame) -> pd.DataFrame:
-        return g if len(g) >= 2 else g.iloc[:0]
-
+    the duplicate mass (which is output anyway), not the corpus. The
+    group size was computed in the collapse exchange (``grp_size``), so
+    this is a filter scan, not another groupby."""
     return (
-        members_ds.groupby("rep").map_groups(groups_only, batch_format="pandas")
+        members_ds.map_batches(
+            lambda b: b.loc[b["grp_size"] >= 2, [id_col, "rep"]],
+            batch_format="pandas",
+        )
         .to_pandas()
     )
 
@@ -332,27 +445,29 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
-class MinHashStage:
-    """Actor-pool stage: permutation tables + shingler built ONCE per
-    actor (__init__); content hash + signature per batch (__call__)."""
+@functools.lru_cache(maxsize=8)
+def _perm_tables(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-worker-process cached permutation tables. The state is a
+    128-element seeded array — trivially recomputable, so a plain TASK
+    stage with a process-level cache beats an actor pool here: no actor
+    startup per pipeline run, and the stage scales elastically with the
+    cluster instead of being pinned to a fixed pool."""
+    return minhash_perms(n_perm, seed)
 
-    def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 1234,
-                 id_col: str = "doc_id", text_col: str = "text") -> None:
-        self.a, self.b = minhash_perms(n_perm, seed)
-        self.k = shingle_k
-        self.n_perm = n_perm
-        self.id_col = id_col
-        self.text_col = text_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs, hashes = [], []
-        for text in batch[self.text_col]:
-            sh = char_shingles(text, self.k)
-            sigs.append(minhash_signature(sh, self.a, self.b).tobytes())
-            hashes.append(md5_fingerprint(text))
-        return pd.DataFrame(
-            {self.id_col: batch[self.id_col], "content_hash": hashes, "sig": sigs}
-        )
+def _minhash_batch(
+    batch: pd.DataFrame, *, n_perm: int = 64, shingle_k: int = 5,
+    seed: int = 1234, id_col: str = "doc_id", text_col: str = "text",
+) -> pd.DataFrame:
+    a, b = _perm_tables(n_perm, seed)
+    sigs, hashes = [], []
+    for text in batch[text_col]:
+        sh = char_shingles(text, shingle_k)
+        sigs.append(minhash_signature(sh, a, b).tobytes())
+        hashes.append(md5_fingerprint(text))
+    return pd.DataFrame(
+        {id_col: batch[id_col], "content_hash": hashes, "sig": sigs}
+    )
 
 
 def _exact_collapse(
@@ -363,26 +478,46 @@ def _exact_collapse(
     (doc_id, rep) membership table. Only ids + fixed-width attributes
     move through this exchange — never texts."""
 
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        rep = g[id_col].iloc[0]
-        out = pd.DataFrame({id_col: g[id_col], "rep": rep, "is_rep": False})
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = _row_part(b, ["content_hash"], NUM_PARTS)
+        return b
+
+    def collapse_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", id_col], kind="mergesort")
+        ch = g["content_hash"].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy()
+        starts, _ = _segments(ch)
+        seg_id = np.cumsum(np.r_[0, (ch[1:] != ch[:-1]).astype(np.int64)])
+        is_rep = np.zeros(len(g), dtype=bool)
+        is_rep[starts] = True
+        sizes = np.diff(np.r_[starts, len(g)])
+        out = pd.DataFrame(
+            {
+                id_col: ids,
+                "rep": ids[starts][seg_id],
+                "is_rep": is_rep,
+                "grp_size": sizes[seg_id],
+            }
+        )
         for c in attr_cols:
-            out[c] = None
-        out.iloc[0, out.columns.get_loc("is_rep")] = True
-        for c in attr_cols:
-            out.iloc[0, out.columns.get_loc(c)] = g[c].iloc[0]
+            vals = g[c].to_numpy(dtype=object)
+            col = np.full(len(g), None, dtype=object)
+            col[is_rep] = vals[is_rep]
+            out[c] = col
         return out
 
     collapsed = (
-        keyed.groupby("content_hash").map_groups(collapse, batch_format="pandas")
+        keyed.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(collapse_part, batch_format="pandas")
         .materialize()
     )
     reps = collapsed.map_batches(
         lambda b: b.loc[b["is_rep"], [id_col] + attr_cols], batch_format="pandas"
     )
     members = collapsed.map_batches(
-        lambda b: b[[id_col, "rep"]], batch_format="pandas"
+        lambda b: b[[id_col, "rep", "grp_size"]], batch_format="pandas"
     )
     return reps, members
 
@@ -395,9 +530,8 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = 4,  # unused: stages are plain tasks now
     max_bucket_size: int = MAX_BUCKET_SIZE,
-    num_join_partitions: int = 16,
 ) -> pd.DataFrame:
     """Near-dup clusters via MinHash-LSH. Returns a pandas frame
     (doc_id, cluster_id) for every document in a near-dup cluster of
@@ -414,64 +548,74 @@ def minhash_lsh_dedup(
     -> exact members folded back into their representative's cluster.
     """
     sig_full = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "n_perm": n_perm, "shingle_k": shingle_k,
-            "id_col": id_col, "text_col": text_col,
-        },
+        functools.partial(
+            _minhash_batch, n_perm=n_perm, shingle_k=shingle_k,
+            id_col=id_col, text_col=text_col,
+        ),
         batch_format="pandas",
-        concurrency=concurrency,
     )
     reps, members_ds = _exact_collapse(sig_full, id_col, ["sig"])
-    reps = reps.materialize()  # consumed by band explode AND the verify join
+    reps = reps.materialize()  # consumed by band explode AND the verify gather
 
     def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_band, rows_hash = [], [], []
-        for did, sig in zip(b[id_col], b["sig"]):
+        n = len(b)
+        band_hashes = np.empty((n, n_bands), dtype=np.int64)
+        for i, sig in enumerate(b["sig"]):
             arr = np.frombuffer(sig, dtype=np.uint64)
-            for band_i, bh in enumerate(minhash_band_hashes(arr, n_bands)):
-                rows_id.append(did)
-                rows_band.append(band_i)
-                rows_hash.append(bh)
-        return pd.DataFrame({id_col: rows_id, "band": rows_band, "band_hash": rows_hash})
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        return _bucket_pairs_frame(
-            ids, max_bucket_size,
-            f"(band={g['band'].iloc[0]}, hash={g['band_hash'].iloc[0]})",
+            band_hashes[i] = minhash_band_hashes(arr, n_bands)
+        bands = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        flat = band_hashes.ravel()
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(b[id_col].to_numpy(), n_bands),
+                "band": bands,
+                "band_hash": flat,
+                "part": (bands * np.int64(2654435761) + flat) % NUM_PARTS,
+            }
         )
 
-    candidates = _distinct_pairs(
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", id_col], kind="mergesort")
+        comb = (
+            g["band"].to_numpy(dtype=np.int64) * (1 << 32)
+            + g["band_hash"].to_numpy(dtype=np.int64)
+        )
+        starts, ends = _segments(comb)
+        ids_all = g[id_col].to_numpy()
+        frames = [pd.DataFrame({"id_a": ids_all[:0], "id_b": ids_all[:0]})]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            frames.append(
+                _bucket_pairs_frame(
+                    ids_all[s:e], max_bucket_size,
+                    f"(band={g['band'].iloc[s]}, hash={g['band_hash'].iloc[s]})",
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    candidates = (
         reps.map_batches(explode_bands, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    ).materialize()
-    with_a = _join_attr(candidates, reps, "id_a", id_col, ["sig"], num_join_partitions)
-    with_ab = _join_attr(with_a, reps, "id_b", id_col, ["sig"], num_join_partitions)
+        .groupby("part")
+        .map_groups(bucket_pairs_part, batch_format="pandas")
+    )
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
+    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        est = np.array(
-            [
-                float(np.mean(
-                    np.frombuffer(sa, dtype=np.uint64)
-                    == np.frombuffer(sb, dtype=np.uint64)
-                ))
-                for sa, sb in zip(b["sig_id_a"], b["sig_id_b"])
-            ]
-        )
+        sa = np.frombuffer(b"".join(m["attr_a"]), dtype=np.uint64).reshape(len(m), n_perm)
+        sb = np.frombuffer(b"".join(m["attr_b"]), dtype=np.uint64).reshape(len(m), n_perm)
+        est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pd.DataFrame(
             {
-                "id_a": b["id_a"].to_numpy()[keep],
-                "id_b": b["id_b"].to_numpy()[keep],
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
                 "est_jaccard": est[keep],
             }
         )
 
-    verified = with_ab.map_batches(verify, batch_format="pandas")
+    verified = _gather_verify_pairs(candidates, reps, id_col, "sig", verify_rows)
     clusters = _close_clusters(verified, id_col)
     members = _dup_members(members_ds, id_col)
     return _expand_exact_members(clusters, members, id_col)
@@ -482,43 +626,41 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-class ShingleStage:
-    """Actor-pool stage: sorted-unique shingle set + content hash per doc."""
-
-    def __init__(self, shingle_k: int = 5, id_col: str = "doc_id",
-                 text_col: str = "text") -> None:
-        self.k = shingle_k
-        self.id_col = id_col
-        self.text_col = text_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        blobs, hashes = [], []
-        for text in batch[self.text_col]:
-            blobs.append(char_shingles(text, self.k).tobytes())
-            hashes.append(md5_fingerprint(text))
-        return pd.DataFrame(
-            {self.id_col: batch[self.id_col], "content_hash": hashes,
-             "shingles": blobs}
-        )
+def _shingle_batch(
+    batch: pd.DataFrame, *, shingle_k: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> pd.DataFrame:
+    """Task stage: sorted-unique shingle set + content hash per doc
+    (stateless — plain tasks, no actor pool; see _perm_tables)."""
+    blobs, hashes = [], []
+    for text in batch[text_col]:
+        blobs.append(char_shingles(text, shingle_k).tobytes())
+        hashes.append(md5_fingerprint(text))
+    return pd.DataFrame(
+        {id_col: batch[id_col], "content_hash": hashes, "shingles": blobs}
+    )
 
 
 def ngram_jaccard_dedup(
     docs: rd.Dataset,
     threshold: float = 0.8,
     shingle_k: int = 5,
-    anchor_mod: int = 8,
+    n_anchors: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = 4,  # unused: stages are plain tasks now
     max_bucket_size: int = MAX_BUCKET_SIZE,
-    num_join_partitions: int = 16,
 ) -> pd.DataFrame:
-    """Near-dup clusters by EXACT n-gram Jaccard with anchor-shingle
-    candidate blocking: each doc is indexed under its shingles with
-    hash % anchor_mod == 0 ("anchors", ~1/anchor_mod of shingles); two
-    docs with Jaccard >= t share anchors with overwhelming probability
-    (a pair sharing m shingles misses all anchors with
-    (1-1/anchor_mod)^m).
+    """Near-dup clusters by EXACT n-gram Jaccard with BOTTOM-K SKETCH
+    candidate blocking: each doc is indexed under its n_anchors SMALLEST
+    shingle hashes. By the MinHash argument each bottom anchor of one
+    doc is shared by a Jaccard-J partner with probability ~J, so a pair
+    at threshold 0.9 misses all 8 anchors with ~(1-J)^8 = 1e-8. Unlike
+    mod-sampled anchors ("index every shingle with hash % m == 0"),
+    bottom-k buckets stay SMALL on low-diversity corpora: a globally
+    common shingle is the bottom anchor of few documents, not an index
+    key for most of the corpus (which degenerated into capped buckets
+    and lost recall).
 
     Unlike MinHash-LSH this verifies the TRUE Jaccard (no signature
     estimate). Anchor rows carry only (anchor, doc_id); the shingle
@@ -527,44 +669,60 @@ def ngram_jaccard_dedup(
     Exact collapse + bucket caps as in minhash_lsh_dedup.
     """
     shingled = docs.map_batches(
-        ShingleStage,
-        fn_constructor_kwargs={
-            "shingle_k": shingle_k, "id_col": id_col, "text_col": text_col,
-        },
+        functools.partial(
+            _shingle_batch, shingle_k=shingle_k, id_col=id_col, text_col=text_col,
+        ),
         batch_format="pandas",
-        concurrency=concurrency,
     )
     reps, members_ds = _exact_collapse(shingled, id_col, ["shingles"])
     reps = reps.materialize()
 
     def index_anchors(b: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_anchor = [], []
-        for did, blob in zip(b[id_col], b["shingles"]):
+        ids = b[id_col].to_numpy()  # native dtype: partition hashes must
+        # match the supply side's, so never box ids into object arrays
+        counts = np.zeros(len(b), dtype=np.int64)
+        anchors_all = []
+        for i, blob in enumerate(b["shingles"]):
             sh = np.frombuffer(blob, dtype=np.uint64)
-            anchors = sh[sh % np.uint64(anchor_mod) == 0]
-            for a in anchors.tolist():
-                rows_id.append(did)
-                rows_anchor.append(a)
-        return pd.DataFrame({id_col: rows_id, "anchor": rows_anchor})
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        return _bucket_pairs_frame(
-            ids, max_bucket_size, f"(anchor={g['anchor'].iloc[0]})"
+            anchors = sh[:n_anchors]  # shingles are sorted: bottom-k
+            counts[i] = len(anchors)
+            anchors_all.append(anchors.astype(np.int64))
+        anchor = (
+            np.concatenate(anchors_all) if anchors_all else np.empty(0, np.int64)
+        )
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, counts),
+                "anchor": anchor,
+                "part": anchor % NUM_PARTS,
+            }
         )
 
-    candidates = _distinct_pairs(
-        reps.map_batches(index_anchors, batch_format="pandas")
-        .groupby("anchor")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    ).materialize()
-    with_a = _join_attr(candidates, reps, "id_a", id_col, ["shingles"], num_join_partitions)
-    with_ab = _join_attr(with_a, reps, "id_b", id_col, ["shingles"], num_join_partitions)
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["anchor", id_col], kind="mergesort")
+        starts, ends = _segments(g["anchor"].to_numpy(dtype=np.int64))
+        ids_all = g[id_col].to_numpy()
+        frames = [pd.DataFrame({"id_a": ids_all[:0], "id_b": ids_all[:0]})]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            frames.append(
+                _bucket_pairs_frame(
+                    ids_all[s:e], max_bucket_size, f"(anchor={g['anchor'].iloc[s]})"
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
+    candidates = (
+        reps.map_batches(index_anchors, batch_format="pandas")
+        .groupby("part")
+        .map_groups(bucket_pairs_part, batch_format="pandas")
+    )
+
+    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
         oa, ob, oj = [], [], []
         for a_id, b_id, sa, sb in zip(
-            b["id_a"], b["id_b"], b["shingles_id_a"], b["shingles_id_b"]
+            m["id_a"], m["id_b"], m["attr_a"], m["attr_b"]
         ):
             jac = jaccard(
                 np.frombuffer(sa, dtype=np.uint64), np.frombuffer(sb, dtype=np.uint64)
@@ -575,7 +733,7 @@ def ngram_jaccard_dedup(
                 oj.append(jac)
         return pd.DataFrame({"id_a": oa, "id_b": ob, "jaccard": oj})
 
-    verified = with_ab.map_batches(verify, batch_format="pandas")
+    verified = _gather_verify_pairs(candidates, reps, id_col, "shingles", verify_rows)
     clusters = _close_clusters(verified, id_col)
     members = _dup_members(members_ds, id_col)
     return _expand_exact_members(clusters, members, id_col)
@@ -586,26 +744,22 @@ def ngram_jaccard_dedup(
 # ---------------------------------------------------------------------------
 
 
-class SimHashStage:
-    """Actor-pool stage: 64-bit SimHash + content hash per doc
-    (tokenizer compiled once)."""
-
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
-        self.id_col = id_col
-        self.text_col = text_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps, hashes = [], []
-        for text in batch[self.text_col]:
-            fps.append(simhash64([t for t in WS_RE.split(text.strip()) if t]))
-            hashes.append(md5_fingerprint(text))
-        return pd.DataFrame(
-            {
-                self.id_col: batch[self.id_col],
-                "content_hash": hashes,
-                "simhash": np.array(fps, dtype=np.uint64),
-            }
-        )
+def _simhash_batch(
+    batch: pd.DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    """Task stage: 64-bit SimHash + content hash per doc (the tokenizer
+    regex is compiled at module import; stateless otherwise)."""
+    fps, hashes = [], []
+    for text in batch[text_col]:
+        fps.append(simhash64([t for t in WS_RE.split(text.strip()) if t]))
+        hashes.append(md5_fingerprint(text))
+    return pd.DataFrame(
+        {
+            id_col: batch[id_col],
+            "content_hash": hashes,
+            "simhash": np.array(fps, dtype=np.uint64),
+        }
+    )
 
 
 def simhash_dedup(
@@ -613,7 +767,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = 4,  # unused: stages are plain tasks now
     max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> pd.DataFrame:
     """Near-dup clusters by SimHash: 4x16-bit LSH bands (any pair with
@@ -624,56 +778,71 @@ def simhash_dedup(
     it in the band rows costs less than a re-join; buckets are still
     capped and identical texts collapse before banding."""
     fp_ds = docs.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        functools.partial(_simhash_batch, id_col=id_col, text_col=text_col),
         batch_format="pandas",
-        concurrency=concurrency,
     )
     reps, members_ds = _exact_collapse(fp_ds, id_col, ["simhash"])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, keys, fps = [], [], [], []
-        for did, fp in zip(b[id_col], b["simhash"]):
-            # mask: the fingerprint may arrive int64-wrapped (negative)
-            # after crossing a pandas/Arrow exchange as an object column
-            fp = int(fp) & 0xFFFFFFFFFFFFFFFF
-            for band_i in range(4):
-                ids.append(did)
-                bands.append(band_i)
-                keys.append((fp >> (band_i * 16)) & 0xFFFF)
-                fps.append(fp)
-        return pd.DataFrame(
-            {id_col: ids, "band": bands, "key": keys,
-             "fp": np.array(fps, dtype=np.uint64)}
+        # mask: the fingerprint may arrive int64-wrapped (negative)
+        # after crossing a pandas/Arrow exchange as an object column
+        fp_int = np.array(
+            [int(f) & 0xFFFFFFFFFFFFFFFF for f in b["simhash"]], dtype=np.uint64
         )
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        fps = g["fp"].to_numpy()
-        pairs = _bucket_pairs_frame(
-            ids, max_bucket_size, f"(band={g['band'].iloc[0]}, key={g['key'].iloc[0]})"
-        )
-        if len(pairs) == 0:
-            return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
-        fp_of = dict(zip(ids, fps))
-        h = np.array(
-            [hamming64(int(fp_of[a]), int(fp_of[b]))
-             for a, b in zip(pairs["id_a"], pairs["id_b"])]
-        )
-        keep = h <= max_hamming
+        n = len(b)
+        bands = np.tile(np.arange(4, dtype=np.int64), n)
+        fps = np.repeat(fp_int, 4)
+        keys = (
+            (fps >> (bands.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
+        ).astype(np.int64)
         return pd.DataFrame(
             {
-                "id_a": pairs["id_a"].to_numpy()[keep],
-                "id_b": pairs["id_b"].to_numpy()[keep],
-                "hamming": h[keep],
+                id_col: np.repeat(b[id_col].to_numpy(), 4),
+                "band": bands,
+                "key": keys,
+                "fp": fps,
+                "part": (bands * 65536 + keys) % NUM_PARTS,
+            }
+        )
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "key", id_col], kind="mergesort")
+        comb = g["band"].to_numpy(dtype=np.int64) * 65536 + g["key"].to_numpy(dtype=np.int64)
+        starts, ends = _segments(comb)
+        ids_all = g[id_col].to_numpy()
+        fp_all = g["fp"].to_numpy().astype(np.uint64)
+        acc_a, acc_b, acc_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            pairs = _bucket_pairs_frame(
+                ids_all[s:e], max_bucket_size,
+                f"(band={g['band'].iloc[s]}, key={g['key'].iloc[s]})",
+            )
+            if len(pairs) == 0:
+                continue
+            pos = {d: i for i, d in enumerate(ids_all[s:e])}
+            ii = np.array([pos[a] for a in pairs["id_a"]], dtype=np.int64)
+            jj = np.array([pos[x] for x in pairs["id_b"]], dtype=np.int64)
+            h = _popcount64(fp_all[s:e][ii] ^ fp_all[s:e][jj])
+            keep = h <= max_hamming
+            acc_a.append(pairs["id_a"].to_numpy()[keep])
+            acc_b.append(pairs["id_b"].to_numpy()[keep])
+            acc_h.append(h[keep])
+        if not acc_a:
+            return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(acc_a),
+                "id_b": np.concatenate(acc_b),
+                "hamming": np.concatenate(acc_h).astype(np.int64),
             }
         )
 
     verified = (
         reps.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(verify, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
     )
     clusters = _close_clusters(verified, id_col)
     members = _dup_members(members_ds, id_col)
@@ -714,42 +883,64 @@ def embedding_cosine_dedup(
         unit = vecs / norms
         bits = ((unit @ planes) > 0).astype(np.int64)
         key_int = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-        ids, buckets, rows = [], [], []
-        for i in range(len(b)):
-            base = int(key_int[i])
-            probes = [base] + [base ^ (1 << p) for p in range(n_planes)]
-            for bk in probes:
-                ids.append(b[id_col].iloc[i])
-                buckets.append(bk)
-                rows.append(unit[i].tobytes())
-        return pd.DataFrame({id_col: ids, "bucket": buckets, "unit": rows})
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
-        if len(g) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        ids = g[id_col].to_numpy()
-        mat = np.stack([np.frombuffer(u, dtype=np.float64) for u in g["unit"]])
-        if len(ids) > max_bucket_size:
-            logger.warning(
-                "embedding bucket %s has %d members (> cap %d): chain fallback",
-                g["bucket"].iloc[0], len(ids), max_bucket_size,
-            )
-            cos = np.einsum("ij,ij->i", mat[:-1], mat[1:])
-            keep = cos >= threshold
-            return pd.DataFrame(
-                {"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "cosine": cos[keep]}
-            )
-        cos = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = cos[ii, jj] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cosine": cos[ii, jj][keep]}
+        n = len(b)
+        n_probe = n_planes + 1
+        # probe 0 = the base bucket, probe p>=1 flips plane p-1
+        flips = np.r_[0, 1 << np.arange(n_planes)].astype(np.int64)
+        buckets = (key_int[:, None] ^ flips[None, :]).ravel()
+        units = np.repeat(
+            np.array([u.tobytes() for u in unit], dtype=object), n_probe
         )
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(b[id_col].to_numpy(), n_probe),
+                "bucket": buckets,
+                "unit": units,
+                "part": buckets % NUM_PARTS,
+            }
+        )
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", id_col], kind="mergesort")
+        starts, ends = _segments(g["bucket"].to_numpy(dtype=np.int64))
+        ids_all = g[id_col].to_numpy()
+        units_all = g["unit"].to_numpy(dtype=object)
+        acc = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            mat = np.frombuffer(b"".join(units_all[s:e]), dtype=np.float64).reshape(
+                e - s, -1
+            )
+            if len(ids) > max_bucket_size:
+                logger.warning(
+                    "embedding bucket %s has %d members (> cap %d): chain fallback",
+                    g["bucket"].iloc[s], len(ids), max_bucket_size,
+                )
+                cos = np.einsum("ij,ij->i", mat[:-1], mat[1:])
+                keep = cos >= threshold
+                acc.append(
+                    pd.DataFrame(
+                        {"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "cosine": cos[keep]}
+                    )
+                )
+                continue
+            cos = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = cos[ii, jj] >= threshold
+            acc.append(
+                pd.DataFrame(
+                    {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cosine": cos[ii, jj][keep]}
+                )
+            )
+        if not acc:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        return pd.concat(acc, ignore_index=True)
 
     verified = (
         embeddings.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
     )
     return _close_clusters(verified, id_col)
