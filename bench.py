@@ -114,9 +114,17 @@ def main() -> None:
     # warm the OS page cache (untimed) so we measure compute + shuffle
     rd.read_parquet(f"{sf_dir}/events.parquet").count()
     # warm the Ray worker pool (worker process spawn is a fixed cost that
-    # would otherwise bill the first timed stage)
+    # would otherwise bill the first timed stage); the UDF imports the
+    # library so workers also pay the ctas_ray/pandas import cost here,
+    # not inside the first timed pipeline
+    def _warm(b):
+        import ctas_ray.stages.rollup  # noqa: F401
+        import ctas_ray.study_core  # noqa: F401
+
+        return b
+
     rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _warm, batch_format="pyarrow"
     ).materialize()
 
     timings: dict[str, float] = {}

@@ -21,6 +21,8 @@ import pandas as pd
 
 import ray.data as rd
 
+from ..sources import read_parquet_clean
+
 from ..config import RollupConfig, StudyConfig
 from ..functions.series import feature_autocorr
 from ..sources.transcripts import transcripts_from_events
@@ -38,11 +40,11 @@ def _scaled_int(x: float | np.ndarray, scale: float = 1e6):
 
 
 def _events(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 # ---------------------------------------------------------------------------
@@ -575,7 +577,7 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
             "embedding": planted_vecs,
         }
     )
-    emb = rd.read_parquet(
+    emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).union(rd.from_pandas(planted))
     out = embedding_cosine_dedup(emb, threshold=0.98)
@@ -602,7 +604,7 @@ def topk_similarity(sf_dir: str) -> pd.DataFrame:
     from ..stages.similarity import topk_cosine
 
     qids, qvecs = _query_vectors(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     got = topk_cosine(emb, qids, qvecs, k=TOPK_K + 5, concurrency=2)
     got["cos_e5"] = _scaled_int(got["cosine"].to_numpy(), scale=1e5)
     got = got.sort_values(
@@ -618,7 +620,7 @@ def ivf_topk_similarity(sf_dir: str) -> pd.DataFrame:
     from ..stages.similarity import ivf_topk_cosine
 
     qids, qvecs = _query_vectors(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ivf_topk_cosine(emb, qids, qvecs, k=TOPK_K, n_centroids=8, n_probe=4)
 
 
@@ -629,7 +631,7 @@ def ivf_recall(sf_dir: str) -> pd.DataFrame:
     from ..stages.similarity import ivf_topk_cosine, topk_cosine
 
     qids, qvecs = _query_vectors(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     brute = topk_cosine(emb, qids, qvecs, k=TOPK_K, concurrency=2)
     # n_probe 5/8: the synthetic embeddings are near-isotropic (no real
     # cluster structure), the hardest case for IVF — probing 5 of 8

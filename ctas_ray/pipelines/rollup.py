@@ -33,6 +33,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..sources import read_parquet_clean
+
 from ..config import RollupConfig
 from ..state.manifest import ManifestWriter, load_completed, manifest_entry
 from ..stages.rollup import (
@@ -205,7 +207,7 @@ def run_rollup(
     # per-partition lineage rows emitted by the partition UDFs -> manifest
     pmeta_dir = os.path.join(stage0, "kind=pmeta")
     if f"pmeta:{fp}" not in done and os.path.isdir(pmeta_dir):
-        pm = rd.read_parquet(
+        pm = read_parquet_clean(
             pmeta_dir, columns=["part", "rows_in", "n_convs", "wall_s"]
         ).to_pandas()
         for _, r in pm.iterrows():
@@ -235,13 +237,13 @@ def run_rollup(
         inline_dir = os.path.join(stage0, "kind=tier")
         if os.path.isdir(inline_dir):
             parts.append(
-                rd.read_parquet(
+                read_parquet_clean(
                     inline_dir, columns=TIER_PARTIAL_COLUMNS + ["tier"]
                 ).map_batches(_coerce_partial_types, batch_format="pandas")
             )
         t1_dir = os.path.join(stage0, "kind=t1")
         if os.path.isdir(t1_dir):
-            lower = rd.read_parquet(
+            lower = read_parquet_clean(
                 t1_dir, columns=TIER_PARTIAL_COLUMNS
             ).map_batches(_coerce_partial_types, batch_format="pandas")
             parts.append(_cascade(lower, cfg))
@@ -282,7 +284,7 @@ def run_rollup_events(
 
     from ..stages.rollup import fused_events_rollup
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "props"],
     ).repartition(cfg.salt_buckets)
@@ -423,7 +425,7 @@ def read_tier(
     if end_us is not None:
         upper = pc.field("bucket") < end_us
         flt = upper if flt is None else flt & upper
-    ds = rd.read_parquet(path, columns=TIER_PARTIAL_COLUMNS, filter=flt).map_batches(
+    ds = read_parquet_clean(path, columns=TIER_PARTIAL_COLUMNS, filter=flt).map_batches(
         _coerce_partial_types, batch_format="pandas"
     )
     if derived:

@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from . import read_parquet_clean
+
 from ..schemas import validate_transcripts_schema
 
 __all__ = [
@@ -32,7 +34,7 @@ EVENT_ROLES = ("user", "assistant", "tool")
 
 def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read the canonical transcript Parquet; prune columns at the read."""
-    ds = rd.read_parquet(path, columns=columns)
+    ds = read_parquet_clean(path, columns=columns)
     validate_transcripts_schema(pa.schema(ds.schema().base_schema))
     return ds
 
@@ -94,7 +96,7 @@ def transcripts_from_events(sf_dir: str, salt_buckets: int = 64) -> rd.Dataset:
     hash(user_id) % salt_buckets — same partitioning family as the
     engine's shuffle #1 (conv == user), one vectorized UDF call per
     partition."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     )
@@ -118,7 +120,7 @@ def amplify_events(sf_dir: str, factor: int, salt_buckets: int = 64) -> rd.Datas
     ``factor`` shifted replicas of the events table (user_id offset per
     replica => factor x as many conversations, same per-conversation
     shape). No external data — derived purely from the driver parquet."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     ).repartition(salt_buckets)
