@@ -25,34 +25,28 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-class BruteForceTopK:
-    """Actor-pool stage: the query matrix is fetched ONCE per actor in
-    __init__ (broadcast via ray.put), per-batch work is one matmul."""
-
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str) -> None:
-        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
-        self.query_ids, qmat = q
-        self.qmat = _normalize(qmat.astype(np.float64)).T  # (dim, n_q)
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _normalize(np.stack(batch[self.vec_col].to_numpy()).astype(np.float64))
-        scores = vecs @ self.qmat  # (n_batch, n_q)
-        k = min(self.k, scores.shape[0])
-        # local top-k per query
-        idx = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, n_q)
-        out_q, out_id, out_s = [], [], []
-        ids = batch[self.id_col].to_numpy()
-        for qi, qid in enumerate(self.query_ids):
-            rows = idx[:, qi]
-            out_q.extend([qid] * len(rows))
-            out_id.extend(ids[rows])
-            out_s.extend(scores[rows, qi])
-        return pd.DataFrame(
-            {"query_id": out_q, self.id_col: out_id, "cosine": out_s}
-        )
+def _brute_topk_batch(
+    batch: pd.DataFrame, *, queries_ref, k: int, id_col: str, vec_col: str
+) -> pd.DataFrame:
+    """Task stage: the query matrix is BROADCAST via ray.put once and
+    read per task from the local object store (zero-copy plasma read —
+    effectively free, so no actor pool / per-pipeline actor startup is
+    needed); per-batch work is one matmul + local top-k."""
+    query_ids, qmat = ray.get(queries_ref)
+    qmat = _normalize(qmat.astype(np.float64)).T  # (dim, n_q)
+    vecs = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+    scores = vecs @ qmat  # (n_batch, n_q)
+    k = min(k, scores.shape[0])
+    # local top-k per query
+    idx = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, n_q)
+    out_q, out_id, out_s = [], [], []
+    ids = batch[id_col].to_numpy()
+    for qi, qid in enumerate(query_ids):
+        rows = idx[:, qi]
+        out_q.extend([qid] * len(rows))
+        out_id.extend(ids[rows])
+        out_s.extend(scores[rows, qi])
+    return pd.DataFrame({"query_id": out_q, id_col: out_id, "cosine": out_s})
 
 
 def topk_cosine(
@@ -62,19 +56,20 @@ def topk_cosine(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = 4,  # unused: stage is plain tasks now
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query vector. Returns
     (query_id, vec_id, cosine, rank) with rank 1..k, deterministic
     tie-break by ascending vec_id."""
+    import functools
+
     queries_ref = ray.put((np.asarray(query_ids), np.asarray(query_vectors)))
     candidates = embeddings.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref, "k": k, "id_col": id_col, "vec_col": vec_col,
-        },
+        functools.partial(
+            _brute_topk_batch,
+            queries_ref=queries_ref, k=k, id_col=id_col, vec_col=vec_col,
+        ),
         batch_format="pandas",
-        concurrency=concurrency,
     ).to_pandas()
     # global merge: candidates per query = k * n_blocks (small)
     candidates = candidates.sort_values(
