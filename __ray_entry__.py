@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_blobs": q.codec_blobs,                      # S1 (rows-only)
         # [graft] training-data operators
         "dedup_exact": q.dedup_exact,
+        "curated_corpus": q.curated_corpus,
         "text_stats": q.text_stats,
         "text_quality_counts": q.text_quality_counts,
         "topk_similarity": q.topk_similarity,
@@ -425,6 +426,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
     SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY 1""",
+        "curated_corpus": """
+    WITH stats AS (
+      SELECT doc_id, LENGTH(text) AS n_chars,
+             LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+             LENGTH(regexp_replace(text, '[0-9A-Za-z_ \\t\\n\\f\\r]', '', 'g')) AS n_punct,
+             LEN(LIST_FILTER(regexp_split_to_array(TRIM(text), '\\s+'), x -> x <> '')) AS ws_tokens,
+             md5(text) AS fingerprint
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM stats
+      WHERE n_chars BETWEEN 50 AND 10000
+        AND n_punct * 10 <= n_chars * 3
+        AND n_digits * 10 <= n_chars * 3
+        AND ws_tokens >= 5
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM kept
+    )
+    SELECT doc_id, n_chars, ws_tokens, fingerprint
+    FROM ranked WHERE rn = 1 ORDER BY doc_id""",
         "text_stats": """
     SELECT doc_id, LENGTH(text) AS n_chars,
            LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,

@@ -529,6 +529,19 @@ def text_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def curated_corpus(sf_dir: str) -> pd.DataFrame:
+    """[graft] Corpus curation: integer-exact quality gates (length,
+    punct/digit density, token floor) + exact keep-first dedup — the
+    full training-corpus prep composition, value-exact vs SQL."""
+    from ..stages.curation import curate_documents
+
+    out = curate_documents(_docs(sf_dir)).to_pandas()
+    out = out[["doc_id", "n_chars", "ws_tokens", "fingerprint"]]
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    out["ws_tokens"] = out["ws_tokens"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_clusters(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import minhash_lsh_dedup
 

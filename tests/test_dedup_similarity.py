@@ -237,3 +237,39 @@ class TestMultimodal:
         media = fake_media_table(n=4)
         with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
             extract_media_features(rd.from_arrow(media), strict=True).to_pandas()
+
+
+class TestCuration:
+    def test_quality_gate_and_dedup(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.curation import CurationConfig, curate_documents
+
+        df = _docs_with_dups(docs_pd)
+        maxid = int(docs_pd["doc_id"].max())
+        # plant a too-short and a punctuation-heavy doc
+        bad = pd.DataFrame(
+            {
+                "doc_id": [maxid + 10, maxid + 11],
+                "text": ["tiny", "!!! ??? ;;; ### $$$ %%% &&& *** ((( )))"],
+            }
+        )
+        df = pd.concat([df, bad], ignore_index=True)
+        out = curate_documents(rd.from_pandas(df)).to_pandas()
+        ids = set(out["doc_id"])
+        # quality-gated docs are gone
+        assert maxid + 10 not in ids and maxid + 11 not in ids
+        # exact duplicates keep only the min id
+        id0 = int(docs_pd["doc_id"].iloc[0])
+        assert id0 in ids and maxid + 1 not in ids
+        # no fingerprint appears twice
+        assert out["fingerprint"].is_unique
+
+    def test_dedup_off_keeps_duplicates(self, docs_pd, ray_session):
+        import ray.data as rd
+        from ctas_ray.stages.curation import CurationConfig, curate_documents
+
+        df = _docs_with_dups(docs_pd)
+        out = curate_documents(
+            rd.from_pandas(df), CurationConfig(dedup_exact=False)
+        ).to_pandas()
+        assert not out["fingerprint"].is_unique  # exact dup retained
