@@ -702,10 +702,13 @@ def partition_merge_tiers(part: pd.DataFrame, width_s: int) -> pd.DataFrame:
     f_v = part["first_val"].to_numpy(dtype=np.float64)
     l_ts = part["last_ts"].to_numpy(dtype=np.int64)
     l_v = part["last_val"].to_numpy(dtype=np.float64)
-    # conv/channel -> dense codes for lexsort
-    key_codes = pd.factorize(
-        pd.MultiIndex.from_arrays([conv, chan]).to_flat_index(), sort=True
-    )[0]
+    # conv/channel -> dense codes for lexsort. Factorize each column
+    # separately and combine numerically: building a MultiIndex
+    # materializes a tuple per ROW (the dominant cost of this function),
+    # while per-column factorize only sorts the few unique values.
+    conv_codes, conv_uniq = pd.factorize(conv, sort=True)
+    chan_codes, chan_uniq = pd.factorize(chan, sort=True)
+    key_codes = conv_codes.astype(np.int64) * len(chan_uniq) + chan_codes
     order = np.lexsort((f_ts, bucket, key_codes))
     kc, b = key_codes[order], bucket[order]
     cut = np.r_[True, (kc[1:] != kc[:-1]) | (b[1:] != b[:-1])]
