@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_series", "decode_series", "encode_text_block", "decode_text_block"]
+__all__ = ["encode_series", "encode_series_batch", "decode_series", "encode_text_block", "decode_text_block"]
 
 _MASK64 = (1 << 64) - 1
 
@@ -419,6 +419,254 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
         + v_word.to_bytes(4, "little")
     )
     return head + tb + vb
+
+
+def _seg_pack_stream(
+    kind: str,
+    n_total: int,
+    seg_starts: np.ndarray,
+    seg_len: np.ndarray,
+    enc_mask: np.ndarray,
+    nz: np.ndarray,
+    seg_of_nz: np.ndarray,
+    ctrl_v: np.ndarray,
+    ctrl_w: np.ndarray,
+    pay_v: np.ndarray,
+    pay_w: np.ndarray,
+    first_words: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, bytes]:
+    """Pack ONE stream kind (ts or val) for every encoded segment of a
+    batch into a single buffer, each segment's stream byte-aligned at
+    its own base — one _pack_fields call for the whole batch instead of
+    one per series. Returns (byte_len_by_seg, byte_base_by_seg, buffer);
+    entries for non-encoded segments are 0. Byte-identical per segment
+    to _pack_stream on that segment alone."""
+    S = len(seg_starts)
+    keep = enc_mask[seg_of_nz]
+    nz = nz[keep]
+    seg_of_nz = seg_of_nz[keep]
+    ctrl_v, ctrl_w = ctrl_v[keep], ctrl_w[keep]
+    pay_v, pay_w = pay_v[keep], pay_w[keep]
+
+    total_bits = np.zeros(S, dtype=np.int64)
+    # segments with no nonzero entries: first word + one '0' per point
+    total_bits[enc_mask] = 64 + np.maximum(0, seg_len[enc_mask] - 1)
+
+    m = len(nz)
+    if m:
+        pos_local = nz - seg_starts[seg_of_nz]
+        first_ent = np.r_[True, seg_of_nz[1:] != seg_of_nz[:-1]]
+        gaps = np.empty(m, dtype=np.int64)
+        gaps[1:] = pos_local[1:] - pos_local[:-1] - 1
+        gaps[first_ent] = pos_local[first_ent] - 1
+        stride = gaps + ctrl_w + pay_w
+        cs = np.cumsum(stride)
+        first_idx = np.nonzero(first_ent)[0]
+        base = (cs[first_idx] - stride[first_idx])[
+            np.cumsum(first_ent.astype(np.int64)) - 1
+        ]
+        ends_local = cs - base
+        ctrl_off_local = 64 + ends_local - stride + gaps
+        last_ent = np.r_[first_ent[1:], True]
+        last_idx = np.nonzero(last_ent)[0]
+        segs_with_nz = seg_of_nz[last_idx]
+        total_bits[segs_with_nz] = (
+            64
+            + ends_local[last_idx]
+            + (seg_len[segs_with_nz] - 1 - pos_local[last_idx])
+        )
+
+    byte_len = np.where(enc_mask, (total_bits + 7) >> 3, 0)
+    byte_base = np.r_[0, np.cumsum(byte_len)[:-1]]
+    buf_bytes = int(byte_len.sum())
+    base_bits_by_seg = byte_base * 8
+
+    offs = [base_bits_by_seg[enc_mask]]
+    widths = [np.full(int(enc_mask.sum()), 64, dtype=np.int64)]
+    vals = [first_words[enc_mask]]
+    if m:
+        off_global = base_bits_by_seg[seg_of_nz] + ctrl_off_local
+        tot_w = ctrl_w + pay_w
+        mergeable = tot_w <= 64
+        shift = np.where(mergeable, pay_w, 0).astype(np.uint64)
+        merged_v = (ctrl_v << shift) | np.where(mergeable, pay_v, np.uint64(0))
+        offs.append(off_global[mergeable])
+        widths.append(tot_w[mergeable])
+        vals.append(merged_v[mergeable])
+        nm = ~mergeable
+        if nm.any():
+            offs += [off_global[nm], off_global[nm] + ctrl_w[nm]]
+            widths += [ctrl_w[nm], pay_w[nm]]
+            vals += [ctrl_v[nm], pay_v[nm]]
+    buf = _pack_fields(
+        np.concatenate(offs), np.concatenate(widths), np.concatenate(vals),
+        buf_bytes * 8,
+    )
+    return byte_len, byte_base, buf
+
+
+def encode_series_batch(
+    ts_all: np.ndarray, vals_all: np.ndarray, seg_starts: np.ndarray
+) -> list[bytes]:
+    """Encode MANY series at once: ``ts_all``/``vals_all`` are all the
+    series concatenated, ``seg_starts`` their start indices. Returns one
+    blob per segment, each BYTE-IDENTICAL to ``encode_series`` on that
+    segment's slice (pinned by tests) — but the analysis, classification
+    and bit packing run as single numpy passes over the whole batch, so
+    the per-series fixed cost (~1ms of small-array setup per
+    encode_series call) is paid once per PARTITION. This is the rollup
+    hot path: a partition holds hundreds of 1k-point series, where
+    per-call overhead dominated encode time."""
+    ts_all = np.asarray(ts_all, dtype=np.int64)
+    vals_all = np.asarray(vals_all, dtype=np.float64)
+    n_total = len(ts_all)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    S = len(seg_starts)
+    if S == 0:
+        return []
+    seg_ends = np.r_[seg_starts[1:], n_total]
+    seg_len = seg_ends - seg_starts
+    empty_blob = (0).to_bytes(4, "little") * 3
+    if n_total == 0:
+        return [empty_blob] * S
+
+    tsu = ts_all.view(np.uint64)
+    bits = vals_all.view(np.uint64)
+    ne_starts = seg_starts[seg_len > 0]
+    with np.errstate(over="ignore"):
+        delta = np.empty(n_total, dtype=np.uint64)
+        if n_total:
+            delta[0] = 0
+            delta[1:] = tsu[1:] - tsu[:-1]
+            delta[ne_starts] = 0
+        dod = np.empty(n_total, dtype=np.uint64)
+        if n_total:
+            dod[0] = 0
+            dod[1:] = delta[1:] - delta[:-1]
+            dod[ne_starts] = 0
+        xor = np.empty(n_total, dtype=np.uint64)
+        if n_total:
+            xor[0] = 0
+            xor[1:] = bits[1:] ^ bits[:-1]
+            xor[ne_starts] = 0
+    dod_i = dod.view(np.int64)
+    lead_arr = np.minimum(_clz64(xor), 31)
+    low_isolated = xor & (~xor + np.uint64(1))
+    trail_arr = 63 - _clz64(low_isolated)
+
+    seg_of = np.repeat(np.arange(S, dtype=np.int64), seg_len)
+    is_start = np.zeros(n_total, dtype=bool)
+    is_start[ne_starts] = True
+
+    # per-segment estimated bits (same formulas as _analyze)
+    c_ts = np.select(
+        [is_start, dod_i == 0, (dod_i >= -63) & (dod_i <= 64),
+         (dod_i >= -255) & (dod_i <= 256), (dod_i >= -2047) & (dod_i <= 2048)],
+        [0, 1, 9, 12, 16],
+        default=68,
+    )
+    mlen_pt_est = 64 - lead_arr - trail_arr
+    c_val = np.select(
+        [is_start, xor == 0], [0, 1], default=13 + mlen_pt_est
+    )
+    red_starts = seg_starts[seg_len > 0]
+    ts_bits = np.zeros(S, dtype=np.int64)
+    val_bits = np.zeros(S, dtype=np.int64)
+    if len(red_starts):
+        ts_bits[seg_len > 0] = 64 + np.add.reduceat(c_ts, red_starts)
+        val_bits[seg_len > 0] = 64 + np.add.reduceat(c_val, red_starts)
+
+    ts_raw = ts_bits >= seg_len * 64 * 0.95
+    val_raw = val_bits >= seg_len * 64 * 0.95
+    nonempty = seg_len > 0
+    ts_enc = nonempty & ~ts_raw
+    val_enc = nonempty & ~val_raw
+
+    # ---- ts stream fields over all nonzero dod entries ----
+    nz_t = np.nonzero(dod)[0]
+    seg_t = seg_of[nz_t]
+    d = dod_i[nz_t]
+    cls = np.select(
+        [(d >= -63) & (d <= 64), (d >= -255) & (d <= 256), (d >= -2047) & (d <= 2048)],
+        [0, 1, 2],
+        default=3,
+    )
+    t_len, t_base, t_buf = _seg_pack_stream(
+        "ts", n_total, seg_starts, seg_len, ts_enc,
+        nz_t, seg_t,
+        _TS_CTRL_V[cls], _TS_CTRL_W[cls],
+        (d + _TS_PAY_OFF[cls]).view(np.uint64), _TS_PAY_W[cls],
+        np.where(nonempty, tsu[np.minimum(seg_starts, max(n_total - 1, 0))], 0),
+    )
+
+    # ---- val stream fields: block-window policy with per-segment
+    # ordinal reset (each block lies inside one segment) ----
+    nz_v = np.nonzero(xor)[0]
+    seg_v = seg_of[nz_v]
+    mv = len(nz_v)
+    if mv:
+        first_ent_v = np.r_[True, seg_v[1:] != seg_v[:-1]]
+        ent_base = np.nonzero(first_ent_v)[0][
+            np.cumsum(first_ent_v.astype(np.int64)) - 1
+        ]
+        ordv = np.arange(mv, dtype=np.int64) - ent_base
+        is_blk = (ordv % VAL_WINDOW_BLOCK) == 0
+        blk_starts = np.nonzero(is_blk)[0]
+        leads = lead_arr[nz_v]
+        trails = trail_arr[nz_v]
+        blk_lead = np.minimum.reduceat(leads, blk_starts)
+        blk_trail = np.minimum.reduceat(trails, blk_starts)
+        blk_mlen = 64 - blk_lead - blk_trail
+        blk_id = np.cumsum(is_blk.astype(np.int64)) - 1
+        mlen_pt = blk_mlen[blk_id]
+        head_v = (
+            np.uint64(0b11 << 11)
+            | (blk_lead[blk_id].astype(np.uint64) << np.uint64(6))
+            | (mlen_pt - 1).astype(np.uint64)
+        )
+        v_ctrl_v = np.where(is_blk, head_v, np.uint64(0b10))
+        v_ctrl_w = np.where(is_blk, 13, 2).astype(np.int64)
+        v_pay_w = mlen_pt.astype(np.int64)
+        v_pay_v = xor[nz_v] >> blk_trail[blk_id].astype(np.uint64)
+    else:
+        v_ctrl_v = np.empty(0, dtype=np.uint64)
+        v_ctrl_w = np.empty(0, dtype=np.int64)
+        v_pay_v = np.empty(0, dtype=np.uint64)
+        v_pay_w = np.empty(0, dtype=np.int64)
+    v_len, v_base, v_buf = _seg_pack_stream(
+        "val", n_total, seg_starts, seg_len, val_enc,
+        nz_v, seg_v, v_ctrl_v, v_ctrl_w, v_pay_v, v_pay_w,
+        np.where(nonempty, bits[np.minimum(seg_starts, max(n_total - 1, 0))], 0),
+    )
+
+    # ---- assemble per-segment blobs ----
+    out: list[bytes] = []
+    for s in range(S):
+        n_s = int(seg_len[s])
+        if n_s == 0:
+            out.append(empty_blob)
+            continue
+        a, b = int(seg_starts[s]), int(seg_ends[s])
+        if ts_raw[s]:
+            tb = ts_all[a:b].tobytes()
+            t_word = len(tb) | _RAW_FLAG
+        else:
+            tb = t_buf[int(t_base[s]) : int(t_base[s]) + int(t_len[s])]
+            t_word = int(t_len[s])
+        if val_raw[s]:
+            vb = vals_all[a:b].tobytes()
+            v_word = len(vb) | _RAW_FLAG
+        else:
+            vb = v_buf[int(v_base[s]) : int(v_base[s]) + int(v_len[s])]
+            v_word = int(v_len[s])
+        out.append(
+            n_s.to_bytes(4, "little")
+            + t_word.to_bytes(4, "little")
+            + v_word.to_bytes(4, "little")
+            + tb
+            + vb
+        )
+    return out
 
 
 def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:

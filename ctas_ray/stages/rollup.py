@@ -30,7 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.codec import decode_series, encode_series
+from ..functions.codec import decode_series, encode_series, encode_series_batch
 
 __all__ = [
     "extract_channels",
@@ -488,33 +488,45 @@ def partition_rollup(
                             partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
                         )
         if with_codec:
-            # per-segment encode over REAL rows (NaNs kept in the series)
+            # batch encode over REAL rows (NaNs kept in the series): rows
+            # are segment-sorted, so the real-row subset preserves the
+            # segment grouping and ONE encode_series_batch call handles
+            # every series of the partition (per-call fixed cost paid
+            # once, not once per conv-chunk)
+            idx_real = np.nonzero(real)[0]
+            real_counts = np.add.reduceat(real.astype(np.int64), seg_starts)
+            kept = np.nonzero(real_counts > 0)[0]
             rows_conv, rows_chan, rows_chunk, rows_n = [], [], [], []
             rows_blob, rows_f, rows_l, rows_ok = [], [], [], []
-            seg_ends = np.r_[seg_starts[1:], n]
-            for si, (s, e) in enumerate(zip(seg_starts, seg_ends)):
-                rmask = real[s:e]
-                if not rmask.any():
-                    continue
-                idx = np.nonzero(rmask)[0] + s
-                ts_seg = ts[idx]
-                v_seg = values[idx]
-                blob = encode_series(ts_seg, v_seg)
-                ok_flag = True
+            if len(kept):
+                ts_real = ts[idx_real]
+                v_real = values[idx_real]
+                kept_counts = real_counts[kept]
+                kept_starts = np.r_[0, np.cumsum(kept_counts)[:-1]]
+                kept_ends = kept_starts + kept_counts
+                blobs = encode_series_batch(ts_real, v_real, kept_starts)
+                first_idx = idx_real[kept_starts]
+                rows_conv = list(conv_by_seg[kept])
+                rows_chan = [channel] * len(kept)
+                rows_chunk = chunk[first_idx].astype(np.int64).tolist()
+                rows_n = kept_counts.astype(np.int64).tolist()
+                rows_blob = blobs
+                rows_f = ts_real[kept_starts].astype(np.int64).tolist()
+                rows_l = ts_real[kept_ends - 1].astype(np.int64).tolist()
                 if verify_roundtrip:
-                    ts2, v2 = decode_series(blob)
-                    ok_flag = bool(
-                        np.array_equal(ts2, ts_seg)
-                        and np.array_equal(v2.view(np.uint64), v_seg.view(np.uint64))
-                    )
-                rows_conv.append(conv_by_seg[si])
-                rows_chan.append(channel)
-                rows_chunk.append(int(chunk[idx[0]]))
-                rows_n.append(len(idx))
-                rows_blob.append(blob)
-                rows_f.append(int(ts_seg[0]))
-                rows_l.append(int(ts_seg[-1]))
-                rows_ok.append(ok_flag)
+                    rows_ok = []
+                    for ki in range(len(kept)):
+                        s0, e0 = kept_starts[ki], kept_ends[ki]
+                        ts2, v2 = decode_series(blobs[ki])
+                        rows_ok.append(bool(
+                            np.array_equal(ts2, ts_real[s0:e0])
+                            and np.array_equal(
+                                v2.view(np.uint64),
+                                v_real[s0:e0].view(np.uint64),
+                            )
+                        ))
+                else:
+                    rows_ok = [True] * len(kept)
             if rows_conv:
                 frames.append(
                     pd.DataFrame(

@@ -152,3 +152,50 @@ class TestPerStreamRaw:
             for _ in range(3)
         )
         assert n / best > 1_000_000, f"{n/best:.0f} pts/s"
+
+
+class TestBatchEncode:
+    def test_batch_byte_identical_to_single(self):
+        import numpy as np
+        from ctas_ray.functions.codec import encode_series, encode_series_batch
+
+        rng = np.random.default_rng(42)
+
+        def rand_series(kind, n):
+            if kind == 0:  # regular
+                ts = (np.arange(n) * 60_000_000 + int(rng.integers(0, 10**12))).astype(np.int64)
+                v = np.round(np.sin(np.arange(n) / 50), 2) * 100
+            elif kind == 1:  # incompressible
+                ts = np.cumsum(rng.integers(1, 10**9, n)).astype(np.int64)
+                v = rng.normal(size=n)
+            elif kind == 2:  # constant
+                ts = (np.arange(n) * 1000).astype(np.int64)
+                v = np.full(n, 7.25)
+            elif kind == 3:  # NaN / -0.0 / denormal / inf mix
+                ts = np.cumsum(rng.integers(1, 10**6, n)).astype(np.int64)
+                v = rng.choice([np.nan, -0.0, 5e-324, 1.5, np.inf, -np.inf], size=n)
+            else:  # mixed compressibility
+                ts = np.cumsum(rng.integers(1, 3000, n)).astype(np.int64)
+                v = np.where(rng.random(n) < 0.7, 3.5, rng.normal(size=n))
+            return ts, np.asarray(v, dtype=np.float64)
+
+        for trial in range(10):
+            S = int(rng.integers(1, 30))
+            series = [rand_series(int(rng.integers(0, 5)), int(rng.integers(1, 300)))
+                      for _ in range(S)]
+            ts_all = np.concatenate([t for t, _ in series])
+            v_all = np.concatenate([v for _, v in series])
+            starts = np.r_[0, np.cumsum([len(t) for t, _ in series])[:-1]].astype(np.int64)
+            blobs = encode_series_batch(ts_all, v_all, starts)
+            for i, (t, v) in enumerate(series):
+                assert blobs[i] == encode_series(t, v), f"trial {trial} series {i}"
+
+    def test_batch_edge_cases(self):
+        import numpy as np
+        from ctas_ray.functions.codec import encode_series, encode_series_batch
+
+        # single one-point segment
+        b = encode_series_batch(np.array([5], dtype=np.int64), np.array([1.0]), np.array([0]))
+        assert b[0] == encode_series(np.array([5], dtype=np.int64), np.array([1.0]))
+        # empty batch
+        assert encode_series_batch(np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64)) == []
