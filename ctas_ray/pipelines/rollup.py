@@ -239,13 +239,13 @@ def run_rollup(
             parts.append(
                 read_parquet_clean(
                     inline_dir, columns=TIER_PARTIAL_COLUMNS + ["tier"]
-                ).map_batches(_coerce_partial_types, batch_format="pandas")
+                ).map_batches(_coerce_partial_types, batch_format="pyarrow")
             )
         t1_dir = os.path.join(stage0, "kind=t1")
         if os.path.isdir(t1_dir):
             lower = read_parquet_clean(
                 t1_dir, columns=TIER_PARTIAL_COLUMNS
-            ).map_batches(_coerce_partial_types, batch_format="pandas")
+            ).map_batches(_coerce_partial_types, batch_format="pyarrow")
             parts.append(_cascade(lower, cfg))
         cascade = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
         t0 = time.perf_counter()
@@ -260,6 +260,20 @@ def run_rollup(
 
 
 def _coerce_partial_types(b):
+    """Normalize partial dtypes after a parquet round-trip. Accepts an
+    Arrow table (zero-copy casts, the hot tier-copy path) or a pandas
+    frame (legacy callers)."""
+    if isinstance(b, pa.Table):
+        target = {
+            **{c: pa.int64() for c in ("bucket", "count", "first_ts", "last_ts")},
+            **{c: pa.float64() for c in ("sum", "min", "max", "sumsq",
+                                          "first_val", "last_val")},
+        }
+        for col, typ in target.items():
+            i = b.schema.get_field_index(col)
+            if i >= 0 and b.schema.field(i).type != typ:
+                b = b.set_column(i, col, pc.cast(b[col], typ))
+        return b
     import numpy as _np
 
     for col in ("bucket", "count", "first_ts", "last_ts"):
@@ -426,7 +440,7 @@ def read_tier(
         upper = pc.field("bucket") < end_us
         flt = upper if flt is None else flt & upper
     ds = read_parquet_clean(path, columns=TIER_PARTIAL_COLUMNS, filter=flt).map_batches(
-        _coerce_partial_types, batch_format="pandas"
+        _coerce_partial_types, batch_format="pyarrow"
     )
     if derived:
         ds = ds.map_batches(with_derived_stats, batch_format="pyarrow")

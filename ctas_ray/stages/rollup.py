@@ -768,14 +768,11 @@ def partition_cascade(
 
 def add_conv_salt(batch: pd.DataFrame, salt_buckets: int) -> pd.DataFrame:
     """Attach the conv-keyed salt column for the tier-merge exchange
-    (all chunks/partials of one conversation land in one partition)."""
-    import zlib
-
-    batch["part"] = np.fromiter(
-        (zlib.crc32(str(c).encode()) % salt_buckets for c in batch["conv_id"]),
-        dtype=np.int64,
-        count=len(batch),
-    )
+    (all chunks/partials of one conversation land in one partition).
+    Vectorized hash — any deterministic conv_id -> bucket map works
+    here (partition-invariance of the merge is pinned by tests)."""
+    h = pd.util.hash_array(batch["conv_id"].to_numpy())
+    batch["part"] = (h % np.uint64(salt_buckets)).astype(np.int64)
     return batch
 
 
