@@ -173,7 +173,23 @@ def run_rollup(
     paths: dict[str, str] = {}
 
     def _record(name: str, path: str, wall: float) -> None:
-        n = rd.read_parquet(path).count()
+        # row count straight from parquet footers: no Ray plan execution
+        # (driver-serial cost matters at small per-core workloads)
+        import pyarrow.parquet as pq
+
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _rows(f: str) -> int:
+            return pq.ParquetFile(f).metadata.num_rows
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            n = sum(pool.map(_rows, files))
         nbytes = sum(
             os.path.getsize(os.path.join(root, f))
             for root, _, files in os.walk(path)
@@ -196,7 +212,12 @@ def run_rollup(
         if grouped is None:
             grouped = _stage0(transcripts, cfg, verify_roundtrip)
         t0 = time.perf_counter()
-        grouped.write_parquet(stage0, partition_cols=["kind"])
+        # partitioned by (kind, tier): inline-cascaded tier rows land in
+        # their final tier layout IMMEDIATELY (kind=tier/tier=1m ...) so
+        # the tiers step below never copies them — it only cascades the
+        # (few) multi-chunk t1 leftovers. Non-tier kinds get the hive
+        # null partition dir, which readers prune via columns=.
+        grouped.write_parquet(stage0, partition_cols=["kind", "tier"])
         _record("stage0", stage0, time.perf_counter() - t0)
     paths["blobs"] = os.path.join(stage0, "kind=blob")
     paths["stage0"] = stage0
@@ -207,53 +228,63 @@ def run_rollup(
     # per-partition lineage rows emitted by the partition UDFs -> manifest
     pmeta_dir = os.path.join(stage0, "kind=pmeta")
     if f"pmeta:{fp}" not in done and os.path.isdir(pmeta_dir):
-        pm = read_parquet_clean(
-            pmeta_dir, columns=["part", "rows_in", "n_convs", "wall_s"]
+        import pyarrow.parquet as pq
+
+        pmeta_files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(pmeta_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        pm = pa.concat_tables(
+            [
+                pq.read_table(f, columns=["part", "rows_in", "n_convs", "wall_s"])
+                for f in pmeta_files
+            ]
         ).to_pandas()
-        for _, r in pm.iterrows():
-            writer.append.remote(
-                manifest_entry(
-                    partition_id=f"part{int(r['part'])}:{fp}",
-                    rows_in=int(r["rows_in"]),
-                    rows_out=int(r["rows_in"]),
-                    nbytes=0,
-                    wall_s=float(r["wall_s"]),
-                    fingerprint=fp,
-                    extra={"n_convs": int(r["n_convs"]), "stage": "stage0"},
-                )
+        entries = [
+            manifest_entry(
+                partition_id=f"part{int(r.part)}:{fp}",
+                rows_in=int(r.rows_in),
+                rows_out=int(r.rows_in),
+                nbytes=0,
+                wall_s=float(r.wall_s),
+                fingerprint=fp,
+                extra={"n_convs": int(r.n_convs), "stage": "stage0"},
             )
-        writer.append.remote(
+            for r in pm.itertuples()
+        ]
+        entries.append(
             manifest_entry(
                 partition_id=f"pmeta:{fp}", rows_in=len(pm), rows_out=len(pm),
                 nbytes=0, wall_s=0.0, fingerprint=fp,
             )
         )
+        writer.append_many.remote(entries)
 
-    # --- tiers: inline-cascaded rows straight from stage0, plus the
-    # merge exchange over the (few) multi-chunk conversation partials ---
+    # --- tiers: inline-cascaded rows ALREADY sit tier-partitioned under
+    # stage0/kind=tier; only the (few) multi-chunk conversation partials
+    # go through the merge exchange, into tiers/ ---
     tiers_dir = os.path.join(out_dir, "tiers")
     if f"tiers:{fp}" not in done:
-        parts = []
-        inline_dir = os.path.join(stage0, "kind=tier")
-        if os.path.isdir(inline_dir):
-            parts.append(
-                read_parquet_clean(
-                    inline_dir, columns=TIER_PARTIAL_COLUMNS + ["tier"]
-                ).map_batches(_coerce_partial_types, batch_format="pyarrow")
-            )
         t1_dir = os.path.join(stage0, "kind=t1")
+        t0 = time.perf_counter()
         if os.path.isdir(t1_dir):
             lower = read_parquet_clean(
                 t1_dir, columns=TIER_PARTIAL_COLUMNS
             ).map_batches(_coerce_partial_types, batch_format="pyarrow")
-            parts.append(_cascade(lower, cfg))
-        cascade = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
-        t0 = time.perf_counter()
-        cascade.write_parquet(tiers_dir, partition_cols=["tier"])
-        _record("tiers", tiers_dir, time.perf_counter() - t0)
+            _cascade(lower, cfg).write_parquet(tiers_dir, partition_cols=["tier"])
+            _record("tiers", tiers_dir, time.perf_counter() - t0)
+        else:
+            # nothing to merge: every conversation was inline-cascaded in
+            # stage0 — record the inline tier partition as the tiers step
+            _record(
+                "tiers", os.path.join(stage0, "kind=tier"),
+                time.perf_counter() - t0,
+            )
     for width in cfg.tiers_s:
-        paths[f"tier_{tier_name(width)}"] = os.path.join(
-            tiers_dir, f"tier={tier_name(width)}"
+        paths[f"tier_{tier_name(width)}"] = _tier_paths(
+            out_dir, tier_name(width)
         )
     ray.get(writer.flush.remote())
     return paths
@@ -298,10 +329,14 @@ def run_rollup_events(
 
     from ..stages.rollup import fused_events_rollup
 
+    # override_num_blocks splits the read itself into salt_buckets
+    # blocks (parallel replicate/add_part) WITHOUT a repartition
+    # exchange — the downstream groupby re-keys everything anyway
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "props"],
-    ).repartition(cfg.salt_buckets)
+        override_num_blocks=cfg.salt_buckets,
+    )
     if amplify > 1:
         max_user = 10_000_000
 
@@ -386,10 +421,12 @@ def apply_retention(
         if max_age_s is None:
             continue
         cutoff = now_us - int(max_age_s * 1_000_000)
-        tdir = os.path.join(out_dir, "tiers", f"tier={tier.removeprefix('tier_')}")
-        if not os.path.isdir(tdir):
-            continue
-        for fname in sorted(os.listdir(tdir)):
+        tier_files = [
+            (tdir, fname)
+            for tdir in _tier_paths(out_dir, tier.removeprefix("tier_"))
+            for fname in sorted(os.listdir(tdir))
+        ]
+        for tdir, fname in tier_files:
             fpath = os.path.join(tdir, fname)
             if not fname.endswith(".parquet"):
                 continue
@@ -416,6 +453,17 @@ def apply_retention(
     return deleted
 
 
+def _tier_paths(out_dir: str, name: str) -> list[str]:
+    """Existing directories holding a tier's rows: the stage0 inline
+    partition plus the multi-chunk merge output (either may be absent —
+    e.g. the events path usually has no multi-chunk leftovers)."""
+    cands = [
+        os.path.join(out_dir, "stage0", "kind=tier", f"tier={name}"),
+        os.path.join(out_dir, "tiers", f"tier={name}"),
+    ]
+    return [p for p in cands if os.path.isdir(p)]
+
+
 def read_tier(
     out_dir: str,
     tier: str,
@@ -432,7 +480,7 @@ def read_tier(
     storage (half-open [start, end))."""
     import pyarrow.compute as pc
 
-    path = os.path.join(out_dir, "tiers", f"tier={tier.removeprefix('tier_')}")
+    path = _tier_paths(out_dir, tier.removeprefix("tier_"))
     flt = None
     if start_us is not None:
         flt = pc.field("bucket") >= start_us

@@ -64,6 +64,12 @@ class ManifestWriter:
         self._seen.add(entry["partition_id"])
         self._fh.write(json.dumps(entry) + "\n")
 
+    def append_many(self, entries: list[dict[str, Any]]) -> None:
+        """One actor call for a batch of entries (driver-serial actor
+        round-trips matter at small per-core workloads)."""
+        for e in entries:
+            self.append(e)
+
     def flush(self) -> int:
         self._fh.flush()
         os.fsync(self._fh.fileno())

@@ -33,7 +33,9 @@ class TestCLI:
         )
         assert res.returncode == 0, res.stderr[-2000:]
         paths = json.loads(res.stdout.strip().splitlines()[-1])
-        assert os.path.isdir(paths["tier_1m"]) and os.path.isdir(paths["blobs"])
+        # tier paths are LISTS of dirs (stage0 inline + merge output)
+        assert all(os.path.isdir(p) for p in paths["tier_1m"])
+        assert os.path.isdir(paths["blobs"])
         res2 = subprocess.run(
             [sys.executable, "-m", "ctas_ray", "retain", "--out", out_dir,
              "--tier", "tier_1m:1", "--now-us", "9999999999999999"],

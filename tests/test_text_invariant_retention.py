@@ -94,7 +94,7 @@ class TestResumeWithoutInput:
                 fh.write(json.dumps(e) + "\n")
         import shutil
 
-        shutil.rmtree(os.path.join(out, "tiers"))
+        shutil.rmtree(os.path.join(out, "tiers"), ignore_errors=True)
         # resume WITHOUT the input dataset
         paths2 = run_rollup(None, out, cfg, transcripts_path="fp1")
         t1d_after = rd.read_parquet(paths2["tier_1d"]).to_pandas()
@@ -147,7 +147,9 @@ class TestRetention:
         import pyarrow.parquet as pq
         import pyarrow as pa
 
-        tdir = os.path.join(out, "tiers", "tier=1m")
+        from ctas_ray.pipelines.rollup import _tier_paths
+
+        tdir = _tier_paths(out, "1m")[0]  # inline rows live under stage0
         files = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
         tbl = pa.concat_tables([pq.read_table(os.path.join(tdir, f)) for f in files])
         for f in files:
