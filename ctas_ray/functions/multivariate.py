@@ -33,16 +33,20 @@ def r_dist_euclidean(wide: np.ndarray) -> np.ndarray:
     x = np.asarray(wide, dtype=np.float64)
     n, p = x.shape
     valid = ~np.isnan(x)
-    x0 = np.where(valid, x, 0.0)
-    # squared diffs over valid pairs: (xi - xj)^2 summed where both valid
-    # computed via blocked broadcasting to keep it simple; n is small here
-    d2 = np.zeros((n, n))
-    cnt = np.zeros((n, n))
-    for i in range(n):
-        both = valid[i][None, :] & valid  # (n, p)
-        diff = np.where(both, x0[i][None, :] - x0, 0.0)
-        d2[i] = (diff * diff).sum(axis=1)
-        cnt[i] = both.sum(axis=1)
+    # column-center first (distances are translation-invariant): the
+    # matmul decomposition below loses precision when |x| >> |xi - xj|
+    with np.errstate(all="ignore"):
+        mu = np.where(valid, x, 0.0).sum(axis=0) / np.maximum(valid.sum(axis=0), 1)
+    x0 = np.where(valid, x - mu[None, :], 0.0)
+    # sum over both-valid c of (xi_c - xj_c)^2
+    #   = sum xi^2*valid_j + sum xj^2*valid_i - 2 sum xi*xj
+    # (x0 is zero at invalid coordinates, so each term self-masks) —
+    # three BLAS matmuls instead of a Python loop over rows
+    v = valid.astype(np.float64)
+    sq = x0 * x0
+    d2 = sq @ v.T + v @ sq.T - 2.0 * (x0 @ x0.T)
+    np.maximum(d2, 0.0, out=d2)  # clamp matmul round-off
+    cnt = v @ v.T
     with np.errstate(all="ignore"):
         out = np.sqrt(d2 * (p / cnt))
     out[cnt == 0] = np.nan

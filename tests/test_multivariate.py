@@ -153,3 +153,37 @@ class TestPCA:
         e2 = centered @ v[:, order[1]]
         assert np.allclose(np.abs(pc1), np.abs(e1), atol=1e-8)
         assert np.allclose(np.abs(pc2), np.abs(e2), atol=1e-8)
+
+
+def test_r_dist_matmul_equals_literal_loop():
+    """The matmul decomposition must match the literal per-row
+    (xi - xj)^2 formulation of R's NA-rescaled dist to 1e-9."""
+    import numpy as np
+    from ctas_ray.functions.multivariate import r_dist_euclidean
+
+    def loop_ref(wide):
+        x = np.asarray(wide, dtype=np.float64)
+        n, p = x.shape
+        valid = ~np.isnan(x)
+        x0 = np.where(valid, x, 0.0)
+        d2 = np.zeros((n, n))
+        cnt = np.zeros((n, n))
+        for i in range(n):
+            both = valid[i][None, :] & valid
+            diff = np.where(both, x0[i][None, :] - x0, 0.0)
+            d2[i] = (diff * diff).sum(axis=1)
+            cnt[i] = both.sum(axis=1)
+        with np.errstate(all="ignore"):
+            out = np.sqrt(d2 * (p / cnt))
+        out[cnt == 0] = np.nan
+        np.fill_diagonal(out, 0.0)
+        return out
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        n, p = int(rng.integers(2, 200)), int(rng.integers(1, 30))
+        x = rng.normal(100, 5, (n, p))  # large offset stresses cancellation
+        x[rng.random((n, p)) < 0.3] = np.nan
+        np.testing.assert_allclose(
+            r_dist_euclidean(x), loop_ref(x), rtol=1e-9, atol=1e-9, equal_nan=True
+        )
