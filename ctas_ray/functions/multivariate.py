@@ -106,17 +106,33 @@ def own_site_similarity(
     n = dist.shape[0]
     sites = np.asarray(sites)
     out = np.full(n, np.nan)
+    if n <= 1:
+        return out
     # sites with more than one subject in this series
-    uniq, counts = np.unique(sites, return_counts=True)
-    multi = set(uniq[counts > 1].tolist())
-    for i in range(n):
-        if sites[i] not in multi:
-            continue
-        mask = np.ones(n, dtype=bool)
-        mask[i] = False
-        distances = dist[i][mask]
-        same_site = (sites[mask] == sites[i]).astype(np.float64)
-        out[i] = auroc(distances, same_site)
+    uniq, inv, counts = np.unique(sites, return_inverse=True, return_counts=True)
+    n2 = counts[inv] - 1.0  # same-site others per subject
+    eligible = n2 >= 1
+    if not eligible.any():
+        return out
+    # Vectorized over ALL subjects at once: rank(-dist) per row with
+    # average ties (pandas C kernel; the diagonal is NaN so each row
+    # ranks exactly its n-1 "other" subjects, like the per-subject
+    # reference formula), then the AUROC U-statistic via the rank-sum
+    # identity: sum of different-site ranks = total - same-site sum.
+    import pandas as pd
+
+    negd = -np.asarray(dist, dtype=np.float64)
+    np.fill_diagonal(negd, np.nan)
+    ranks = pd.DataFrame(negd).rank(axis=1, method="average").to_numpy()
+    same = inv[:, None] == inv[None, :]
+    np.fill_diagonal(same, False)
+    same_sum = np.where(same, ranks, 0.0).sum(axis=1)
+    total = (n - 1) * n / 2.0  # row rank sum (ties preserve the total)
+    n1 = (n - 1) - n2  # different-site others
+    with np.errstate(all="ignore"):
+        u = (total - same_sum) - n1 * (n1 + 1) / 2.0
+        res = 1.0 - u / n1 / n2  # identical float order to stats.auroc
+    out[eligible] = res[eligible]
     return out
 
 

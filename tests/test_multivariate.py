@@ -187,3 +187,41 @@ def test_r_dist_matmul_equals_literal_loop():
         np.testing.assert_allclose(
             r_dist_euclidean(x), loop_ref(x), rtol=1e-9, atol=1e-9, equal_nan=True
         )
+
+
+def test_own_site_vectorized_equals_per_subject_auroc():
+    """The rank-sum identity path must match the literal per-subject
+    auroc loop exactly, including ties and singleton-site NaNs."""
+    import numpy as np
+    from ctas_ray.functions.multivariate import own_site_similarity
+    from ctas_ray.functions.stats import auroc
+
+    def loop_ref(dist, sites):
+        n = dist.shape[0]
+        sites = np.asarray(sites)
+        out = np.full(n, np.nan)
+        uniq, counts = np.unique(sites, return_counts=True)
+        multi = set(uniq[counts > 1].tolist())
+        for i in range(n):
+            if sites[i] not in multi:
+                continue
+            mask = np.ones(n, dtype=bool)
+            mask[i] = False
+            out[i] = auroc(
+                dist[i][mask], (sites[mask] == sites[i]).astype(np.float64)
+            )
+        return out
+
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        n = int(rng.integers(2, 120))
+        d = np.abs(rng.normal(0, 1, (n, n)))
+        d = (d + d.T) / 2
+        np.fill_diagonal(d, 0.0)
+        if n > 6:  # plant ties
+            d[0, 1] = d[1, 0] = d[2, 3] = d[3, 2] = 0.5
+        sites = rng.integers(0, max(2, n // 4), n).astype(str)
+        np.testing.assert_allclose(
+            own_site_similarity(d, sites), loop_ref(d, sites),
+            rtol=1e-12, equal_nan=True,
+        )
