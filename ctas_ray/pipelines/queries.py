@@ -812,6 +812,35 @@ def study_screen_features_exact(sf_dir: str) -> pd.DataFrame:
     return f.sort_values(["timeseries_id", "subject_id", "feature"]).reset_index(drop=True)
 
 
+def transcript_screen_iqr_sitescores(sf_dir: str) -> pd.DataFrame:
+    """[flagship composition, hash-verified] The anomaly screen OVER
+    transcripts: events -> transcript derivation -> per-conversation
+    channel measurements (text_len + inter-turn latency) -> planning ->
+    features -> IQR site signals, end-to-end value-exact vs a DuckDB
+    oracle that re-derives the whole chain in SQL (mod-12 sites, SQL
+    feature set, avg_feat_value scoring, jitter off)."""
+    from .transcript_screen import screen_transcripts
+
+    tx = transcripts_from_events(sf_dir)
+    out = screen_transcripts(
+        tx,
+        cfg=StudyConfig(
+            features=SQL_SCREEN_FEATURES,
+            max_share_missing=SQL_SCREEN_MSM,
+            site_scoring_method="avg_feat_value",
+            ks_jitter_sd=0.0,
+        ),
+        n_sites=12,
+        site_mode="mod",
+    )
+    s = out["site_scores"]
+    if s is None or len(s) == 0:
+        return pd.DataFrame(columns=["timeseries_id", "feature", "entity", "is_signal"])
+    s = s.copy()
+    s["is_signal"] = s["is_signal"].astype(np.int64)
+    return s.sort_values(["timeseries_id", "feature", "entity"]).reset_index(drop=True)
+
+
 def study_screen_iqr_sitescores(sf_dir: str) -> pd.DataFrame:
     """Flagship screen with site_scoring_method='avg_feat_value'
     (R/ctas.R:243-251, 1251-1275): site means -> type-7 IQR fences ->

@@ -958,8 +958,10 @@ def _run_vector_mode(
     # membership routing: broadcast the per-subject masks when small,
     # hash-join them onto the measurements when large (no driver-side
     # per-row loops on either path; the join path never collects
-    # membership to the driver at all)
-    membership = membership.materialize()
+    # membership to the driver at all). The repartition merges away the
+    # schemaless EMPTY blocks that unused salt partitions emit — Ray's
+    # join aggregator rejects columnless blocks.
+    membership = membership.repartition(16).materialize()
     n_members = membership.count()
     use_member_join = (
         decorate_with_join
@@ -994,7 +996,12 @@ def _run_vector_mode(
                 }
             )
 
-        joined = data.map_batches(_narrow, batch_format="pandas").join(
+        # repartition before the join: upstream salted groupbys emit
+        # EMPTY blocks with no schema for unused salt partitions, and
+        # Ray's join aggregator rejects columnless blocks ("No match
+        # ... FieldRef parameter_id"); the block merge erases them
+        narrow = data.map_batches(_narrow, batch_format="pandas").repartition(16)
+        joined = narrow.join(
             membership,
             join_type="inner",
             num_partitions=16,
@@ -1113,10 +1120,12 @@ def _finish_study(
             )
         n_parts = 16
         # left outer: features keep subjects missing from the subjects
-        # table (R/ctas.R:177-180); scoring filters them out below
-        joined = feat_ds.join(
-            subjects_ds, join_type="left_outer", num_partitions=n_parts,
-            on=("subject_id",),
+        # table (R/ctas.R:177-180); scoring filters them out below.
+        # Both sides repartition first: salted groupbys upstream emit
+        # schemaless EMPTY blocks that the join aggregator rejects.
+        joined = feat_ds.repartition(n_parts).join(
+            subjects_ds.repartition(n_parts), join_type="left_outer",
+            num_partitions=n_parts, on=("subject_id",),
         )
         small = {
             "param_of_series": dict(zip(series["timeseries_id"], series["parameter_id"])),

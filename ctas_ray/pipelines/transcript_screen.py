@@ -87,12 +87,21 @@ def transcript_measurements(
     )
 
 
-def conversation_subjects(conv_ids: list[str], n_sites: int = 12) -> pd.DataFrame:
+def conversation_subjects(
+    conv_ids: list[str], n_sites: int = 12, site_mode: str = "crc32"
+) -> pd.DataFrame:
     """Deterministic conversation-attribute table playing ``subjects``:
-    hashed 3-level site/country/region hierarchy (FIXTURES.md §A)."""
+    3-level site/country/region hierarchy (FIXTURES.md §A).
+
+    ``site_mode``: "crc32" hashes the conv id (default); "mod" takes the
+    numeric tail of a "u<id>" conv id modulo n_sites — SQL-expressible,
+    so the transcript screen can be hash-verified against DuckDB."""
     import zlib
 
-    site_idx = np.array([zlib.crc32(str(c).encode()) % n_sites for c in conv_ids])
+    if site_mode == "mod":
+        site_idx = np.array([int(str(c).lstrip("u")) % n_sites for c in conv_ids])
+    else:
+        site_idx = np.array([zlib.crc32(str(c).encode()) % n_sites for c in conv_ids])
     country_idx = site_idx % max(1, n_sites // 3)
     region_idx = country_idx % max(1, n_sites // 9)
     return pd.DataFrame(
@@ -106,7 +115,7 @@ def conversation_subjects(conv_ids: list[str], n_sites: int = 12) -> pd.DataFram
 
 
 def conversation_subjects_ds(
-    transcripts: rd.Dataset, n_sites: int = 12
+    transcripts: rd.Dataset, n_sites: int = 12, site_mode: str = "crc32"
 ) -> rd.Dataset:
     """Distributed conversation-attribute table: per-batch local dedup
     of conv_ids -> hashed attributes, then a global one-row-per-subject
@@ -114,15 +123,21 @@ def conversation_subjects_ds(
 
     def per_batch(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["conv_id"].drop_duplicates().tolist()
-        return conversation_subjects(ids, n_sites)
+        out = conversation_subjects(ids, n_sites, site_mode)
+        out["part"] = (
+            pd.util.hash_array(out["subject_id"].to_numpy()) % np.uint64(64)
+        ).astype(np.int64)
+        return out
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized call per hash partition (never one Python call
+        # per conversation id)
+        return g.drop_duplicates(subset=["subject_id"]).drop(columns=["part"])
 
     return (
         transcripts.map_batches(per_batch, batch_format="pandas")
-        .groupby("subject_id")
-        .map_groups(head1, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
     )
 
 
@@ -150,6 +165,7 @@ def screen_transcripts(
     cfg: StudyConfig = StudyConfig(max_share_missing=0.8),
     n_sites: int = 12,
     parameters: pd.DataFrame | None = None,
+    site_mode: str = "crc32",
     **study_kwargs,
 ) -> dict:
     """Transcripts in, the reference's four output frames out.
@@ -162,7 +178,7 @@ def screen_transcripts(
     own_site_simil_score (per-series site map) or the max-sites
     optimisation is enabled; both are subject-count-bounded."""
     measurements = transcript_measurements(transcripts)
-    subjects = conversation_subjects_ds(transcripts, n_sites)
+    subjects = conversation_subjects_ds(transcripts, n_sites, site_mode)
     return process_a_study_ray(
         measurements,
         subjects,
