@@ -65,3 +65,18 @@ def test_screen_vector_mode(tx, ray_session):
     a = classic["timeseries"].sort_values("timeseries_id").reset_index(drop=True)
     b = vector["timeseries"].sort_values("timeseries_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_transcript_screen_iqr_query(ray_session):
+    """The hash-verified flagship query: sane shape, gated features,
+    binary signals, mod-12 site entities."""
+    from ctas_ray.pipelines.queries import transcript_screen_iqr_sitescores
+
+    out = transcript_screen_iqr_sitescores("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert set(out.columns) == {"timeseries_id", "feature", "entity", "is_signal"}
+    assert set(out["is_signal"].unique()) <= {0, 1}
+    assert out["entity"].str.match(r"site_\d+").all()
+    assert out["feature"].isin(
+        ["average", "range", "sd", "unique_value_count_relative", "autocorr"]
+    ).all()
