@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "study_screen_features_exact": q.study_screen_features_exact,
         "study_screen_iqr_sitescores": q.study_screen_iqr_sitescores,
         "transcript_screen_iqr_sitescores": q.transcript_screen_iqr_sitescores,
+        "transcript_screen_ks_statistics": q.transcript_screen_ks_statistics,
         "study_screen_ks_statistics": q.study_screen_ks_statistics,
     }
 
@@ -193,6 +194,143 @@ gate AS (
   HAVING COUNT(DISTINCT site) >= 2 AND COUNT(*) >= 3
      AND COUNT(DISTINCT site) < COUNT(*)
 )
+"""
+
+
+# Shared CTE chain for the hash-verified TRANSCRIPT-screen oracles: the
+# flagship composition in SQL — events -> transcript turns -> channel
+# measurements (text_len + inter-turn latency; the latency channel has
+# no rank-1 value, so planning runs over DENSE_RANK ordinals of the
+# observed ranks, exactly like the engine's observed-rank planning) ->
+# adaptive acceptance walk -> membership -> features -> site decoration
+# and gates. Constants mirror queries.transcript_screen_*: msm = 0.8,
+# mins = 3, sites = numeric conv tail % 12 (site_mode="mod").
+_TX_SCREEN_CTE = """
+
+    WITH RECURSIVE turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS subject_id,
+             user_id % 12 AS site_idx,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS DOUBLE) AS rank,
+             CAST(COALESCE(LENGTH(props), 0) AS DOUBLE) AS text_len,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+               / 1000000.0 AS latency
+      FROM events
+    ),
+    meas AS (
+      SELECT 'text_len' AS parameter_id, subject_id, site_idx, rank,
+             text_len AS result
+      FROM turns
+      UNION ALL
+      SELECT 'turn_latency_s', subject_id, site_idx, rank, latency
+      FROM turns WHERE latency IS NOT NULL
+    ),
+    rankmap AS (
+      SELECT parameter_id, rank,
+             CAST(DENSE_RANK() OVER (PARTITION BY parameter_id
+                  ORDER BY rank) AS INT) AS ord
+      FROM (SELECT DISTINCT parameter_id, rank FROM meas)
+    ),
+    mo AS (
+      SELECT m.parameter_id, m.subject_id, m.site_idx, r.ord, m.result
+      FROM meas m JOIN rankmap r
+        ON r.parameter_id = m.parameter_id AND r.rank = m.rank
+    ),
+    kmaxs AS (SELECT parameter_id, MAX(ord) AS kmax FROM mo GROUP BY 1),
+    cand AS (
+      SELECT parameter_id, UNNEST(generate_series(3, CAST(kmax AS INT))) AS k
+      FROM kmaxs
+    ),
+    eligk AS (
+      SELECT m.parameter_id, c.k, m.subject_id, COUNT(*) AS n_in_k,
+             ANY_VALUE(m.site_idx) AS site_idx
+      FROM mo m JOIN cand c
+        ON c.parameter_id = m.parameter_id AND m.ord <= c.k
+      GROUP BY 1, 2, 3
+    ),
+    elig AS (
+      SELECT c.parameter_id, c.k,
+             (SELECT COUNT(*) FROM eligk e
+              WHERE e.parameter_id = c.parameter_id AND e.k = c.k
+                AND e.n_in_k >= CEIL((1.0 - 0.8) * c.k)) AS num
+      FROM cand c
+    ),
+    walk AS (
+      SELECT e.parameter_id, e.k, e.num,
+             (e.num >= 3) AS accepted,
+             CASE WHEN e.num >= 3 THEN e.num ELSE 0 END AS prev
+      FROM elig e JOIN kmaxs r
+        ON r.parameter_id = e.parameter_id AND e.k = r.kmax
+      UNION ALL
+      SELECT e.parameter_id, e.k, e.num,
+             CASE WHEN e.num < 3 THEN FALSE
+                  WHEN w.prev = 0 THEN TRUE
+                  WHEN e.num - w.prev >= 3 AND e.num * 1.0 / w.prev >= 1.2 THEN TRUE
+                  ELSE FALSE END AS accepted,
+             CASE WHEN e.num < 3 THEN w.prev
+                  WHEN w.prev = 0 THEN e.num
+                  WHEN e.num - w.prev >= 3 AND e.num * 1.0 / w.prev >= 1.2 THEN e.num
+                  ELSE w.prev END AS prev
+      FROM walk w JOIN elig e
+        ON e.parameter_id = w.parameter_id AND e.k = w.k - 1
+      WHERE w.k > 3
+    ),
+    series AS (
+      SELECT parameter_id, k,
+             'ts_' || CAST(ROW_NUMBER() OVER (ORDER BY parameter_id, k DESC)
+                           AS VARCHAR) || '_autogen_original' AS timeseries_id
+      FROM walk WHERE accepted
+    ),
+    memb AS (
+      SELECT s.timeseries_id, s.parameter_id, s.k, e.subject_id, e.site_idx
+      FROM series s JOIN eligk e
+        ON e.parameter_id = s.parameter_id AND e.k = s.k
+       AND e.n_in_k >= CEIL((1.0 - 0.8) * s.k)
+    ),
+    vals AS (
+      SELECT mb.timeseries_id, mb.subject_id, mb.site_idx, m.ord AS rank,
+             m.result
+      FROM memb mb JOIN mo m
+        ON m.parameter_id = mb.parameter_id
+       AND m.subject_id = mb.subject_id AND m.ord <= mb.k
+    ),
+    feat AS (
+      SELECT timeseries_id, subject_id, site_idx, 'average' AS feature,
+             AVG(result) AS value
+      FROM vals GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT timeseries_id, subject_id, site_idx, 'range',
+             MAX(result) - MIN(result)
+      FROM vals GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT timeseries_id, subject_id, site_idx, 'sd', STDDEV_SAMP(result)
+      FROM vals GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      UNION ALL
+      SELECT timeseries_id, subject_id, site_idx, 'unique_value_count_relative',
+             COUNT(DISTINCT result) * 1.0 / COUNT(*)
+      FROM vals GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT timeseries_id, subject_id, site_idx, 'autocorr', CORR(result, prev)
+      FROM (
+        SELECT timeseries_id, subject_id, site_idx, result,
+               LAG(result) OVER (PARTITION BY timeseries_id, subject_id
+                                 ORDER BY rank) AS prev
+        FROM vals
+      ) GROUP BY 1, 2, 3
+      HAVING CORR(result, prev) IS NOT NULL AND NOT isnan(CORR(result, prev))
+    ),
+    dec AS (
+      SELECT f.timeseries_id, f.subject_id, f.feature, f.value,
+             'site_' || CAST(f.site_idx AS VARCHAR) AS site
+      FROM feat f
+    ),
+    gate AS (
+      SELECT timeseries_id, feature
+      FROM dec GROUP BY 1, 2
+      HAVING COUNT(DISTINCT site) >= 2 AND COUNT(*) >= 3
+         AND COUNT(DISTINCT site) < COUNT(*)
+    )
 """
 
 
@@ -485,131 +623,7 @@ def oracle_sql() -> dict[str, str]:
            site, country, region
     FROM dec ORDER BY 1, 2, 3""",
 
-        "transcript_screen_iqr_sitescores": """
-    WITH RECURSIVE turns AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) AS subject_id,
-             user_id % 12 AS site_idx,
-             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id) AS DOUBLE) AS rank,
-             CAST(COALESCE(LENGTH(props), 0) AS DOUBLE) AS text_len,
-             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-                  PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
-               / 1000000.0 AS latency
-      FROM events
-    ),
-    meas AS (
-      SELECT 'text_len' AS parameter_id, subject_id, site_idx, rank,
-             text_len AS result
-      FROM turns
-      UNION ALL
-      SELECT 'turn_latency_s', subject_id, site_idx, rank, latency
-      FROM turns WHERE latency IS NOT NULL
-    ),
-    rankmap AS (
-      SELECT parameter_id, rank,
-             CAST(DENSE_RANK() OVER (PARTITION BY parameter_id
-                  ORDER BY rank) AS INT) AS ord
-      FROM (SELECT DISTINCT parameter_id, rank FROM meas)
-    ),
-    mo AS (
-      SELECT m.parameter_id, m.subject_id, m.site_idx, r.ord, m.result
-      FROM meas m JOIN rankmap r
-        ON r.parameter_id = m.parameter_id AND r.rank = m.rank
-    ),
-    kmaxs AS (SELECT parameter_id, MAX(ord) AS kmax FROM mo GROUP BY 1),
-    cand AS (
-      SELECT parameter_id, UNNEST(generate_series(3, CAST(kmax AS INT))) AS k
-      FROM kmaxs
-    ),
-    eligk AS (
-      SELECT m.parameter_id, c.k, m.subject_id, COUNT(*) AS n_in_k,
-             ANY_VALUE(m.site_idx) AS site_idx
-      FROM mo m JOIN cand c
-        ON c.parameter_id = m.parameter_id AND m.ord <= c.k
-      GROUP BY 1, 2, 3
-    ),
-    elig AS (
-      SELECT c.parameter_id, c.k,
-             (SELECT COUNT(*) FROM eligk e
-              WHERE e.parameter_id = c.parameter_id AND e.k = c.k
-                AND e.n_in_k >= CEIL((1.0 - 0.8) * c.k)) AS num
-      FROM cand c
-    ),
-    walk AS (
-      SELECT e.parameter_id, e.k, e.num,
-             (e.num >= 3) AS accepted,
-             CASE WHEN e.num >= 3 THEN e.num ELSE 0 END AS prev
-      FROM elig e JOIN kmaxs r
-        ON r.parameter_id = e.parameter_id AND e.k = r.kmax
-      UNION ALL
-      SELECT e.parameter_id, e.k, e.num,
-             CASE WHEN e.num < 3 THEN FALSE
-                  WHEN w.prev = 0 THEN TRUE
-                  WHEN e.num - w.prev >= 3 AND e.num * 1.0 / w.prev >= 1.2 THEN TRUE
-                  ELSE FALSE END AS accepted,
-             CASE WHEN e.num < 3 THEN w.prev
-                  WHEN w.prev = 0 THEN e.num
-                  WHEN e.num - w.prev >= 3 AND e.num * 1.0 / w.prev >= 1.2 THEN e.num
-                  ELSE w.prev END AS prev
-      FROM walk w JOIN elig e
-        ON e.parameter_id = w.parameter_id AND e.k = w.k - 1
-      WHERE w.k > 3
-    ),
-    series AS (
-      SELECT parameter_id, k,
-             'ts_' || CAST(ROW_NUMBER() OVER (ORDER BY parameter_id, k DESC)
-                           AS VARCHAR) || '_autogen_original' AS timeseries_id
-      FROM walk WHERE accepted
-    ),
-    memb AS (
-      SELECT s.timeseries_id, s.parameter_id, s.k, e.subject_id, e.site_idx
-      FROM series s JOIN eligk e
-        ON e.parameter_id = s.parameter_id AND e.k = s.k
-       AND e.n_in_k >= CEIL((1.0 - 0.8) * s.k)
-    ),
-    vals AS (
-      SELECT mb.timeseries_id, mb.subject_id, mb.site_idx, m.ord AS rank,
-             m.result
-      FROM memb mb JOIN mo m
-        ON m.parameter_id = mb.parameter_id
-       AND m.subject_id = mb.subject_id AND m.ord <= mb.k
-    ),
-    feat AS (
-      SELECT timeseries_id, subject_id, site_idx, 'average' AS feature,
-             AVG(result) AS value
-      FROM vals GROUP BY 1, 2, 3
-      UNION ALL
-      SELECT timeseries_id, subject_id, site_idx, 'range',
-             MAX(result) - MIN(result)
-      FROM vals GROUP BY 1, 2, 3
-      UNION ALL
-      SELECT timeseries_id, subject_id, site_idx, 'sd', STDDEV_SAMP(result)
-      FROM vals GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
-      UNION ALL
-      SELECT timeseries_id, subject_id, site_idx, 'unique_value_count_relative',
-             COUNT(DISTINCT result) * 1.0 / COUNT(*)
-      FROM vals GROUP BY 1, 2, 3
-      UNION ALL
-      SELECT timeseries_id, subject_id, site_idx, 'autocorr', CORR(result, prev)
-      FROM (
-        SELECT timeseries_id, subject_id, site_idx, result,
-               LAG(result) OVER (PARTITION BY timeseries_id, subject_id
-                                 ORDER BY rank) AS prev
-        FROM vals
-      ) GROUP BY 1, 2, 3
-      HAVING CORR(result, prev) IS NOT NULL AND NOT isnan(CORR(result, prev))
-    ),
-    dec AS (
-      SELECT f.timeseries_id, f.subject_id, f.feature, f.value,
-             'site_' || CAST(f.site_idx AS VARCHAR) AS site
-      FROM feat f
-    ),
-    gate AS (
-      SELECT timeseries_id, feature
-      FROM dec GROUP BY 1, 2
-      HAVING COUNT(DISTINCT site) >= 2 AND COUNT(*) >= 3
-         AND COUNT(DISTINCT site) < COUNT(*)
-    ),
+        "transcript_screen_iqr_sitescores": _TX_SCREEN_CTE + """,
     sitemeans AS (
       SELECT d.timeseries_id, d.feature, d.site, AVG(d.value) AS avg_value
       FROM dec d JOIN gate g USING (timeseries_id, feature)
@@ -627,6 +641,51 @@ def oracle_sql() -> dict[str, str]:
                 THEN 1 ELSE 0 END AS is_signal
     FROM sitemeans s JOIN fence f USING (timeseries_id, feature)
     ORDER BY 1, 2, 3""",
+        "transcript_screen_ks_statistics": _TX_SCREEN_CTE + """,
+    kbase AS (
+      -- drift-free feature subset only (queries.TX_KS_FEATURES): sd /
+      -- autocorr diverge from numpy in the last float ulp on long
+      -- series, which flips an ECDF step and breaks bit-equality
+      SELECT d.timeseries_id, d.feature, d.subject_id, d.site, d.value
+      FROM dec d JOIN gate g USING (timeseries_id, feature)
+      WHERE d.feature IN ('average', 'range', 'unique_value_count_relative')
+    ),
+    ksites AS (SELECT DISTINCT timeseries_id, feature, site FROM kbase),
+    pairs AS (
+      SELECT s.timeseries_id, s.feature, s.site, b.value, b.subject_id,
+             CASE WHEN b.site = s.site THEN 1 ELSE 0 END AS is_in
+      FROM ksites s JOIN kbase b USING (timeseries_id, feature)
+    ),
+    tot AS (
+      SELECT timeseries_id, feature, site, SUM(is_in) AS n_in,
+             SUM(1 - is_in) AS n_out,
+             COUNT(DISTINCT CASE WHEN is_in = 1 THEN subject_id END) AS n_subj
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    kwalk AS (
+      SELECT timeseries_id, feature, site, value,
+             SUM(is_in) OVER (PARTITION BY timeseries_id, feature, site
+                 ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_in,
+             SUM(1 - is_in) OVER (PARTITION BY timeseries_id, feature, site
+                 ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_out
+      FROM pairs
+    ),
+    kvals AS (
+      SELECT timeseries_id, feature, site, value,
+             MAX(cum_in) AS cum_in, MAX(cum_out) AS cum_out
+      FROM kwalk GROUP BY 1, 2, 3, 4
+    )
+    SELECT v.timeseries_id, v.feature, v.site,
+           CASE WHEN v.feature = 'unique_value_count_relative'
+                THEN CAST(FLOOR(MAX(v.cum_in * 1.0 / t.n_in
+                    - v.cum_out * 1.0 / t.n_out) * 1000000 + 0.5) AS BIGINT)
+                ELSE CAST(FLOOR(MAX(ABS(v.cum_in * 1.0 / t.n_in
+                    - v.cum_out * 1.0 / t.n_out)) * 1000000 + 0.5) AS BIGINT)
+           END AS ks_e6,
+           ANY_VALUE(t.n_subj) AS subject_count
+    FROM kvals v JOIN tot t USING (timeseries_id, feature, site)
+    WHERE t.n_in > 0 AND t.n_out > 0
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "study_screen_iqr_sitescores": _SCREEN_CTE + """,
     sitemeans AS (
       SELECT d.timeseries_id, d.feature, d.site, AVG(d.value) AS avg_value

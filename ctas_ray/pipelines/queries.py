@@ -819,26 +819,55 @@ def transcript_screen_iqr_sitescores(sf_dir: str) -> pd.DataFrame:
     features -> IQR site signals, end-to-end value-exact vs a DuckDB
     oracle that re-derives the whole chain in SQL (mod-12 sites, SQL
     feature set, avg_feat_value scoring, jitter off)."""
-    from .transcript_screen import screen_transcripts
-
-    tx = transcripts_from_events(sf_dir)
-    out = screen_transcripts(
-        tx,
-        cfg=StudyConfig(
-            features=SQL_SCREEN_FEATURES,
-            max_share_missing=SQL_SCREEN_MSM,
-            site_scoring_method="avg_feat_value",
-            ks_jitter_sd=0.0,
-        ),
-        n_sites=12,
-        site_mode="mod",
-    )
+    out = _tx_screen(sf_dir, "avg_feat_value")
     s = out["site_scores"]
     if s is None or len(s) == 0:
         return pd.DataFrame(columns=["timeseries_id", "feature", "entity", "is_signal"])
     s = s.copy()
     s["is_signal"] = s["is_signal"].astype(np.int64)
     return s.sort_values(["timeseries_id", "feature", "entity"]).reset_index(drop=True)
+
+
+@functools.lru_cache(maxsize=2)
+def _tx_screen(sf_dir: str, method: str) -> dict:
+    from .transcript_screen import screen_transcripts
+
+    tx = transcripts_from_events(sf_dir)
+    return screen_transcripts(
+        tx,
+        cfg=StudyConfig(
+            features=SQL_SCREEN_FEATURES,
+            max_share_missing=SQL_SCREEN_MSM,
+            site_scoring_method=method,
+            ks_jitter_sd=0.0,
+        ),
+        n_sites=12,
+        site_mode="mod",
+    )
+
+
+# KS over transcripts compares per-subject feature VALUES by order, so
+# only features whose floats are bit-identical between numpy and DuckDB
+# qualify: integer-sum-exact ones (average/range/uniq are exact for
+# integer text_len and for short latency series; numpy's pairwise
+# summation diverges from SQL's sequential sum in the last ulp for
+# sd/autocorr on long series, flipping an ECDF step).
+TX_KS_FEATURES = ("average", "range", "unique_value_count_relative")
+
+
+def transcript_screen_ks_statistics(sf_dir: str) -> pd.DataFrame:
+    """[flagship composition] KS statistic branch over transcripts,
+    hash-verified like study_screen_ks_statistics but through the full
+    transcript derivation (drift-free feature subset, see
+    TX_KS_FEATURES)."""
+    s = _tx_screen(sf_dir, "ks")["site_scores"]
+    if s is None or len(s) == 0:
+        return pd.DataFrame(columns=["timeseries_id", "feature", "site", "ks_e6", "subject_count"])
+    s = s[s["feature"].isin(TX_KS_FEATURES)].copy()
+    s["ks_e6"] = _scaled_int(s["kstest_statistic"].to_numpy())
+    s["subject_count"] = s["subject_count"].astype(np.int64)
+    s = s[["timeseries_id", "feature", "site", "ks_e6", "subject_count"]]
+    return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
 
 
 def study_screen_iqr_sitescores(sf_dir: str) -> pd.DataFrame:
