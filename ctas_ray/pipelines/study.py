@@ -28,6 +28,7 @@ import functools
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -50,6 +51,24 @@ from ..study_core import (
 __all__ = ["process_a_study_ray"]
 
 BROADCAST_SUBJECT_LIMIT = 5_000_000  # above this, switch decoration to a join
+
+
+def _typed_arrow(b: pd.DataFrame, types: dict) -> pa.Table:
+    """Typed pandas->Arrow projection for hash-exchange (join) inputs.
+
+    Join inputs must be Arrow blocks with (a) no pandas schema metadata
+    -- the metadata dict makes ``pyarrow.Schema`` unhashable, defeating
+    Ray's schema-dedup fast path in every HashShuffleAggregator reduce
+    ("Failed to hash the schemas" per task) -- and (b) explicit column
+    types: Ray types an all-null pandas column as Arrow ``null``, which
+    pyarrow's hash join rejects for non-key fields. Emitting the table
+    ourselves also gives EMPTY batches a full schema, so unused salt
+    partitions no longer produce the columnless blocks the join
+    aggregator rejects.
+    """
+    return pa.table(
+        {n: pa.Array.from_pandas(b[n], type=t) for n, t in types.items()}
+    )
 
 
 def _presence_project(batch: pd.DataFrame) -> pd.DataFrame:
@@ -570,10 +589,16 @@ def _plan_vector(
                      "mask_original": masks["original"], "mask_cfb": masks["cfb"],
                      "cmask_original": cmasks["original"], "cmask_cfb": cmasks["cfb"]}
                 )
-        return pd.DataFrame(
+        df = pd.DataFrame(
             rows, columns=["parameter_id", "subject_id", "mask_original", "mask_cfb",
                            "cmask_original", "cmask_cfb"]
         )
+        # Arrow out: membership feeds a hash join (see _typed_arrow)
+        return _typed_arrow(df, {
+            "parameter_id": pa.string(), "subject_id": pa.string(),
+            "mask_original": pa.int64(), "mask_cfb": pa.int64(),
+            "cmask_original": pa.int64(), "cmask_cfb": pa.int64(),
+        })
 
     membership = e2_out.map_batches(to_masks, batch_format="pandas")
     if custom_defs:
@@ -1109,21 +1134,34 @@ def _finish_study(
         # J2 scale path: subjects too big to broadcast -> hash-partitioned
         # Dataset.join keyed on subject_id (co-partitioned with the
         # feature rows), then the small per-series/ref-group lookups
+        _subj_types = {
+            "subject_id": pa.string(), "site": pa.string(),
+            "country": pa.string(), "region": pa.string(),
+        }
         if subjects_ds is None:
-            subjects_ds = rd.from_pandas(
-                subjects[["subject_id", "site", "country", "region"]]
+            subjects_ds = rd.from_arrow(
+                _typed_arrow(
+                    subjects[["subject_id", "site", "country", "region"]],
+                    _subj_types,
+                )
             )
         else:
             subjects_ds = subjects_ds.map_batches(
-                lambda b: b[["subject_id", "site", "country", "region"]],
-                batch_format="pandas",
+                lambda b: _typed_arrow(b, _subj_types), batch_format="pandas"
             )
         n_parts = 16
         # left outer: features keep subjects missing from the subjects
         # table (R/ctas.R:177-180); scoring filters them out below.
         # Both sides repartition first: salted groupbys upstream emit
         # schemaless EMPTY blocks that the join aggregator rejects.
-        joined = feat_ds.repartition(n_parts).join(
+        feat_join = feat_ds.map_batches(
+            lambda b: _typed_arrow(b, {
+                "timeseries_id": pa.string(), "subject_id": pa.string(),
+                "feature": pa.string(), "value": pa.float64(),
+            }),
+            batch_format="pandas",
+        )
+        joined = feat_join.repartition(n_parts).join(
             subjects_ds.repartition(n_parts), join_type="left_outer",
             num_partitions=n_parts, on=("subject_id",),
         )

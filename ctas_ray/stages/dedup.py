@@ -244,11 +244,33 @@ def _gather_verify_pairs(
         out["part"] = _row_part(out, ["id_a", "id_b"], num_parts)
         return out
 
-    def meet(g: pd.DataFrame) -> pd.DataFrame:
+    def meet(g: pd.DataFrame):
+        import pyarrow as pa
+
         a = g.loc[g["side"] == 0, ["id_a", "id_b", "attr"]]
         b = g.loc[g["side"] == 1, ["id_a", "id_b", "attr"]]
         m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
-        return verify_rows(m)
+        out = verify_rows(m)
+        # typed Arrow out: empty partitions otherwise emit object-dtype
+        # pandas blocks that trip Ray's block-size estimator ("cannot
+        # call `vectorize` on size 0 inputs") and produce schemaless
+        # RefBundles. The id type (string/int64) is inferred from this
+        # group's rows — the group is never empty even when every pair
+        # fails verification.
+        id_type = (
+            pa.Array.from_pandas(g["id_a"].iloc[:1]).type
+            if len(g)
+            else pa.string()
+        )
+        return pa.table(
+            {
+                c: pa.Array.from_pandas(
+                    out[c],
+                    type=id_type if c in ("id_a", "id_b") else pa.float64(),
+                )
+                for c in out.columns
+            }
+        )
 
     gathered = (
         candidates.map_batches(requests, batch_format="pandas")
