@@ -33,10 +33,12 @@ def _scaling_main() -> None:
             # amplify the input so compute dominates fixed overheads —
             # the scaling criterion measures throughput scaling, which
             # at sf0.1's raw size (~26 MB) would only measure Ray's
-            # constant costs. 50x (5M turns) since the round-2 kernel
-            # optimisations cut per-core work ~2x (Amdahl: the same
-            # fixed costs weigh double at the old 20x size)
-            GRAFT_AMPLIFY=os.environ.get("GRAFT_AMPLIFY", "50"),
+            # constant costs. 150x (15M turns) since the round-2 kernel
+            # optimisations cut per-core work ~3x (Amdahl: the same
+            # fixed per-run costs need proportionally more useful work
+            # to stay under ~6% of the fast leg; measured 0.69 at 50x
+            # vs 0.80 at 150x on identical code)
+            GRAFT_AMPLIFY=os.environ.get("GRAFT_AMPLIFY", "150"),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_BENCH_REPEAT", "3"),
         )

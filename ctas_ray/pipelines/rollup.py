@@ -73,6 +73,7 @@ def _stage0(transcripts: rd.Dataset, cfg: RollupConfig, verify_roundtrip: bool) 
             with_text=cfg.archive_text,
             gapfill=(cfg.gap_fill_method, cfg.gap_fill_step_s)
             if cfg.gapfill_tiers else None,
+            arrow_out=True,
         ),
         batch_format="pandas",
     )

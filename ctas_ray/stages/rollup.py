@@ -212,6 +212,60 @@ def _empty_union() -> pd.DataFrame:
     return df
 
 
+# Explicit Arrow types for the union schema: the pipeline paths emit the
+# partition output as ONE typed Arrow table instead of a NaN-padded
+# pandas union frame. The pandas union pays ~450 B/row (object-string
+# columns + 8-byte NaN pointers for every absent column) and pickles
+# into the object store per element; the Arrow table is ~4x smaller,
+# enters plasma zero-copy, and skips the concat+reindex object
+# promotion that dominates the partition UDF profile at scale.
+UNION_TYPES = {
+    "conv_id": pa.string(),
+    "channel": pa.string(),
+    "bucket": pa.int64(),
+    "count": pa.int64(),
+    "sum": pa.float64(),
+    "min": pa.float64(),
+    "max": pa.float64(),
+    "sumsq": pa.float64(),
+    "first_ts": pa.int64(),
+    "first_val": pa.float64(),
+    "last_ts": pa.int64(),
+    "last_val": pa.float64(),
+    "chunk": pa.int64(),
+    "n": pa.int64(),
+    "blob": pa.large_binary(),
+    "roundtrip_ok": pa.bool_(),
+    "tier": pa.string(),
+    "part": pa.int64(),
+    "rows_in": pa.int64(),
+    "n_convs": pa.int64(),
+    "wall_s": pa.float64(),
+    "kind": pa.string(),
+}
+UNION_SCHEMA = pa.schema([(c, UNION_TYPES[c]) for c in UNION_COLUMNS])
+
+
+def _frames_to_union_arrow(frames: list[pd.DataFrame]) -> pa.Table:
+    """Concatenate heterogeneous per-kind frames into one typed Arrow
+    union table; columns a frame lacks become null arrays (bitmap-only,
+    not 8-byte NaN pointers)."""
+    batches = []
+    for f in frames:
+        n_rows = len(f)
+        arrays = []
+        for c in UNION_COLUMNS:
+            t = UNION_TYPES[c]
+            if c in f.columns:
+                arrays.append(pa.Array.from_pandas(f[c], type=t))
+            else:
+                arrays.append(pa.nulls(n_rows, type=t))
+        batches.append(pa.record_batch(arrays, schema=UNION_SCHEMA))
+    if not batches:
+        return UNION_SCHEMA.empty_table()
+    return pa.Table.from_batches(batches, schema=UNION_SCHEMA)
+
+
 def conv_chunk_rollup(
     group: pd.DataFrame,
     tier1_s: int = 60,
@@ -366,7 +420,8 @@ def partition_rollup(
     gapfill: tuple[str, int] | None = None,
     presorted: bool = False,
     conv_labels=None,
-) -> pd.DataFrame:
+    arrow_out: bool = False,
+) -> pd.DataFrame | pa.Table:
     """Vectorized partition body: ONE call processes every conv-chunk of
     a salted-hash partition (``part`` column from extract_channels).
 
@@ -410,7 +465,7 @@ def partition_rollup(
     tlen = df["text_len"].to_numpy(dtype=np.float64)
     n = len(df)
     if n == 0:
-        return _empty_union()
+        return UNION_SCHEMA.empty_table() if arrow_out else _empty_union()
     newseg = np.r_[True, (conv[1:] != conv[:-1]) | (chunk[1:] != chunk[:-1])]
     seg_id = np.cumsum(newseg) - 1
     seg_starts = np.nonzero(newseg)[0]
@@ -591,6 +646,8 @@ def partition_rollup(
             )
         )
 
+    if arrow_out:
+        return _frames_to_union_arrow(frames)
     if not frames:
         return _empty_union()
     return pd.concat(frames, ignore_index=True).reindex(columns=UNION_COLUMNS)
@@ -608,7 +665,7 @@ def fused_events_rollup(
     verify_roundtrip: bool = False,
     inline_tiers_s: tuple[int, ...] | None = (60, 3600, 86400),
     gapfill: tuple[str, int] | None = None,
-) -> pd.DataFrame:
+) -> pa.Table:
     """Fused partition body for the events-derived input: ONE exchange
     (salted by conversation) carries turn derivation + channel extraction
     + the whole rollup/cascade/codec. Conversations are complete within
@@ -641,7 +698,7 @@ def fused_events_rollup(
         part_id = int(g["part"].iloc[0]) if "part" in g.columns and len(g) else -1
     n = len(uid)
     if n == 0:
-        return _empty_union()
+        return UNION_SCHEMA.empty_table()
     order = np.lexsort((eid, ts, uid))
     df = pd.DataFrame(
         {
@@ -663,6 +720,7 @@ def fused_events_rollup(
         gapfill=gapfill,
         presorted=True,
         conv_labels=_uid_labels,
+        arrow_out=True,
     )
 
 
