@@ -246,20 +246,50 @@ UNION_TYPES = {
 UNION_SCHEMA = pa.schema([(c, UNION_TYPES[c]) for c in UNION_COLUMNS])
 
 
-def _frames_to_union_arrow(frames: list[pd.DataFrame]) -> pa.Table:
+def _frames_to_union_arrow(
+    frames: list[pd.DataFrame], label_fn=None
+) -> pa.Table:
     """Concatenate heterogeneous per-kind frames into one typed Arrow
     union table; columns a frame lacks become null arrays (bitmap-only,
-    not 8-byte NaN pointers)."""
+    not 8-byte NaN pointers).
+
+    ``frames`` items are either plain DataFrames or ``(df, const)``
+    pairs where ``const`` maps column -> scalar: constant columns (kind,
+    tier, channel) are minted here as one C++ ``pa.repeat`` each instead
+    of ``.assign()`` copies that consolidate the whole frame.
+
+    ``label_fn``: when the fused events path defers conv labels, frames
+    carry int64 conv keys and the string labels are minted HERE, once
+    per unique key per frame (dictionary build + one C++ cast), instead
+    of fanning object strings through every cascade/merge pass."""
     batches = []
-    for f in frames:
+    for item in frames:
+        f, const = item if isinstance(item, tuple) else (item, None)
         n_rows = len(f)
         arrays = []
         for c in UNION_COLUMNS:
             t = UNION_TYPES[c]
-            if c in f.columns:
-                arrays.append(pa.Array.from_pandas(f[c], type=t))
-            else:
+            if const is not None and c in const:
+                arrays.append(pa.repeat(pa.scalar(const[c], type=t), n_rows))
+                continue
+            if c not in f.columns:
                 arrays.append(pa.nulls(n_rows, type=t))
+                continue
+            col = f[c]
+            if (
+                c == "conv_id"
+                and label_fn is not None
+                and col.dtype.kind in "iu"
+            ):
+                codes, uniq = pd.factorize(col.to_numpy())
+                arrays.append(
+                    pa.DictionaryArray.from_arrays(
+                        pa.array(codes, type=pa.int32()),
+                        pa.array(label_fn(uniq), type=pa.string()),
+                    ).cast(pa.string())
+                )
+                continue
+            arrays.append(pa.Array.from_pandas(col, type=t))
         batches.append(pa.record_batch(arrays, schema=UNION_SCHEMA))
     if not batches:
         return UNION_SCHEMA.empty_table()
@@ -487,7 +517,13 @@ def partition_rollup(
         raise ValueError("gapfill requires inline_tiers_s (complete-conversation cascade)")
 
     conv_by_seg = conv[seg_starts]
-    if conv_labels is not None:
+    # with Arrow output, int conv keys stay int through every partial /
+    # cascade / codec pass and labels are minted once per unique key at
+    # the final assembly (see _frames_to_union_arrow)
+    defer_labels = (
+        conv_labels is not None and arrow_out and conv_by_seg.dtype.kind in "iu"
+    )
+    if conv_labels is not None and not defer_labels:
         conv_by_seg = conv_labels(conv_by_seg)
     frames: list[pd.DataFrame] = []
     warned_gapfill_fallback = False
@@ -500,16 +536,17 @@ def partition_rollup(
                 )
                 complete_mask = seg_complete[partials.pop("_seg").to_numpy()]
                 if inline_tiers_s is None:
-                    frames.append(partials.assign(kind="t1"))
+                    frames.append((partials, {"kind": "t1"}))
                 else:
                     multi = partials[~complete_mask]
                     if len(multi):
-                        frames.append(multi.assign(kind="t1"))
+                        frames.append((multi, {"kind": "t1"}))
                     done_part = partials[complete_mask]
                     if len(done_part):
-                        frames.append(
-                            partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
-                        )
+                        for tdf, tname in partition_cascade_frames(
+                            done_part, inline_tiers_s
+                        ):
+                            frames.append((tdf, {"kind": "tier", "tier": tname}))
             else:
                 method, step_s = gapfill
                 comp_rows = ok & seg_complete[seg_id]
@@ -528,7 +565,7 @@ def partition_rollup(
                         values[raw_rows], tier1_s, channel,
                     )
                     raw_partials.pop("_seg")
-                    frames.append(raw_partials.assign(kind="t1"))
+                    frames.append((raw_partials, {"kind": "t1"}))
                 if comp_rows.any():
                     g_sid, g_ts, g_v = _gapfill_segments(
                         seg_id[comp_rows], ts[comp_rows], values[comp_rows],
@@ -539,9 +576,10 @@ def partition_rollup(
                             conv_by_seg, g_sid, g_ts, g_v, tier1_s, channel
                         )
                         done_part.pop("_seg")
-                        frames.append(
-                            partition_cascade(done_part, inline_tiers_s).assign(kind="tier")
-                        )
+                        for tdf, tname in partition_cascade_frames(
+                            done_part, inline_tiers_s
+                        ):
+                            frames.append((tdf, {"kind": "tier", "tier": tname}))
         if with_codec:
             # batch encode over REAL rows (NaNs kept in the series): rows
             # are segment-sorted, so the real-row subset preserves the
@@ -551,7 +589,7 @@ def partition_rollup(
             idx_real = np.nonzero(real)[0]
             real_counts = np.add.reduceat(real.astype(np.int64), seg_starts)
             kept = np.nonzero(real_counts > 0)[0]
-            rows_conv, rows_chan, rows_chunk, rows_n = [], [], [], []
+            rows_conv, rows_chunk, rows_n = [], [], []
             rows_blob, rows_f, rows_l, rows_ok = [], [], [], []
             if len(kept):
                 ts_real = ts[idx_real]
@@ -562,7 +600,6 @@ def partition_rollup(
                 blobs = encode_series_batch(ts_real, v_real, kept_starts)
                 first_idx = idx_real[kept_starts]
                 rows_conv = list(conv_by_seg[kept])
-                rows_chan = [channel] * len(kept)
                 rows_chunk = chunk[first_idx].astype(np.int64).tolist()
                 rows_n = kept_counts.astype(np.int64).tolist()
                 rows_blob = blobs
@@ -584,18 +621,19 @@ def partition_rollup(
                     rows_ok = [True] * len(kept)
             if rows_conv:
                 frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": rows_conv,
-                            "channel": rows_chan,
-                            "chunk": rows_chunk,
-                            "n": rows_n,
-                            "blob": rows_blob,
-                            "first_ts": rows_f,
-                            "last_ts": rows_l,
-                            "roundtrip_ok": rows_ok,
-                            "kind": "blob",
-                        }
+                    (
+                        pd.DataFrame(
+                            {
+                                "conv_id": rows_conv,
+                                "chunk": rows_chunk,
+                                "n": rows_n,
+                                "blob": rows_blob,
+                                "first_ts": rows_f,
+                                "last_ts": rows_l,
+                                "roundtrip_ok": rows_ok,
+                            }
+                        ),
+                        {"channel": channel, "kind": "blob"},
                     )
                 )
     if with_text and "text" in df.columns:
@@ -627,7 +665,7 @@ def partition_rollup(
             rows["roundtrip_ok"].append(ok_flag)
         if rows["conv_id"]:
             frames.append(
-                pd.DataFrame(rows).assign(channel="__text__", kind="textblob")
+                (pd.DataFrame(rows), {"channel": "__text__", "kind": "textblob"})
             )
 
     if emit_partition_manifest:
@@ -635,22 +673,28 @@ def partition_rollup(
         # partition of the big exchange records what it processed
         part_id = int(part["part"].iloc[0]) if "part" in part.columns else -1
         frames.append(
-            pd.DataFrame(
-                {
-                    "kind": ["pmeta"],
-                    "part": [part_id],
-                    "rows_in": [int(real.sum())],
-                    "n_convs": [int(len(np.unique(conv[seg_starts])))],
-                    "wall_s": [_time.perf_counter() - t_start],
-                }
+            (
+                pd.DataFrame(
+                    {
+                        "part": [part_id],
+                        "rows_in": [int(real.sum())],
+                        "n_convs": [int(len(np.unique(conv[seg_starts])))],
+                        "wall_s": [_time.perf_counter() - t_start],
+                    }
+                ),
+                {"kind": "pmeta"},
             )
         )
 
     if arrow_out:
-        return _frames_to_union_arrow(frames)
+        return _frames_to_union_arrow(
+            frames, label_fn=conv_labels if defer_labels else None
+        )
     if not frames:
         return _empty_union()
-    return pd.concat(frames, ignore_index=True).reindex(columns=UNION_COLUMNS)
+    return pd.concat(
+        [f.assign(**const) for f, const in frames], ignore_index=True
+    ).reindex(columns=UNION_COLUMNS)
 
 
 def _uid_labels(uids: np.ndarray) -> np.ndarray:
@@ -760,7 +804,12 @@ def partition_merge_tiers(part: pd.DataFrame, width_s: int) -> pd.DataFrame:
     no matter how the inputs were partitioned or chunk-split."""
     if len(part) == 0:
         return pd.DataFrame(columns=TIER_PARTIAL_COLUMNS)
-    conv = part["conv_id"].to_numpy(dtype=object)
+    conv = part["conv_id"].to_numpy()
+    if conv.dtype.kind not in "iu":
+        # object labels (generic path); int64 keys (fused path) stay
+        # unboxed — factorize on ints is a radix pass, not per-row
+        # string hashing
+        conv = part["conv_id"].to_numpy(dtype=object)
     chan = part["channel"].to_numpy(dtype=object)
     bucket = _bucket(part["bucket"].to_numpy(dtype=np.int64), width_s)
     cnt = part["count"].to_numpy(dtype=np.int64)
@@ -805,23 +854,34 @@ def partition_merge_tiers(part: pd.DataFrame, width_s: int) -> pd.DataFrame:
     return out[TIER_PARTIAL_COLUMNS]
 
 
+def partition_cascade_frames(
+    part: pd.DataFrame, tiers_s: tuple[int, ...] = (60, 3600, 86400)
+) -> list[tuple[pd.DataFrame, str]]:
+    """One conv-salted partition -> ALL retention tiers in one pass:
+    merge raw partials to the first tier, then cascade each higher tier
+    FROM the previous tier's rows (A10: never from raw). Returns
+    ``[(tier_frame, tier_name), ...]`` WITHOUT materializing the tier
+    label column — the Arrow union assembly mints it as a constant."""
+    if "part" in part.columns:
+        part = part.drop(columns=["part"])
+    out = []
+    cur = partition_merge_tiers(part, tiers_s[0])
+    out.append((cur, tier_name(tiers_s[0])))
+    for width in tiers_s[1:]:
+        cur = partition_merge_tiers(cur, width)
+        out.append((cur, tier_name(width)))
+    return out
+
+
 def partition_cascade(
     part: pd.DataFrame, tiers_s: tuple[int, ...] = (60, 3600, 86400)
 ) -> pd.DataFrame:
-    """One conv-salted partition -> ALL retention tiers in one pass:
-    merge raw partials to the first tier, then cascade each higher tier
-    FROM the previous tier's rows (A10: never from raw). Output gains a
-    ``tier`` column ('1m'/'1h'/'1d'); a single exchange feeds every
-    retention tier."""
-    if "part" in part.columns:
-        part = part.drop(columns=["part"])
-    frames = []
-    cur = partition_merge_tiers(part, tiers_s[0])
-    frames.append(cur.assign(tier=tier_name(tiers_s[0])))
-    for width in tiers_s[1:]:
-        cur = partition_merge_tiers(cur, width)
-        frames.append(cur.assign(tier=tier_name(width)))
-    return pd.concat(frames, ignore_index=True)
+    """Pandas-frame variant of :func:`partition_cascade_frames` with the
+    ``tier`` column ('1m'/'1h'/'1d') materialized."""
+    return pd.concat(
+        [df.assign(tier=tn) for df, tn in partition_cascade_frames(part, tiers_s)],
+        ignore_index=True,
+    )
 
 
 def add_conv_salt(batch: pd.DataFrame, salt_buckets: int) -> pd.DataFrame:
