@@ -115,8 +115,13 @@ def main() -> None:
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
     turns = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows * amplify
 
-    # warm the OS page cache (untimed) so we measure compute + shuffle
-    rd.read_parquet(f"{sf_dir}/events.parquet").count()
+    # warm the OS page cache (untimed) so we measure compute + shuffle;
+    # read through the metadata-stripping reader so the warm-up itself
+    # doesn't log "Failed to hash the schemas" (raw events.parquet
+    # carries a pandas metadata dict)
+    from ctas_ray.sources import read_parquet_clean
+
+    read_parquet_clean(f"{sf_dir}/events.parquet").count()
     # warm the Ray worker pool (worker process spawn is a fixed cost that
     # would otherwise bill the first timed stage); the UDF imports the
     # library so workers also pay the ctas_ray/pandas import cost here,
