@@ -253,10 +253,11 @@ def _frames_to_union_arrow(
     union table; columns a frame lacks become null arrays (bitmap-only,
     not 8-byte NaN pointers).
 
-    ``frames`` items are either plain DataFrames or ``(df, const)``
-    pairs where ``const`` maps column -> scalar: constant columns (kind,
-    tier, channel) are minted here as one C++ ``pa.repeat`` each instead
-    of ``.assign()`` copies that consolidate the whole frame.
+    ``frames`` items are dicts of numpy columns, DataFrames, or
+    ``(frame, const)`` pairs where ``const`` maps column -> scalar:
+    constant columns (kind, tier, channel) are minted here as one C++
+    ``pa.repeat`` each instead of ``.assign()`` copies that consolidate
+    the whole frame.
 
     ``label_fn``: when the fused events path defers conv labels, frames
     carry int64 conv keys and the string labels are minted HERE, once
@@ -265,23 +266,21 @@ def _frames_to_union_arrow(
     batches = []
     for item in frames:
         f, const = item if isinstance(item, tuple) else (item, None)
-        n_rows = len(f)
+        names = set(f.keys()) if isinstance(f, dict) else set(f.columns)
+        n_rows = len(next(iter(f.values()))) if isinstance(f, dict) else len(f)
         arrays = []
         for c in UNION_COLUMNS:
             t = UNION_TYPES[c]
             if const is not None and c in const:
                 arrays.append(pa.repeat(pa.scalar(const[c], type=t), n_rows))
                 continue
-            if c not in f.columns:
+            if c not in names:
                 arrays.append(pa.nulls(n_rows, type=t))
                 continue
             col = f[c]
-            if (
-                c == "conv_id"
-                and label_fn is not None
-                and col.dtype.kind in "iu"
-            ):
-                codes, uniq = pd.factorize(col.to_numpy())
+            arr = col.to_numpy() if isinstance(col, pd.Series) else np.asarray(col)
+            if c == "conv_id" and label_fn is not None and arr.dtype.kind in "iu":
+                codes, uniq = pd.factorize(arr)
                 arrays.append(
                     pa.DictionaryArray.from_arrays(
                         pa.array(codes, type=pa.int32()),
@@ -289,7 +288,9 @@ def _frames_to_union_arrow(
                     ).cast(pa.string())
                 )
                 continue
-            arrays.append(pa.Array.from_pandas(col, type=t))
+            # from_pandas=True keeps the pandas-path semantics (float
+            # NaN -> null) for numpy inputs too
+            arrays.append(pa.array(arr, type=t, from_pandas=True))
         batches.append(pa.record_batch(arrays, schema=UNION_SCHEMA))
     if not batches:
         return UNION_SCHEMA.empty_table()
@@ -374,31 +375,120 @@ def _points_to_partials(
     t_ok: np.ndarray,
     v_ok: np.ndarray,
     tier1_s: int,
-    channel: str,
-) -> pd.DataFrame:
+) -> dict[str, np.ndarray]:
     """Segment-tagged sorted points -> one partial row per
-    (segment, bucket) via segment detection + np.reduceat."""
+    (segment, bucket) via segment detection + np.reduceat.
+
+    Returns a plain dict of numpy columns (NOT a DataFrame): the inline
+    partial/cascade plumbing stays in unboxed arrays end to end — the
+    pandas BlockManager construction + consolidation this avoids was
+    ~20% of the partition UDF profile. The constant ``channel`` column
+    is NOT materialized; callers carry it in the frame's const dict."""
     b = _bucket(t_ok, tier1_s)
     cut = np.r_[True, (sid[1:] != sid[:-1]) | (b[1:] != b[:-1])]
     starts = np.nonzero(cut)[0]
     ends = np.r_[starts[1:], len(b)]
-    return pd.DataFrame(
-        {
-            "_seg": sid[starts],  # caller-internal (complete-flag routing)
-            "conv_id": conv_by_seg[sid[starts]],
-            "channel": channel,
-            "bucket": b[starts],
-            "count": (ends - starts).astype(np.int64),
-            "sum": np.add.reduceat(v_ok, starts),
-            "min": np.minimum.reduceat(v_ok, starts),
-            "max": np.maximum.reduceat(v_ok, starts),
-            "sumsq": np.add.reduceat(v_ok * v_ok, starts),
-            "first_ts": t_ok[starts],
-            "first_val": v_ok[starts],
-            "last_ts": t_ok[ends - 1],
-            "last_val": v_ok[ends - 1],
+    return {
+        "_seg": sid[starts],  # caller-internal (complete-flag routing)
+        "conv_id": conv_by_seg[sid[starts]],
+        "bucket": b[starts],
+        "count": (ends - starts).astype(np.int64),
+        "sum": np.add.reduceat(v_ok, starts),
+        "min": np.minimum.reduceat(v_ok, starts),
+        "max": np.maximum.reduceat(v_ok, starts),
+        "sumsq": np.add.reduceat(v_ok * v_ok, starts),
+        "first_ts": t_ok[starts],
+        "first_val": v_ok[starts],
+        "last_ts": t_ok[ends - 1],
+        "last_val": v_ok[ends - 1],
+    }
+
+
+def _take_cols(cols: dict[str, np.ndarray], mask: np.ndarray) -> dict[str, np.ndarray]:
+    return {k: v[mask] for k, v in cols.items()}
+
+
+def _merge_tiers_cols(
+    cols: dict[str, np.ndarray], width_s: int, presorted: bool = False
+) -> dict[str, np.ndarray]:
+    """Single-channel, dict-of-arrays variant of
+    :func:`partition_merge_tiers` for the inline cascade: the channel is
+    constant (carried outside the columns) so the per-row object-string
+    factorize disappears; conv keys are int64 on the fused path (radix
+    factorize) or objects on the generic path.
+
+    ``presorted``: the inline-cascade inputs are ALREADY in ascending
+    (conv, bucket) order with monotone first/last timestamps within
+    each conversation (partial rows cover disjoint time windows), so
+    both lexsorts AND every gather collapse to reduceat over the input
+    as-is — this invariant holds for _points_to_partials output, the
+    gap-filled grid, and recursively for each merged tier.
+
+    Same canonical-order contract either way: float partials are summed
+    in ascending (finer bucket, first_ts) order — bit-identical merges
+    no matter how the inputs were chunk-split."""
+    conv = cols["conv_id"]
+    bucket = _bucket(cols["bucket"], width_s)
+    f_ts, l_ts = cols["first_ts"], cols["last_ts"]
+    if conv.dtype.kind in "iu":
+        conv_codes = conv
+    else:
+        conv_codes, _ = pd.factorize(conv, sort=True)
+    if presorted:
+        cut = np.r_[
+            True, (conv_codes[1:] != conv_codes[:-1]) | (bucket[1:] != bucket[:-1])
+        ]
+        starts = np.nonzero(cut)[0]
+        ends = np.r_[starts[1:], len(bucket)]
+        return {
+            "conv_id": conv[starts],
+            "bucket": bucket[starts],
+            "count": np.add.reduceat(cols["count"], starts),
+            "sum": np.add.reduceat(cols["sum"], starts),
+            "min": np.minimum.reduceat(cols["min"], starts),
+            "max": np.maximum.reduceat(cols["max"], starts),
+            "sumsq": np.add.reduceat(cols["sumsq"], starts),
+            "first_ts": f_ts[starts],
+            "first_val": cols["first_val"][starts],
+            "last_ts": l_ts[ends - 1],
+            "last_val": cols["last_val"][ends - 1],
         }
-    )
+    order = np.lexsort((f_ts, bucket, conv_codes))
+    kc, b = conv_codes[order], bucket[order]
+    cut = np.r_[True, (kc[1:] != kc[:-1]) | (b[1:] != b[:-1])]
+    starts = np.nonzero(cut)[0]
+    ends = np.r_[starts[1:], len(b)]
+    order_last = np.lexsort((l_ts, bucket, conv_codes))
+    return {
+        "conv_id": conv[order][starts],
+        "bucket": b[starts],
+        "count": np.add.reduceat(cols["count"][order], starts),
+        "sum": np.add.reduceat(cols["sum"][order], starts),
+        "min": np.minimum.reduceat(cols["min"][order], starts),
+        "max": np.maximum.reduceat(cols["max"][order], starts),
+        "sumsq": np.add.reduceat(cols["sumsq"][order], starts),
+        "first_ts": f_ts[order][starts],
+        "first_val": cols["first_val"][order][starts],
+        "last_ts": l_ts[order_last][ends - 1],
+        "last_val": cols["last_val"][order_last][ends - 1],
+    }
+
+
+def _cascade_frames_cols(
+    cols: dict[str, np.ndarray],
+    tiers_s: tuple[int, ...],
+    presorted: bool = True,
+) -> list[tuple[dict[str, np.ndarray], str]]:
+    """Dict-of-arrays inline cascade: raw partials -> every retention
+    tier, each higher tier merged FROM the previous tier's rows (A10).
+    Sortedness is preserved tier to tier, so ``presorted`` propagates."""
+    out = []
+    cur = _merge_tiers_cols(cols, tiers_s[0], presorted=presorted)
+    out.append((cur, tier_name(tiers_s[0])))
+    for width in tiers_s[1:]:
+        cur = _merge_tiers_cols(cur, width, presorted=presorted)
+        out.append((cur, tier_name(width)))
+    return out
 
 
 def _gapfill_segments(
@@ -532,21 +622,27 @@ def partition_rollup(
         if ok.any():
             if gapfill is None:
                 partials = _points_to_partials(
-                    conv_by_seg, seg_id[ok], ts[ok], values[ok], tier1_s, channel
+                    conv_by_seg, seg_id[ok], ts[ok], values[ok], tier1_s
                 )
-                complete_mask = seg_complete[partials.pop("_seg").to_numpy()]
+                complete_mask = seg_complete[partials.pop("_seg")]
                 if inline_tiers_s is None:
-                    frames.append((partials, {"kind": "t1"}))
+                    frames.append((partials, {"kind": "t1", "channel": channel}))
                 else:
-                    multi = partials[~complete_mask]
-                    if len(multi):
-                        frames.append((multi, {"kind": "t1"}))
-                    done_part = partials[complete_mask]
-                    if len(done_part):
-                        for tdf, tname in partition_cascade_frames(
+                    if not complete_mask.all():
+                        multi = _take_cols(partials, ~complete_mask)
+                        frames.append((multi, {"kind": "t1", "channel": channel}))
+                    if complete_mask.any():
+                        done_part = (
+                            partials
+                            if complete_mask.all()
+                            else _take_cols(partials, complete_mask)
+                        )
+                        for tdf, tname in _cascade_frames_cols(
                             done_part, inline_tiers_s
                         ):
-                            frames.append((tdf, {"kind": "tier", "tier": tname}))
+                            frames.append(
+                                (tdf, {"kind": "tier", "tier": tname, "channel": channel})
+                            )
             else:
                 method, step_s = gapfill
                 comp_rows = ok & seg_complete[seg_id]
@@ -562,10 +658,10 @@ def partition_rollup(
                         warned_gapfill_fallback = True
                     raw_partials = _points_to_partials(
                         conv_by_seg, seg_id[raw_rows], ts[raw_rows],
-                        values[raw_rows], tier1_s, channel,
+                        values[raw_rows], tier1_s,
                     )
                     raw_partials.pop("_seg")
-                    frames.append((raw_partials, {"kind": "t1"}))
+                    frames.append((raw_partials, {"kind": "t1", "channel": channel}))
                 if comp_rows.any():
                     g_sid, g_ts, g_v = _gapfill_segments(
                         seg_id[comp_rows], ts[comp_rows], values[comp_rows],
@@ -573,13 +669,15 @@ def partition_rollup(
                     )
                     if len(g_ts):
                         done_part = _points_to_partials(
-                            conv_by_seg, g_sid, g_ts, g_v, tier1_s, channel
+                            conv_by_seg, g_sid, g_ts, g_v, tier1_s
                         )
                         done_part.pop("_seg")
-                        for tdf, tname in partition_cascade_frames(
+                        for tdf, tname in _cascade_frames_cols(
                             done_part, inline_tiers_s
                         ):
-                            frames.append((tdf, {"kind": "tier", "tier": tname}))
+                            frames.append(
+                                (tdf, {"kind": "tier", "tier": tname, "channel": channel})
+                            )
         if with_codec:
             # batch encode over REAL rows (NaNs kept in the series): rows
             # are segment-sorted, so the real-row subset preserves the
@@ -622,17 +720,15 @@ def partition_rollup(
             if rows_conv:
                 frames.append(
                     (
-                        pd.DataFrame(
-                            {
-                                "conv_id": rows_conv,
-                                "chunk": rows_chunk,
-                                "n": rows_n,
-                                "blob": rows_blob,
-                                "first_ts": rows_f,
-                                "last_ts": rows_l,
-                                "roundtrip_ok": rows_ok,
-                            }
-                        ),
+                        {
+                            "conv_id": np.asarray(rows_conv),
+                            "chunk": np.asarray(rows_chunk, dtype=np.int64),
+                            "n": np.asarray(rows_n, dtype=np.int64),
+                            "blob": np.asarray(rows_blob, dtype=object),
+                            "first_ts": np.asarray(rows_f, dtype=np.int64),
+                            "last_ts": np.asarray(rows_l, dtype=np.int64),
+                            "roundtrip_ok": np.asarray(rows_ok, dtype=bool),
+                        },
                         {"channel": channel, "kind": "blob"},
                     )
                 )
@@ -693,7 +789,11 @@ def partition_rollup(
     if not frames:
         return _empty_union()
     return pd.concat(
-        [f.assign(**const) for f, const in frames], ignore_index=True
+        [
+            (pd.DataFrame(f) if isinstance(f, dict) else f).assign(**const)
+            for f, const in frames
+        ],
+        ignore_index=True,
     ).reindex(columns=UNION_COLUMNS)
 
 
