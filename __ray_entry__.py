@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.embedding_neardup,          # rows-only (planted dups -> non-vacuous)
         "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
         "ivf_recall": q.ivf_recall,                        # rows-only (recall@k vs brute force)
+        "media_features": q.media_features,                # rows-only (real BMP/WAV/video decode)
         # flagship anomaly screen, full config (crc32 sites, jitter on,
         # lof/own_site features -> rows-only)
         "study_screen_sitescores": q.study_screen_sitescores,

@@ -663,6 +663,32 @@ def ivf_recall(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode + feature extraction (rows-only driver check:
+    binary decode is not SQL-expressible; tests/test_media.py pins the
+    kernels value-exact against synthesized signals).
+
+    The driver testdata has no media column, so payloads are
+    synthesized deterministically (REAL BMP / PCM-WAV / BMP-frame-video
+    bytes, count scaled by the documents table) and decoded for real by
+    the pure-numpy codecs in functions/media.py."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        collect_features,
+        extract_media_features,
+        fake_media_table,
+    )
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    media = fake_media_table(n=max(30, n_docs // 5), seed=11)
+    out = collect_features(extract_media_features(rd.from_arrow(media), strict=True))
+    out = out.drop(columns=["thumb"]).sort_values("media_id").reset_index(drop=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # full study screen over events (rows-only: KS not SQL-expressible)
 # ---------------------------------------------------------------------------

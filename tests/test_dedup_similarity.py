@@ -216,27 +216,24 @@ class TestTextAnalysis:
 
 
 class TestMultimodal:
-    def test_plumbing_roundtrip(self, ray_session):
+    # full decode coverage lives in tests/test_media.py; this keeps the
+    # plumbing determinism invariant the round-1 suite pinned
+    def test_plumbing_deterministic(self, ray_session):
         import ray.data as rd
-        from ctas_ray.stages.multimodal import extract_media_features, fake_media_table
+        from ctas_ray.stages.multimodal import (
+            collect_features,
+            extract_media_features,
+            fake_media_table,
+        )
 
-        media = fake_media_table(n=32)
-        out = extract_media_features(rd.from_arrow(media), strict=False).to_pandas()
-        assert len(out) == 32
-        assert (out["feature"].apply(len) == 32).all()
-        # deterministic: same payload -> same feature
-        out2 = extract_media_features(rd.from_arrow(media), strict=False).to_pandas()
-        a = out.sort_values("media_id")["feature"].apply(tuple).tolist()
-        b = out2.sort_values("media_id")["feature"].apply(tuple).tolist()
-        assert a == b
-
-    def test_strict_mode_raises(self, ray_session):
-        import ray.data as rd
-        from ctas_ray.stages.multimodal import extract_media_features, fake_media_table
-
-        media = fake_media_table(n=4)
-        with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
-            extract_media_features(rd.from_arrow(media), strict=True).to_pandas()
+        media = fake_media_table(n=12)
+        out = collect_features(extract_media_features(rd.from_arrow(media), strict=True))
+        assert len(out) == 12 and bool(out["ok"].all())
+        out2 = collect_features(extract_media_features(rd.from_arrow(media), strict=True))
+        key = lambda df: df.sort_values("media_id")["thumb"].apply(
+            lambda v: None if v is None else tuple(v)
+        ).tolist()
+        assert key(out) == key(out2)
 
 
 class TestCuration:
