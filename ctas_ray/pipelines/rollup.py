@@ -330,14 +330,18 @@ def run_rollup_events(
 
     from ..stages.rollup import fused_events_rollup
 
-    # override_num_blocks splits the read itself into salt_buckets
-    # blocks (parallel replicate/add_part) WITHOUT a repartition
-    # exchange — the downstream groupby re-keys everything anyway
+    # read plain, then split into salt_buckets blocks with an explicit
+    # repartition: override_num_blocks=K on a single small file makes
+    # ONE read task yield K blocks through its streaming generator,
+    # whose per-block backpressure handshake serializes the whole front
+    # end (~55ms/block regardless of cluster size — measured 3.7s for
+    # 64 blocks vs 0.9s via repartition at 32 cpus). At real scale the
+    # input is many files and reads parallelize naturally; the
+    # repartition is then a cheap block-count adjustment either way.
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "props"],
-        override_num_blocks=cfg.salt_buckets,
-    )
+    ).repartition(cfg.salt_buckets)
     if amplify > 1:
         max_user = 10_000_000
 
