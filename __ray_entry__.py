@@ -82,6 +82,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_screen_iqr_sitescores": q.transcript_screen_iqr_sitescores,
         "transcript_screen_ks_statistics": q.transcript_screen_ks_statistics,
         "study_screen_ks_statistics": q.study_screen_ks_statistics,
+        # temporal joins / windows (stages/windows.py) — all hash-verified
+        "session_windows": q.session_windows,
+        "asof_join_clicks": q.asof_join_clicks,
+        "range_join_purchases": q.range_join_purchases,
+        "hopping_window_stats": q.hopping_window_stats,
+        # repetition/quality signals over documents — hash-verified
+        "repetition_stats": q.repetition_stats,
+        # order statistics via distributed selection — hash-verified
+        "global_value_quantiles": q.global_value_quantiles,
+        # HLL cardinality sketch — rows-only (pytest pins error bound)
+        "approx_distinct_counts": q.approx_distinct_counts,
     }
 
 
@@ -749,4 +760,92 @@ def oracle_sql() -> dict[str, str]:
     FROM kvals v JOIN tot t USING (timeseries_id, feature, site)
     WHERE t.n_in > 0 AND t.n_out > 0
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # temporal joins / windows (stages/windows.py) — value-exact:
+        # aggregates are counts, timestamps and pre-quantized BIGINT sums
+        "session_windows": """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS session_idx
+      FROM e
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS ts_start, MAX(ts) AS ts_end,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           COUNT(value) AS n_values,
+           CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN 0
+                ELSE CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) END), 0)
+                AS BIGINT) AS sum_value_e6
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        "asof_join_clicks": """
+    WITH r AS (SELECT user_id, ts, MAX(value) AS v FROM events
+               WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT l.user_id, l.ts, l.event_id,
+           (SELECT r.v FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+            ORDER BY r.ts DESC LIMIT 1) AS asof_value
+    FROM events l WHERE l.event_type = 'error' ORDER BY 1, 3""",
+        "range_join_purchases": """
+    SELECT l.user_id, l.ts, l.event_id,
+           (SELECT COUNT(*) FROM events r WHERE r.event_type = 'view'
+              AND r.user_id = l.user_id
+              AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts) AS n_in_window
+    FROM events l WHERE l.event_type = 'purchase' ORDER BY 1, 3""",
+        "hopping_window_stats": """
+    WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, value FROM events),
+    x AS (
+      SELECT event_type, value,
+             UNNEST(generate_series((tsu // 900000000) * 900000000 - 2700000000,
+                    (tsu // 900000000) * 900000000, 900000000)) AS window_start_us
+      FROM e
+    )
+    SELECT event_type, window_start_us, COUNT(value) AS n,
+           CAST(SUM(CASE WHEN value IS NULL THEN 0
+                ELSE CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sum_value_e6,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM x GROUP BY 1, 2 HAVING COUNT(value) > 0 ORDER BY 1, 2""",
+        "repetition_stats": """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c
+           FROM (SELECT doc_id, UNNEST(words) AS word FROM w) GROUP BY 1, 2),
+    wt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  COUNT(*) AS n_distinct_words, MAX(c) AS top_word_count
+           FROM wc GROUP BY 1),
+    bg AS (SELECT doc_id,
+                  UNNEST(list_transform(generate_series(1, len(words) - 1),
+                         i -> words[i] || ' ' || words[i + 1])) AS b
+           FROM w),
+    bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                  COUNT(*) AS n_distinct_bigrams FROM bc GROUP BY 1)
+    SELECT d.doc_id, wt.n_words, wt.n_distinct_words, wt.top_word_count,
+           CAST(COALESCE(bt.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(bt.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN wt USING (doc_id) LEFT JOIN bt USING (doc_id)
+    ORDER BY doc_id""",
+        # exact global order statistics: the engine's histogram-selection
+        # result must equal a full ROW_NUMBER sort walk (type-7 brackets
+        # + interpolation, same IEEE expression on both sides)
+        "global_value_quantiles": """
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS rk FROM v),
+    qs AS (SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+    SELECT qs.q AS q,
+           CAST(FLOOR(qs.q * (n.n - 1)) AS BIGINT) AS rank_lo,
+           CAST(CEIL(qs.q * (n.n - 1)) AS BIGINT) AS rank_hi,
+           lo.value AS value_lo, hi.value AS value_hi
+    FROM qs CROSS JOIN n
+    JOIN o lo ON lo.rk = CAST(FLOOR(qs.q * (n.n - 1)) AS BIGINT)
+    JOIN o hi ON hi.rk = CAST(CEIL(qs.q * (n.n - 1)) AS BIGINT)
+    ORDER BY q""",
     }

@@ -182,6 +182,10 @@ def main() -> None:
         timed("series_features_basic", lambda: q.series_features_basic(sf_dir))
         timed("minhash_dedup", lambda: q.minhash_clusters(sf_dir))
         timed("topk_similarity", lambda: q.topk_similarity(sf_dir))
+        timed("session_windows", lambda: q.session_windows(sf_dir))
+        timed("asof_join", lambda: q.asof_join_clicks(sf_dir))
+        timed("hopping_windows", lambda: q.hopping_window_stats(sf_dir))
+        timed("global_quantiles", lambda: q.global_value_quantiles(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(

@@ -915,3 +915,113 @@ def study_screen_ks_statistics(sf_dir: str) -> pd.DataFrame:
     s["subject_count"] = s["subject_count"].astype(np.int64)
     s = s[["timeseries_id", "feature", "site", "ks_e6", "subject_count"]]
     return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins / windows (stages/windows.py) and repetition quality
+# ---------------------------------------------------------------------------
+
+
+def _typed_events(sf_dir: str, cols: list[str]) -> rd.Dataset:
+    return _events(sf_dir, cols)
+
+
+def _filter_type(ds: rd.Dataset, event_type: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    def f(t):
+        return t.filter(pc.equal(t.column("event_type"), event_type))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def session_windows(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization per user (30-min gap): one salted
+    exchange, vectorized per-partition kernel, order-independent
+    aggregates (see stages/windows.py:sessionize)."""
+    from ..stages.windows import sessionize
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    out = sessionize(ev, gap_us=30 * 60 * 1_000_000).to_pandas()
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def asof_join_clicks(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each 'error' event picks the newest preceding (or
+    simultaneous) 'click' value of the same user — the temporal-align
+    primitive (stages/windows.py:asof_join)."""
+    from ..stages.windows import asof_join
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
+    left = _filter_type(ev, "error").select_columns(["user_id", "ts", "event_id"])
+    right = _filter_type(ev, "click").select_columns(["user_id", "ts", "value"])
+    out = asof_join(left, right).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def range_join_purchases(sf_dir: str) -> pd.DataFrame:
+    """Range join: per 'purchase' event, the number of same-user 'view'
+    events in the preceding hour (closed interval), answered by one
+    co-partitioned probe-merge kernel (stages/windows.py:range_join_count)."""
+    from ..stages.windows import range_join_count
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    left = _filter_type(ev, "purchase").select_columns(["user_id", "ts", "event_id"])
+    right = _filter_type(ev, "view").select_columns(["user_id", "ts"])
+    out = range_join_count(left, right, window_us=60 * 60 * 1_000_000).to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def hopping_window_stats(sf_dir: str) -> pd.DataFrame:
+    """Hopping-window aggregate per event_type (1h windows, 15m hop):
+    pre-combined per block before one small exchange
+    (stages/windows.py:hopping_window_agg)."""
+    from ..stages.windows import hopping_window_agg
+
+    ev = _events(sf_dir, ["event_type", "ts", "value"])
+    out = hopping_window_agg(
+        ev, size_us=60 * 60 * 1_000_000, hop_us=15 * 60 * 1_000_000
+    ).to_pandas()
+    return out.sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document repetition/quality signals (top-word count,
+    distinct word/bigram counts) — integer outputs, SQL-exact
+    (stages/text_analysis.py:repetition_stats_batch)."""
+    from ..stages.text_analysis import repetition_stats as rep
+
+    out = rep(_docs(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def global_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact global type-7 quantiles of events.value by distributed
+    histogram selection (stages/sketches.py:global_quantiles) — order
+    statistics without a global sort; hash-verified vs a ROW_NUMBER
+    walk in SQL."""
+    from ..stages.sketches import global_quantiles
+
+    ev = _events(sf_dir, ["value"])
+    out = global_quantiles(
+        ev, "value", [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+    # the driver-compared surface carries the exact bracketing order
+    # statistics; the interpolated value is excluded because DuckDB may
+    # contract a*b+c to an FMA, flipping the last ulp vs numpy (observed
+    # at sf0.01) — interpolation itself is pytest-pinned vs numpy
+    out = out.drop(columns=["value"])
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def approx_distinct_counts(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate-distinct over high-cardinality columns
+    (stages/sketches.py:approx_distinct) — rows-only driver check; the
+    pytest suite pins the error bound vs exact."""
+    from ..stages.sketches import approx_distinct
+
+    rows = []
+    for col in ("event_id", "user_id", "props"):
+        est = approx_distinct(_events(sf_dir, [col]), col, p=14)
+        rows.append({"column_name": col, "approx_n": int(round(est))})
+    return pd.DataFrame(rows).sort_values("column_name").reset_index(drop=True)

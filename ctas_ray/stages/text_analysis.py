@@ -18,7 +18,8 @@ from ..functions.text import (
     winnow_fingerprint,
 )
 
-__all__ = ["text_stats_batch", "analyze_documents"]
+__all__ = ["text_stats_batch", "analyze_documents", "repetition_stats_batch",
+           "repetition_stats"]
 
 
 def text_stats_batch(
@@ -54,6 +55,61 @@ def text_stats_batch(
     out = pd.DataFrame(rows)
     out.insert(0, id_col, ids)
     return out
+
+
+def repetition_stats_batch(
+    batch: pd.DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+) -> pd.DataFrame:
+    """Gopher-style repetition signals per document: word counts,
+    distinct-word and distinct-bigram counts and the most-frequent-word
+    count — all integers, so the result is bit-exact against the SQL
+    oracle (split semantics match ``string_split(text, ' ')``: empty
+    text yields one empty token, consecutive spaces yield empty tokens).
+
+    Downstream quality gates use e.g. ``top_word_count / n_words`` and
+    ``1 - n_distinct_bigrams / n_bigrams`` as repetition ratios.
+    """
+    from collections import Counter
+
+    ids = batch[id_col].to_numpy()
+    texts = batch[text_col].tolist()
+    n_words = np.empty(len(texts), dtype=np.int64)
+    n_dw = np.empty(len(texts), dtype=np.int64)
+    topw = np.empty(len(texts), dtype=np.int64)
+    n_bg = np.empty(len(texts), dtype=np.int64)
+    n_dbg = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        wc = Counter(words)
+        n_words[i] = len(words)
+        n_dw[i] = len(wc)
+        topw[i] = max(wc.values())
+        bigrams = Counter(
+            words[j] + " " + words[j + 1] for j in range(len(words) - 1)
+        )
+        n_bg[i] = len(words) - 1
+        n_dbg[i] = len(bigrams)
+    return pd.DataFrame(
+        {
+            id_col: ids,
+            "n_words": n_words,
+            "n_distinct_words": n_dw,
+            "top_word_count": topw,
+            "n_bigrams": n_bg,
+            "n_distinct_bigrams": n_dbg,
+        }
+    )
+
+
+def repetition_stats(
+    docs: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+) -> rd.Dataset:
+    import functools
+
+    return docs.map_batches(
+        functools.partial(repetition_stats_batch, id_col=id_col, text_col=text_col),
+        batch_format="pandas",
+    )
 
 
 def analyze_documents(
