@@ -922,19 +922,6 @@ def study_screen_ks_statistics(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _typed_events(sf_dir: str, cols: list[str]) -> rd.Dataset:
-    return _events(sf_dir, cols)
-
-
-def _filter_type(ds: rd.Dataset, event_type: str) -> rd.Dataset:
-    import pyarrow.compute as pc
-
-    def f(t):
-        return t.filter(pc.equal(t.column("event_type"), event_type))
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
 def session_windows(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessionization per user (30-min gap): one salted
     exchange, vectorized per-partition kernel, order-independent
@@ -949,26 +936,91 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
 def asof_join_clicks(sf_dir: str) -> pd.DataFrame:
     """As-of join: each 'error' event picks the newest preceding (or
     simultaneous) 'click' value of the same user — the temporal-align
-    primitive (stages/windows.py:asof_join)."""
-    from ..stages.windows import asof_join
+    primitive. Both sides derive from the same events table, so the
+    query reads it ONCE and tags per batch
+    (stages/windows.py:asof_join_tagged)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.windows import asof_join_tagged
+
+    def tag(t: pa.Table) -> pa.Table:
+        le = t.filter(pc.equal(t.column("event_type"), "error"))
+        ri = t.filter(pc.equal(t.column("event_type"), "click"))
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "user_id": le.column("user_id"),
+                        "ts": le.column("ts"),
+                        "event_id": le.column("event_id"),
+                        "side": pa.array(
+                            np.ones(le.num_rows, dtype=np.int8), type=pa.int8()
+                        ),
+                        "rv": pa.nulls(le.num_rows, type=pa.float64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "user_id": ri.column("user_id"),
+                        "ts": ri.column("ts"),
+                        "event_id": pa.nulls(ri.num_rows, type=pa.int64()),
+                        "side": pa.array(
+                            np.zeros(ri.num_rows, dtype=np.int8), type=pa.int8()
+                        ),
+                        "rv": ri.column("value").cast(pa.float64()),
+                    }
+                ),
+            ]
+        )
 
     ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type", "value"])
-    left = _filter_type(ev, "error").select_columns(["user_id", "ts", "event_id"])
-    right = _filter_type(ev, "click").select_columns(["user_id", "ts", "value"])
-    out = asof_join(left, right).to_pandas()
+    tagged = ev.map_batches(tag, batch_format="pyarrow")
+    out = asof_join_tagged(tagged).to_pandas()
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 
 def range_join_purchases(sf_dir: str) -> pd.DataFrame:
     """Range join: per 'purchase' event, the number of same-user 'view'
     events in the preceding hour (closed interval), answered by one
-    co-partitioned probe-merge kernel (stages/windows.py:range_join_count)."""
-    from ..stages.windows import range_join_count
+    co-partitioned probe-merge kernel over a single-read tagged stream
+    (stages/windows.py:range_join_tagged)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.windows import range_join_tagged
+
+    def tag(t: pa.Table) -> pa.Table:
+        le = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        ri = t.filter(pc.equal(t.column("event_type"), "view"))
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "user_id": le.column("user_id"),
+                        "ts": le.column("ts"),
+                        "event_id": le.column("event_id"),
+                        "side": pa.array(
+                            np.ones(le.num_rows, dtype=np.int8), type=pa.int8()
+                        ),
+                    }
+                ),
+                pa.table(
+                    {
+                        "user_id": ri.column("user_id"),
+                        "ts": ri.column("ts"),
+                        "event_id": pa.nulls(ri.num_rows, type=pa.int64()),
+                        "side": pa.array(
+                            np.zeros(ri.num_rows, dtype=np.int8), type=pa.int8()
+                        ),
+                    }
+                ),
+            ]
+        )
 
     ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
-    left = _filter_type(ev, "purchase").select_columns(["user_id", "ts", "event_id"])
-    right = _filter_type(ev, "view").select_columns(["user_id", "ts"])
-    out = range_join_count(left, right, window_us=60 * 60 * 1_000_000).to_pandas()
+    tagged = ev.map_batches(tag, batch_format="pyarrow")
+    out = range_join_tagged(tagged, window_us=60 * 60 * 1_000_000).to_pandas()
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 

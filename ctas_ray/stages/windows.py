@@ -195,6 +195,21 @@ def asof_join(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
+    return asof_join_tagged(tagged, key=key, ts=ts, left_cols=left_cols)
+
+
+def asof_join_tagged(
+    tagged: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    left_cols: tuple[str, ...] = ("event_id",),
+) -> rd.Dataset:
+    """As-of join over an already-tagged stream (``side`` 1 = left,
+    0 = right; right rows carry ``rv``). Use this when both sides come
+    from the SAME source table: one read + one tagging pass replaces
+    two reads of identical bytes — at petabyte scale the read is the
+    cost, not the tag."""
 
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -290,6 +305,22 @@ def range_join_count(
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
+    return range_join_tagged(
+        tagged, key=key, ts=ts, left_cols=left_cols, window_us=window_us
+    )
+
+
+def range_join_tagged(
+    tagged: rd.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    left_cols: tuple[str, ...] = ("event_id",),
+    window_us: int = 60 * 60 * 1_000_000,
+) -> rd.Dataset:
+    """Range-join count over an already-tagged stream (``side`` 1 =
+    left, 0 = right) — single-read path when both sides derive from the
+    same source table (see asof_join_tagged)."""
 
     def kernel(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
