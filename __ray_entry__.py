@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_stats": q.hopping_window_stats,
         # repetition/quality signals over documents — hash-verified
         "repetition_stats": q.repetition_stats,
+        # exact similarity self-join (prefix filtering, guaranteed
+        # recall) — hash-verified vs brute-force all-pairs SQL
+        "jaccard_neardup_pairs": q.jaccard_neardup_pairs,
         # order statistics via distributed selection — hash-verified
         "global_value_quantiles": q.global_value_quantiles,
         # HLL cardinality sketch — rows-only (pytest pins error bound)
@@ -832,6 +835,29 @@ def oracle_sql() -> dict[str, str]:
     FROM (SELECT DISTINCT doc_id FROM documents) d
     LEFT JOIN wt USING (doc_id) LEFT JOIN bt USING (doc_id)
     ORDER BY doc_id""",
+        # brute-force all-pairs oracle for the prefix-filtered exact
+        # similarity join: every doc pair's true 5-gram Jaccard (texts
+        # are ASCII at every sf, so byte shingles == char substrings;
+        # the engine's 64-bit shingle hashing is collision-free at this
+        # cardinality). Same IEEE division + FLOOR chain as _scaled_int.
+        "jaccard_neardup_pairs": """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, SUBSTRING(text, i, 5) AS g
+      FROM documents,
+           UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(FLOOR(i * 1.0 / (sa.n + sb.n - i) * 1000000 + 0.5) AS BIGINT)
+               AS jaccard_e6
+    FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ORDER BY 1, 2""",
         # exact global order statistics: the engine's histogram-selection
         # result must equal a full ROW_NUMBER sort walk (type-7 brackets
         # + interpolation, same IEEE expression on both sides)

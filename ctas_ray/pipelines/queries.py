@@ -1077,3 +1077,23 @@ def approx_distinct_counts(sf_dir: str) -> pd.DataFrame:
         est = approx_distinct(_events(sf_dir, [col]), col, p=14)
         rows.append({"column_name": col, "approx_n": int(round(est))})
     return pd.DataFrame(rows).sort_values("column_name").reset_index(drop=True)
+
+
+def jaccard_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT near-duplicate pair set at Jaccard >= 0.8 over 5-gram
+    shingles via prefix filtering (stages/dedup.py:
+    jaccard_similarity_join) — guaranteed-recall blocking makes the
+    whole near-dup family hash-verifiable against a brute-force
+    all-pairs SQL oracle (texts are ASCII, so byte shingles == char
+    shingles)."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    out = jaccard_similarity_join(_docs(sf_dir), threshold=0.8, shingle_k=5)
+    res = pd.DataFrame(
+        {
+            "id_a": out["id_a"].to_numpy().astype(np.int64),
+            "id_b": out["id_b"].to_numpy().astype(np.int64),
+            "jaccard_e6": _scaled_int(out["jac"].to_numpy()),
+        }
+    )
+    return res.sort_values(["id_a", "id_b"]).reset_index(drop=True)

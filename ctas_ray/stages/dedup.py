@@ -988,3 +988,168 @@ def embedding_cosine_dedup(
         .map_groups(verify_part, batch_format="pandas")
     )
     return _close_clusters(verified, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _expand_pairs_with_members(
+    verified: pd.DataFrame, members: pd.DataFrame, id_col: str
+) -> pd.DataFrame:
+    """Fold exact-duplicate members back into the verified rep pairs:
+    intra-group pairs get jaccard 1.0; each cross pair (rep_a, rep_b)
+    expands to every member combination with the reps' jaccard (the
+    members' shingle sets are identical to their rep's). Pure driver
+    arithmetic over the duplicate mass + verified pairs — both are part
+    of the output anyway, so this adds no asymptotic cost."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    grp: dict = {}
+    if len(members):
+        for rep, g in members.groupby("rep"):
+            ids = np.sort(g[id_col].to_numpy())
+            grp[rep] = ids
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_j.append(np.ones(len(ii), dtype=np.float64))
+    for ra, rb, j in zip(verified["id_a"], verified["id_b"], verified["jac"]):
+        a_ids = grp.get(ra, np.array([ra]))
+        b_ids = grp.get(rb, np.array([rb]))
+        xa = np.repeat(a_ids, len(b_ids))
+        xb = np.tile(b_ids, len(a_ids))
+        out_a.append(np.minimum(xa, xb))
+        out_b.append(np.maximum(xa, xb))
+        out_j.append(np.full(len(xa), j, dtype=np.float64))
+    if not out_a:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jac": []})
+    return (
+        pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jac": np.concatenate(out_j),
+            }
+        )
+        .drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def jaccard_similarity_join(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """EXACT all-pairs similarity self-join at Jaccard >= threshold via
+    PREFIX FILTERING (AllPairs/PPJoin family; Bayardo et al., WWW 2007 —
+    public): under any global token order, a pair with J >= t must share
+    its smallest common shingle inside both docs' prefixes of length
+    |S| - ceil(t*|S|) + 1, so indexing only prefixes has GUARANTEED 100%
+    recall — unlike MinHash / bottom-k blocking, the result set is
+    deterministic and SQL-verifiable (the brute-force oracle in
+    __ray_entry__ recomputes every pair). A length filter drops
+    candidates whose set-size ratio makes J >= t impossible.
+
+    Scale notes: identical texts collapse to one representative before
+    indexing (mass-duplicate skew killer; members are folded back into
+    the output pairs at the end). The global order here is hash order;
+    on corpora with near-universal shingles switch to ascending
+    document-frequency order (one extra counting pass) to shrink prefix
+    buckets — the ORDER affects bucket sizes, never the result set.
+    Docs with empty text have an empty shingle set and only pair with
+    their exact duplicates (jaccard 1.0).
+
+    Returns (id_a, id_b, jac) with id_a < id_b for every qualifying
+    pair, including pairs inside exact-duplicate groups.
+    """
+    shingled = docs.map_batches(
+        functools.partial(
+            _shingle_batch, shingle_k=shingle_k, id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pandas",
+    )
+    reps, members_ds = _exact_collapse(shingled, id_col, ["shingles"])
+    reps = reps.materialize()
+
+    def index_prefix(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        sizes = np.empty(len(b), dtype=np.int64)
+        plens = np.empty(len(b), dtype=np.int64)
+        anchors_all = []
+        for i, blob in enumerate(b["shingles"]):
+            sh = np.frombuffer(blob, dtype=np.uint64)
+            n = len(sh)
+            sizes[i] = n
+            p = (n - int(np.ceil(threshold * n)) + 1) if n > 0 else 0
+            plens[i] = p
+            anchors_all.append(sh[:p].astype(np.int64))
+        anchor = (
+            np.concatenate(anchors_all) if anchors_all else np.empty(0, np.int64)
+        )
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, plens),
+                "size": np.repeat(sizes, plens),
+                "anchor": anchor,
+                "part": anchor % NUM_PARTS,
+            }
+        )
+
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["anchor", id_col], kind="mergesort")
+        starts, ends = _segments(g["anchor"].to_numpy(dtype=np.int64))
+        ids_all = g[id_col].to_numpy()
+        sz_all = g["size"].to_numpy(dtype=np.float64)
+        fa, fb = [ids_all[:0]], [ids_all[:0]]
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            a, b2 = ids_all[s:e][ii], ids_all[s:e][jj]
+            sa, sb = sz_all[s:e][ii], sz_all[s:e][jj]
+            # length filter (J >= t needs min/max >= t); the +0.5
+            # relaxation means float rounding can only ADD candidates,
+            # never drop a qualifying pair
+            keep = np.minimum(sa, sb) + 0.5 >= threshold * np.maximum(sa, sb)
+            fa.append(a[keep])
+            fb.append(b2[keep])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(fa), "id_b": np.concatenate(fb)}
+        )
+
+    candidates = (
+        reps.map_batches(index_prefix, batch_format="pandas")
+        .groupby("part")
+        .map_groups(bucket_pairs_part, batch_format="pandas")
+    )
+
+    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
+        oa, ob, oj = [], [], []
+        for a_id, b_id, sa, sb in zip(
+            m["id_a"], m["id_b"], m["attr_a"], m["attr_b"]
+        ):
+            jac = jaccard(
+                np.frombuffer(sa, dtype=np.uint64),
+                np.frombuffer(sb, dtype=np.uint64),
+            )
+            if jac >= threshold:
+                oa.append(a_id)
+                ob.append(b_id)
+                oj.append(jac)
+        return pd.DataFrame({"id_a": oa, "id_b": ob, "jac": oj})
+
+    verified = _gather_verify_pairs(
+        candidates, reps, id_col, "shingles", verify_rows
+    ).to_pandas()
+    if "id_a" not in verified.columns:  # zero candidates survived
+        verified = pd.DataFrame({"id_a": [], "id_b": [], "jac": []})
+    members = _dup_members(members_ds, id_col)
+    return _expand_pairs_with_members(verified, members, id_col)
