@@ -1040,12 +1040,62 @@ def _expand_pairs_with_members(
     )
 
 
+def _shingle_df_ranks(reps: rd.Dataset, df_broadcast_limit: int):
+    """Global shingle document frequencies -> broadcast rank table.
+
+    One counting exchange (per-block np.unique partials, per-partition
+    sum) collects the (shingle, df) table; ranks are assigned by
+    ascending (df, shingle). Returns a ray.put handle to
+    (keys_sorted_by_shingle, rank_per_key) for zero-copy lookup in the
+    indexing tasks, or None when the table exceeds the broadcast limit
+    (real-scale path there: rank via a distributed join, not broadcast).
+    """
+    import ray
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return pd.DataFrame({"shingle": e, "cnt": e, "part": e})
+        all_sh = np.concatenate(
+            [np.frombuffer(x, dtype=np.uint64) for x in b["shingles"]]
+        ).astype(np.int64)
+        u, c = np.unique(all_sh, return_counts=True)
+        return pd.DataFrame(
+            {"shingle": u, "cnt": c.astype(np.int64), "part": u % NUM_PARTS}
+        )
+
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("shingle", sort=True)["cnt"].sum().reset_index()
+
+    df_pd = (
+        reps.map_batches(df_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(df_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(df_pd) > df_broadcast_limit:
+        logger.warning(
+            "similarity join: %d distinct shingles exceed the broadcast "
+            "limit %d; falling back to hash order",
+            len(df_pd), df_broadcast_limit,
+        )
+        return None
+    df_pd = df_pd.sort_values("shingle", kind="mergesort").reset_index(drop=True)
+    keys = df_pd["shingle"].to_numpy()
+    by_df = np.lexsort((keys, df_pd["cnt"].to_numpy()))
+    key_rank = np.empty(len(df_pd), dtype=np.int64)
+    key_rank[by_df] = np.arange(len(df_pd), dtype=np.int64)
+    return ray.put((keys, key_rank))
+
+
 def jaccard_similarity_join(
     docs: rd.Dataset,
     threshold: float = 0.8,
     shingle_k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    order: str = "hash",
+    df_broadcast_limit: int = 50_000_000,
 ) -> pd.DataFrame:
     """EXACT all-pairs similarity self-join at Jaccard >= threshold via
     PREFIX FILTERING (AllPairs/PPJoin family; Bayardo et al., WWW 2007 —
@@ -1059,10 +1109,17 @@ def jaccard_similarity_join(
 
     Scale notes: identical texts collapse to one representative before
     indexing (mass-duplicate skew killer; members are folded back into
-    the output pairs at the end). The global order here is hash order;
-    on corpora with near-universal shingles switch to ascending
-    document-frequency order (one extra counting pass) to shrink prefix
-    buckets — the ORDER affects bucket sizes, never the result set.
+    the output pairs at the end). ``order`` picks the global token
+    order — it affects CANDIDATE volume, never the result set:
+    - "hash" (default): zero extra passes; prefixes are random samples,
+      so near-universal shingles on low-diversity corpora still index
+      ~(1-t) of the corpus into their buckets.
+    - "df": ascending document frequency (the AllPairs heuristic) — one
+      extra counting exchange builds the global df table (broadcast via
+      ray.put; falls back to hash order above ``df_broadcast_limit``
+      distinct shingles, where a df JOIN instead of a broadcast would be
+      the real-scale path); prefixes then hold the RAREST shingles, so
+      candidate buckets stay small.
     Docs with empty text have an empty shingle set and only pair with
     their exact duplicates (jaccard 1.0).
 
@@ -1078,18 +1135,29 @@ def jaccard_similarity_join(
     reps, members_ds = _exact_collapse(shingled, id_col, ["shingles"])
     reps = reps.materialize()
 
+    rank_ref = None
+    if order == "df":
+        rank_ref = _shingle_df_ranks(reps, df_broadcast_limit)
+
     def index_prefix(b: pd.DataFrame) -> pd.DataFrame:
+        if rank_ref is not None:
+            import ray
+
+            keys, key_rank = ray.get(rank_ref)  # plasma-shared, zero-copy
         ids = b[id_col].to_numpy()
         sizes = np.empty(len(b), dtype=np.int64)
         plens = np.empty(len(b), dtype=np.int64)
         anchors_all = []
         for i, blob in enumerate(b["shingles"]):
-            sh = np.frombuffer(blob, dtype=np.uint64)
+            sh = np.frombuffer(blob, dtype=np.uint64).astype(np.int64)
             n = len(sh)
             sizes[i] = n
             p = (n - int(np.ceil(threshold * n)) + 1) if n > 0 else 0
             plens[i] = p
-            anchors_all.append(sh[:p].astype(np.int64))
+            if rank_ref is not None and n:
+                r = key_rank[np.searchsorted(keys, sh)]
+                sh = sh[np.argsort(r, kind="stable")]
+            anchors_all.append(sh[:p])
         anchor = (
             np.concatenate(anchors_all) if anchors_all else np.empty(0, np.int64)
         )
@@ -1129,6 +1197,10 @@ def jaccard_similarity_join(
         reps.map_batches(index_prefix, batch_format="pandas")
         .groupby("part")
         .map_groups(bucket_pairs_part, batch_format="pandas")
+    ).materialize()
+    logger.info(
+        "similarity join (order=%s): %d candidate pairs before verify",
+        order, candidates.count(),
     )
 
     def verify_rows(m: pd.DataFrame) -> pd.DataFrame:

@@ -118,3 +118,19 @@ def test_join_no_pairs_below_threshold(ray_session):
     )
     out = jaccard_similarity_join(rd.from_pandas(docs), threshold=0.95)
     assert len(out) == 0
+
+
+def test_join_df_order_same_result(ray_session):
+    """The global token order (hash vs document-frequency) changes
+    candidate volume only — the verified pair set must be identical."""
+    import pyarrow.parquet as pq
+
+    from ctas_ray.stages.dedup import jaccard_similarity_join
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()[["doc_id", "text"]]
+    ds = rd.from_pandas(docs).repartition(4)
+    a = jaccard_similarity_join(ds, threshold=0.8, order="hash")
+    b = jaccard_similarity_join(ds, threshold=0.8, order="df")
+    assert len(a) == len(b) and len(a) > 0
+    for c in ("id_a", "id_b", "jac"):
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
