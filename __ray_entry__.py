@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact similarity self-join (prefix filtering, guaranteed
         # recall) — hash-verified vs brute-force all-pairs SQL
         "jaccard_neardup_pairs": q.jaccard_neardup_pairs,
+        # distributed connected components over the exact pair set —
+        # hash-verified vs a recursive-CTE transitive closure
+        "jaccard_neardup_clusters": q.jaccard_neardup_clusters,
         # order statistics via distributed selection — hash-verified
         "global_value_quantiles": q.global_value_quantiles,
         # HLL cardinality sketch — rows-only (pytest pins error bound)
@@ -858,6 +861,37 @@ def oracle_sql() -> dict[str, str]:
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
     ORDER BY 1, 2""",
+        # connected components over the exact pair set: recursive-CTE
+        # transitive closure, cluster_id = min reachable doc_id
+        "jaccard_neardup_clusters": """
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, SUBSTRING(text, i, 5) AS g
+      FROM documents,
+           UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    ed AS (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pr
+    ),
+    reach(node, root) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN ed e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY 1 ORDER BY 1""",
         # exact global order statistics: the engine's histogram-selection
         # result must equal a full ROW_NUMBER sort walk (type-7 brackets
         # + interpolation, same IEEE expression on both sides)

@@ -1097,3 +1097,40 @@ def jaccard_neardup_pairs(sf_dir: str) -> pd.DataFrame:
         }
     )
     return res.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def jaccard_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """EXACT near-dup CLUSTERS: distributed connected components
+    (min-label propagation + pointer doubling,
+    stages/dedup.py:_connected_components_distributed) over the
+    guaranteed-recall exact pair set. Because the pair set is itself
+    hash-verified (jaccard_neardup_pairs), this gives the distributed
+    CC machinery — which the LSH dedup family reuses — a value-exact
+    external check against a recursive-CTE transitive closure in SQL.
+    cluster_id = min doc_id of the component; every doc in a pair is in
+    a size >= 2 cluster by construction."""
+    from ..stages.dedup import (
+        _connected_components_distributed,
+        jaccard_similarity_join,
+    )
+
+    pairs = jaccard_similarity_join(_docs(sf_dir), threshold=0.8, shingle_k=5)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"doc_id": np.empty(0, np.int64), "cluster_id": np.empty(0, np.int64)}
+        )
+    pairs_ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "id_a": pairs["id_a"].to_numpy().astype(np.int64),
+                "id_b": pairs["id_b"].to_numpy().astype(np.int64),
+            }
+        )
+    ).repartition(4)
+    cc = _connected_components_distributed(pairs_ds, "doc_id", num_partitions=8)
+    return pd.DataFrame(
+        {
+            "doc_id": cc["doc_id"].to_numpy().astype(np.int64),
+            "cluster_id": cc["cluster_id"].to_numpy().astype(np.int64),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)

@@ -134,3 +134,30 @@ def test_join_df_order_same_result(ray_session):
     assert len(a) == len(b) and len(a) > 0
     for c in ("id_a", "id_b", "jac"):
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_clusters_distributed_cc_matches_union_find(ray_session):
+    """The distributed connected-components path (min-label propagation
+    + pointer doubling) must produce exactly the driver union-find's
+    clusters over the same exact pair set."""
+    import pyarrow.parquet as pq
+
+    from ctas_ray.stages.dedup import (
+        _connected_components,
+        _connected_components_distributed,
+        jaccard_similarity_join,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()[["doc_id", "text"]]
+    pairs = jaccard_similarity_join(rd.from_pandas(docs), threshold=0.8)
+    assert len(pairs) > 0
+    ref = _connected_components(pairs, "doc_id")
+    got = _connected_components_distributed(
+        rd.from_pandas(pairs[["id_a", "id_b"]]).repartition(3),
+        "doc_id",
+        num_partitions=4,
+    )
+    ref = ref.sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert (ref["doc_id"].to_numpy() == got["doc_id"].to_numpy()).all()
+    assert (ref["cluster_id"].to_numpy() == got["cluster_id"].to_numpy()).all()
