@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_similarity": q.topk_similarity,
         "minhash_clusters": q.minhash_clusters,            # rows-only
         "ngram_jaccard_clusters": q.ngram_jaccard_clusters,  # rows-only
-        "simhash_clusters": q.simhash_clusters,            # rows-only
+        "simhash_clusters": q.simhash_clusters,            # hash-verified (md5 SimHash recomputed in SQL)
         "embedding_neardup": q.embedding_neardup,          # rows-only (planted dups -> non-vacuous)
         "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
         "ivf_recall": q.ivf_recall,                        # rows-only (recall@k vs brute force)
@@ -880,6 +880,51 @@ def oracle_sql() -> dict[str, str]:
       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
     ),
+    ed AS (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pr
+    ),
+    reach(node, root) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN ed e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY 1 ORDER BY 1""",
+        # full SimHash re-derivation: md5-based 64-bit token hashes,
+        # per-position majority vote, exact Hamming<=3 pair set (the
+        # engine's 4x16-bit banding is guaranteed-recall at <=3 by
+        # pigeonhole), recursive-CTE closure for components
+        "simhash_clusters": """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    pos AS (SELECT UNNEST(generate_series(0, 63)) AS p),
+    acc AS (
+      SELECT d.doc_id, pos.p,
+             COALESCE(SUM(CASE WHEN th.h IS NULL THEN 0
+                               WHEN (th.h >> pos.p) & 1 = 1 THEN 1
+                               ELSE -1 END), 0) AS a
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN pos
+      LEFT JOIN th ON th.doc_id = d.doc_id
+      GROUP BY 1, 2
+    ),
+    bits AS (SELECT doc_id, p, CASE WHEN a > 0 THEN 1 ELSE 0 END AS bit FROM acc),
+    ham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+      FROM bits a JOIN bits b ON a.p = b.p AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (SELECT id_a, id_b FROM ham WHERE ham <= 3),
     ed AS (
       SELECT id_a AS a, id_b AS b FROM pr
       UNION ALL

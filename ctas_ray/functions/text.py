@@ -180,7 +180,14 @@ def minhash_band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token hashes (Charikar 2002)."""
+    """64-bit SimHash over token hashes (Charikar 2002).
+
+    Token hash = first 8 bytes of md5, big-endian — chosen so a SQL
+    oracle can recompute the identical fingerprint:
+    ``('0x' || substr(md5(t), 1, 16))::UBIGINT`` in DuckDB yields
+    exactly this value, which makes the whole SimHash dedup family
+    value-verifiable end-to-end (see oracle_sql()["simhash_clusters"]).
+    """
     if not tokens:
         return 0
     acc = np.zeros(64, dtype=np.int64)
@@ -188,7 +195,7 @@ def simhash64(tokens: list[str]) -> int:
     one = np.uint64(1)
     for t in tokens:
         h = np.uint64(
-            int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "little")
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
         )
         bits = (h >> shifts) & one
         acc += np.where(bits == one, 1, -1)

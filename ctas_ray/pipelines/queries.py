@@ -555,9 +555,20 @@ def ngram_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup clusters, hash-verified: the md5-based token
+    hash (functions/text.py:simhash64) is recomputable in SQL, the
+    4x16-bit banding guarantees recall at Hamming <= 3 (pigeonhole), and
+    clustering is a recursive-CTE closure — so the oracle recomputes the
+    ENTIRE chain (fingerprints, exact pair set, components) exactly."""
     from ..stages.dedup import simhash_dedup
 
-    return simhash_dedup(_docs(sf_dir), max_hamming=3, concurrency=2)
+    out = simhash_dedup(_docs(sf_dir), max_hamming=3, concurrency=2)
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+            "cluster_id": out["cluster_id"].to_numpy().astype(np.int64),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
 
 
 N_PLANTED_NEARDUP = 20
