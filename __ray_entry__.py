@@ -61,8 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q.text_stats,
         "text_quality_counts": q.text_quality_counts,
         "topk_similarity": q.topk_similarity,
-        "minhash_clusters": q.minhash_clusters,            # rows-only
-        "ngram_jaccard_clusters": q.ngram_jaccard_clusters,  # rows-only
+        "minhash_clusters": q.minhash_clusters,            # hash-verified (signatures recomputed in SQL)
+        "ngram_jaccard_clusters": q.ngram_jaccard_clusters,  # hash-verified (algorithm modeled in SQL)
         "simhash_clusters": q.simhash_clusters,            # hash-verified (md5 SimHash recomputed in SQL)
         "embedding_neardup": q.embedding_neardup,          # rows-only (planted dups -> non-vacuous)
         "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
@@ -350,6 +350,152 @@ _TX_SCREEN_CTE = """
          AND COUNT(DISTINCT site) < COUNT(*)
     )
 """
+
+
+def _shingle_cte_sql() -> str:
+    """Shared CTE fragment recomputing char_shingles (functions/text.py)
+    in SQL: hashed unique 5-byte shingles via the polynomial rolling
+    hash, weights embedded as HUGEINT literals (texts are ASCII, so
+    byte == char and ascii() == the byte value). Yields `sh(doc_id, x)`.
+    Expects the enclosing WITH to also define `w(e, wv)` (via
+    _shingle_weight_rows) for the short-text (<5 chars) path."""
+    from ctas_ray.functions.text import _SHINGLE_BASE
+
+    m64 = 1 << 64
+    base = int(_SHINGLE_BASE)
+    weights = [pow(base, e, m64) for e in range(5)]
+    terms = " + ".join(
+        f"(ascii(substr(text, i + {m}, 1)) + 1) * CAST('{weights[4 - m]}' AS HUGEINT)"
+        for m in range(5)
+    )
+    return f"""
+    sh_long AS (
+      SELECT doc_id, ({terms}) % CAST('18446744073709551616' AS HUGEINT) AS x
+      FROM documents, UNNEST(generate_series(1, LENGTH(text) - 4)) AS t(i)
+      WHERE LENGTH(text) >= 5
+    ),
+    sh_short AS (
+      SELECT doc_id,
+             SUM((ascii(substr(text, m.m + 1, 1)) + 1) * w.wv)
+               % CAST('18446744073709551616' AS HUGEINT) AS x
+      FROM documents, UNNEST(generate_series(0, LENGTH(text) - 1)) AS m(m)
+      JOIN w ON w.e = LENGTH(text) - 1 - m.m
+      WHERE LENGTH(text) > 0 AND LENGTH(text) < 5
+      GROUP BY doc_id, text
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, x FROM sh_long
+      UNION ALL
+      SELECT doc_id, x FROM sh_short
+    )"""
+
+
+def _shingle_weight_rows() -> str:
+    from ctas_ray.functions.text import _SHINGLE_BASE
+
+    m64 = 1 << 64
+    base = int(_SHINGLE_BASE)
+    weights = [pow(base, e, m64) for e in range(5)]
+    return ",".join(f"({e}, CAST('{weights[e]}' AS HUGEINT))" for e in range(5))
+
+
+def _closure_sql() -> str:
+    """Shared tail: undirected closure over `pr(id_a, id_b)` ->
+    (doc_id, cluster_id = min reachable id)."""
+    return """
+    ed AS (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL SELECT id_b AS a, id_a AS b FROM pr
+    ),
+    reach(node, root) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN ed e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY 1 ORDER BY 1"""
+
+
+def _ngram_oracle_sql() -> str:
+    """ngram_jaccard_clusters oracle: models the ENGINE's algorithm
+    exactly — bottom-8 anchor blocking (ROW_NUMBER over the unique
+    sorted shingle hashes), true-Jaccard >= 0.9 verification on the
+    hashed shingle sets, exact-duplicate foldback, component closure.
+    The blocking heuristic is deterministic, so the oracle reproduces
+    it rather than assuming perfect recall."""
+    return f"""
+    WITH RECURSIVE w(e, wv) AS (VALUES {_shingle_weight_rows()}),
+    {_shingle_cte_sql()},
+    anch AS (
+      SELECT doc_id, x FROM (
+        SELECT doc_id, x, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY x) AS rn
+        FROM sh) WHERE rn <= 8
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM anch a JOIN anch b ON a.x = b.x AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.x = a.x
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+      UNION
+      SELECT a.doc_id, b.doc_id FROM documents a
+      JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+    ),
+    {_closure_sql()}"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Generate the minhash_clusters oracle: the seeded multiply-shift
+    constants and the polynomial shingle-hash weights are embedded as
+    literals, so plain SQL recomputes the exact signatures. mod-2^64
+    multiplication avoids HUGEINT overflow by splitting the multiplier:
+    a*x mod 2^64 = (a_lo*x + (a_hi*x mod 2^32)*2^32) mod 2^64, every
+    intermediate < 2^97 < HUGEINT max. The verify gate (>= 58/64
+    matching positions, i.e. <= 6 mismatches) makes the engine's 16x4
+    LSH banding guaranteed-recall by pigeonhole, so banding needs no
+    SQL model — the match-count condition IS the exact pair set."""
+    from ctas_ray.functions.text import minhash_perms
+
+    a, b = minhash_perms(64, seed=1234)
+    perm_rows = ",\n        ".join(
+        f"({j}, {int(a[j]) >> 32}, {int(a[j]) & 0xFFFFFFFF}, {int(b[j])})"
+        for j in range(64)
+    )
+    return f"""
+    WITH RECURSIVE perms(j, a_hi, a_lo, bv) AS (
+      VALUES {perm_rows}
+    ),
+    w(e, wv) AS (VALUES {_shingle_weight_rows()}),
+    {_shingle_cte_sql()},
+    sig AS (
+      SELECT doc_id, j,
+             MIN((a_lo * x + ((a_hi * x) % 4294967296) * 4294967296 + bv)
+                 % CAST('18446744073709551616' AS HUGEINT)) AS v
+      FROM sh CROSS JOIN perms
+      GROUP BY 1, 2
+    ),
+    matches AS (
+      SELECT s.doc_id AS id_a, t.doc_id AS id_b, COUNT(*) AS m
+      FROM sig s JOIN sig t ON s.j = t.j AND s.v = t.v AND s.doc_id < t.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT id_a, id_b FROM matches WHERE m * 1.0 / 64 >= 0.9
+      UNION
+      SELECT a.doc_id, b.doc_id FROM documents a
+      JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+    ),
+    {_closure_sql()}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -861,6 +1007,11 @@ def oracle_sql() -> dict[str, str]:
     FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
     ORDER BY 1, 2""",
+        # full MinHash re-derivation (see _minhash_oracle_sql)
+        "minhash_clusters": _minhash_oracle_sql(),
+        # bottom-8 anchor blocking + true-Jaccard verify, modeled
+        # exactly (see _ngram_oracle_sql)
+        "ngram_jaccard_clusters": _ngram_oracle_sql(),
         # connected components over the exact pair set: recursive-CTE
         # transitive closure, cluster_id = min reachable doc_id
         "jaccard_neardup_clusters": """

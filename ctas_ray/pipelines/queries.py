@@ -543,15 +543,40 @@ def curated_corpus(sf_dir: str) -> pd.DataFrame:
 
 
 def minhash_clusters(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup clusters, hash-verified: the signature math
+    ((a*x+b) mod 2^64 multiply-shift over polynomial shingle hashes,
+    seeded constants embedded in the generated SQL) is recomputed
+    exactly by the oracle, and the verify gate est >= 0.9 (i.e. >= 58
+    of 64 matching positions, <= 6 mismatches) makes the 16x4 banding
+    guaranteed-recall by pigeonhole (6 bad positions break at most 6 of
+    16 bands) — so LSH banding needs no SQL model: the exact
+    match-count condition IS the pair set."""
     from ..stages.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.9, concurrency=2)
+    out = minhash_lsh_dedup(_docs(sf_dir), threshold=0.9, concurrency=2)
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+            "cluster_id": out["cluster_id"].to_numpy().astype(np.int64),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
 
 
 def ngram_jaccard_clusters(sf_dir: str) -> pd.DataFrame:
+    """n-gram Jaccard near-dup clusters, hash-verified: the oracle
+    models the engine's ALGORITHM exactly — bottom-8 anchor blocking
+    over the polynomial shingle hashes (deterministic, so reproducible
+    as ROW_NUMBER <= 8 in SQL), true-Jaccard >= 0.9 verify on the
+    hashed shingle sets, exact-dup foldback, component closure."""
     from ..stages.dedup import ngram_jaccard_dedup
 
-    return ngram_jaccard_dedup(_docs(sf_dir), threshold=0.9)
+    out = ngram_jaccard_dedup(_docs(sf_dir), threshold=0.9)
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+            "cluster_id": out["cluster_id"].to_numpy().astype(np.int64),
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
 
 
 def simhash_clusters(sf_dir: str) -> pd.DataFrame:
