@@ -41,6 +41,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eligibility_counts": q.eligibility_counts,        # A1
         "series_features_basic": q.series_features_basic,  # F1/F2/F3/F5
         "autocorr_lag1": q.autocorr_lag1,                  # F4
+        # timeseries screening primitives — hash-verified
+        "cusum_changepoint": q.cusum_changepoint,
+        "channel_correlation": q.channel_correlation,
+        # corpus vocabulary combiner — hash-verified
+        "token_vocabulary_topk": q.token_vocabulary_topk,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -463,7 +468,12 @@ def _minhash_oracle_sql() -> str:
     intermediate < 2^97 < HUGEINT max. The verify gate (>= 58/64
     matching positions, i.e. <= 6 mismatches) makes the engine's 16x4
     LSH banding guaranteed-recall by pigeonhole, so banding needs no
-    SQL model — the match-count condition IS the exact pair set."""
+    SQL model — the match-count condition IS the exact pair set.
+
+    Assumes the engine's bucket-size cap does not engage (it logs when
+    it does; at the driver's sf0.01 every bucket is far below the cap).
+    Under cap pressure the engine degrades to chain pairs, which
+    preserves connectivity only for pairs that survive verification."""
     from ctas_ray.functions.text import minhash_perms
 
     a, b = minhash_perms(64, seed=1234)
@@ -533,6 +543,61 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
            COUNT(value) AS n_measurements
     FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        # CUSUM change-point: all-integer windowed arithmetic
+        # (S_t = n*prefix - t*total over e6-quantized values), so the
+        # windowed SUM accumulation order cannot shift the result
+        "cusum_changepoint": """
+    WITH v AS (
+      SELECT event_type, user_id, ts, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER w AS t,
+             SUM(vq) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             COUNT(*) OVER (PARTITION BY event_type, user_id) AS n,
+             SUM(vq) OVER (PARTITION BY event_type, user_id) AS total
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+    ),
+    s AS (SELECT event_type, user_id, t, ABS(n * p - t * total) AS a FROM c),
+    r AS (
+      SELECT event_type, user_id, t, a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY a DESC, t) AS rk
+      FROM s
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           t AS changepoint, a AS cusum_scaled
+    FROM r WHERE rk = 1 ORDER BY 1, 2""",
+        # cross-channel Pearson correlation per conversation; CORR
+        # ignores the NULL-latency first turn (pairwise complete)
+        "channel_correlation": """
+    WITH turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(COALESCE(LENGTH(props), 0) AS DOUBLE) AS text_len,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+                 AS turn_latency_us
+      FROM events
+    ),
+    c AS (
+      SELECT conv_id,
+             CAST(FLOOR(CORR(text_len, turn_latency_us) * 1000000 + 0.5)
+                  AS BIGINT) AS corr_e6
+      FROM turns GROUP BY 1
+    )
+    SELECT conv_id, corr_e6 FROM c WHERE corr_e6 IS NOT NULL ORDER BY 1""",
+        # exact global top-k vocabulary (ties broken by token asc);
+        # same whitespace tokenization as the engine's WS_RE
+        "token_vocabulary_topk": """
+    WITH toks AS (
+      SELECT UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM toks
+    GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
         "series_features_basic": """
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
            COUNT(value) AS n,

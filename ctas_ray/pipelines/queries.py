@@ -178,6 +178,156 @@ def autocorr_lag1(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
+def _cusum_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """CUSUM change-point per (parameter, subject), segment-vectorized.
+
+    Works on e6-quantized BIGINT values with the scaled statistic
+    S_t = n * prefix_t - t * total (the mean-centered cumulative sum
+    multiplied through by n), so every quantity is exact integer
+    arithmetic — no float accumulation order to disagree with the SQL
+    oracle's windowed sums. changepoint = earliest argmax of |S_t|
+    (1-based turn index); int64 headroom: n * prefix <= n^2 * max|v_q|,
+    ~1e16 at 1e4-turn series with 1e8-scale quantized values."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "changepoint": np.empty(0, np.int64),
+                "cusum_scaled": np.empty(0, np.int64),
+            }
+        )
+    vq = _scaled_int(g["value"].to_numpy(dtype=np.float64))
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    n_seg = ends - starts
+    t = np.arange(len(g), dtype=np.int64) - np.repeat(starts, n_seg) + 1
+    csum = np.cumsum(vq)
+    base = np.repeat(np.r_[np.int64(0), csum[starts[1:] - 1]], n_seg)
+    prefix = csum - base
+    totals = np.repeat(prefix[ends - 1], n_seg)
+    n_rep = np.repeat(n_seg.astype(np.int64), n_seg)
+    amp = np.abs(n_rep * prefix - t * totals)
+    max_amp = np.maximum.reduceat(amp, starts)
+    hit_t = np.where(amp == np.repeat(max_amp, n_seg), t, np.iinfo(np.int64).max)
+    first_t = np.minimum.reduceat(hit_t, starts)
+    return pd.DataFrame(
+        {
+            "parameter_id": et[starts],
+            "subject_id": uid[starts].astype(str),
+            "changepoint": first_t,
+            "cusum_scaled": max_amp,
+        }
+    )
+
+
+def cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """Per-series CUSUM change-point detection (max |mean-centered
+    cumulative sum|, scaled by n for exact integer arithmetic) — a
+    timeseries screening primitive the tier pipeline feeds; value-exact
+    vs a windowed-sum SQL re-derivation."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_cusum_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _channel_corr_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Pearson correlation between the two transcript channels
+    (text_len, turn_latency_us) per conversation; pairwise-complete
+    (the first turn has no latency). Two-pass formula mirrors
+    feature_autocorr; NaN (degenerate variance or <2 pairs) dropped."""
+    g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    ts_us = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    text_len = (
+        g["props"].fillna("").astype(str).str.len().to_numpy(dtype=np.float64)
+    )
+    rows = []
+    for u in np.unique(uid):
+        m = uid == u
+        x = text_len[m][1:]
+        t = ts_us[m]
+        if len(t) < 3:
+            continue
+        y = (t[1:] - t[:-1]).astype(np.float64)
+        mx, my = x.mean(), y.mean()
+        dx, dy = x - mx, y - my
+        va, vb = (dx * dx).sum(), (dy * dy).sum()
+        if va <= 0 or vb <= 0:
+            continue
+        corr = (dx * dy).sum() / np.sqrt(va * vb)
+        rows.append(("u" + str(u), int(_scaled_int(float(corr)))))
+    return pd.DataFrame(rows, columns=["conv_id", "corr_e6"])
+
+
+def channel_correlation(sf_dir: str) -> pd.DataFrame:
+    """Cross-channel correlation per conversation: does message length
+    track inter-turn latency? Exercises the multi-channel transcript
+    model; value-exact vs DuckDB CORR over the same turn derivation."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "user_id", "props"]))
+        .groupby("part")
+        .map_groups(_channel_corr_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def token_vocabulary_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Corpus vocabulary: exact global top-k tokens by count. Classic
+    combiner pattern: per-batch np.unique partials, token-hash salted
+    exchange (each token lives in exactly ONE partition, so per-part
+    sums are the FULL counts), per-part top-k, tiny driver merge — the
+    full vocabulary never collects anywhere."""
+    from ..functions.text import WS_RE
+
+    def batch_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for text in b["text"]:
+            toks.extend(t for t in WS_RE.split(text.strip()) if t)
+        if not toks:
+            return pd.DataFrame(
+                {"token": np.empty(0, object), "n": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        part = (
+            pd.util.hash_pandas_object(pd.Series(u), index=False).to_numpy()
+            % NUM_VOCAB_PARTS
+        ).astype(np.int64)
+        return pd.DataFrame({"token": u, "n": c.astype(np.int64), "part": part})
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", sort=False)["n"].sum().reset_index()
+        agg = agg.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        return agg.head(k)
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(batch_counts, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
+NUM_VOCAB_PARTS = 32
+
+
 def _ks_stat_group(g: pd.DataFrame) -> pd.DataFrame:
     """Two-sample KS statistic per site vs all other sites of this
     parameter (A6's core statistic; jitter off, tie-collapsed walk)."""

@@ -1,0 +1,92 @@
+"""Timeseries screening primitives + vocabulary combiner
+(pipelines/queries.py: cusum_changepoint, channel_correlation,
+token_vocabulary_topk) — DuckDB oracle parity at sf0.001 and
+small hand-checked invariants."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(e.oracle_sql()[name]).fetchdf()
+
+
+def _assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        assert (g == w).all(), (c, g[g != w][:3], w[g != w][:3])
+
+
+def test_cusum_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import cusum_changepoint
+
+    got = cusum_changepoint(SF)
+    want = _oracle("cusum_changepoint")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # the statistic is scale-by-n of the centered cumsum: a constant
+    # series has stat 0, changepoint 1 (earliest argmax tie-break)
+    zero = got[got["cusum_scaled"] == 0]
+    assert (zero["changepoint"] == 1).all()
+
+
+def test_cusum_planted_shift():
+    """A deterministic level shift must put the changepoint at the
+    shift boundary: S_t peaks where the mean changes."""
+    from ctas_ray.pipelines.queries import _cusum_partition
+
+    n = 40
+    df = pd.DataFrame(
+        {
+            "event_type": "m",
+            "user_id": np.int64(7),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": np.r_[np.zeros(20), np.ones(20)],
+        }
+    )
+    out = _cusum_partition(df)
+    assert len(out) == 1
+    assert int(out["changepoint"].iloc[0]) == 20
+
+
+def test_channel_correlation_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import channel_correlation
+
+    got = channel_correlation(SF)
+    want = _oracle("channel_correlation")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    assert got["corr_e6"].between(-1_000_000, 1_000_000).all()
+
+
+def test_token_vocabulary_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import token_vocabulary_topk
+
+    got = token_vocabulary_topk(SF)
+    want = _oracle("token_vocabulary_topk")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # counts are descending with token-asc tie-break
+    n = got["n"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
