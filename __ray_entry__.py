@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # timeseries screening primitives — hash-verified
         "cusum_changepoint": q.cusum_changepoint,
         "channel_correlation": q.channel_correlation,
+        "ewma_last": q.ewma_last,
+        "rolling_extrema": q.rolling_extrema,
         # corpus vocabulary combiner — hash-verified
         "token_vocabulary_topk": q.token_vocabulary_topk,
         "rolling_stats": q.rolling_stats,                  # F9
@@ -570,6 +572,30 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
            t AS changepoint, a AS cusum_scaled
     FROM r WHERE rk = 1 ORDER BY 1, 2""",
+        # EWMA left fold: list_reduce applies the same (mul, mul, add)
+        # IEEE op sequence as the engine's masked per-step vector ops,
+        # so the doubles are bit-equal before quantization
+        "ewma_last": """
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           CAST(FLOOR(list_reduce(list(value ORDER BY ts, event_id),
+                                  (acc, x) -> 0.25 * x + 0.75 * acc)
+                      * 1000000 + 0.5) AS BIGINT) AS ewma_e6
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # rolling extrema are selections (no float arithmetic) — exact
+        "rolling_extrema": """
+    WITH v AS (
+      SELECT event_type, user_id, ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           ROW_NUMBER() OVER w AS turn,
+           CAST(FLOOR(MAX(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      * 1000000 + 0.5) AS BIGINT) AS max5_e6,
+           CAST(FLOOR(MIN(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      * 1000000 + 0.5) AS BIGINT) AS min5_e6
+    FROM v WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+    ORDER BY 1, 2, 3""",
         # cross-channel Pearson correlation per conversation; CORR
         # ignores the NULL-latency first turn (pairwise complete)
         "channel_correlation": """

@@ -243,6 +243,109 @@ def cusum_changepoint(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
+def _ewma_partition(part: pd.DataFrame, alpha: float = 0.25) -> pd.DataFrame:
+    """Final EWMA value per (parameter, subject): acc_1 = x_1,
+    acc_t = alpha*x_t + (1-alpha)*acc_{t-1}. Sequential in t but
+    VECTORIZED ACROSS SERIES: the partition's series become rows of a
+    left-aligned wide matrix and one masked elementwise op per time
+    step advances every series at once — the per-series IEEE op order
+    (mul, mul, add) is identical to a scalar fold, so the result is
+    bit-equal to the SQL oracle's list_reduce left fold."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "ewma_e6": np.empty(0, np.int64),
+            }
+        )
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    vals = g["value"].to_numpy(dtype=np.float64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    n_seg = ends - starts
+    col = np.arange(len(g), dtype=np.int64) - np.repeat(starts, n_seg)
+    wide = np.full((len(starts), int(n_seg.max())), np.nan)
+    wide[np.repeat(np.arange(len(starts)), n_seg), col] = vals
+    acc = wide[:, 0].copy()
+    for c in range(1, wide.shape[1]):
+        x = wide[:, c]
+        m = ~np.isnan(x)
+        acc[m] = alpha * x[m] + (1.0 - alpha) * acc[m]
+    return pd.DataFrame(
+        {
+            "parameter_id": et[starts],
+            "subject_id": uid[starts].astype(str),
+            "ewma_e6": _scaled_int(acc),
+        }
+    )
+
+
+def ewma_last(sf_dir: str) -> pd.DataFrame:
+    """Exponentially weighted moving average (alpha=0.25), final value
+    per series — the streaming-smoother primitive; value-exact vs a
+    DuckDB list_reduce left fold over the identically ordered values."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_ewma_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _rolling_extrema_partition(part: pd.DataFrame, window: int = 5) -> pd.DataFrame:
+    """Per-turn rolling max/min (window 5, min_periods 1) per series.
+    Selections, not arithmetic — exact regardless of float order."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "turn": np.empty(0, np.int64),
+                "max5_e6": np.empty(0, np.int64),
+                "min5_e6": np.empty(0, np.int64),
+            }
+        )
+    gb = g.groupby(["event_type", "user_id"], sort=False)["value"]
+    rmax = gb.rolling(window, min_periods=1).max().to_numpy()
+    rmin = gb.rolling(window, min_periods=1).min().to_numpy()
+    turn = gb.cumcount().to_numpy() + 1
+    return pd.DataFrame(
+        {
+            "parameter_id": g["event_type"].to_numpy(),
+            "subject_id": g["user_id"].to_numpy(dtype=np.int64).astype(str),
+            "turn": turn.astype(np.int64),
+            "max5_e6": _scaled_int(rmax),
+            "min5_e6": _scaled_int(rmin),
+        }
+    )
+
+
+def rolling_extrema(sf_dir: str) -> pd.DataFrame:
+    """Rolling window max/min per turn (monotonic-window primitive for
+    envelope/outlier screens); value-exact vs SQL window MAX/MIN."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_rolling_extrema_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id", "turn"]).reset_index(
+        drop=True
+    )
+
+
 def _channel_corr_partition(part: pd.DataFrame) -> pd.DataFrame:
     """Pearson correlation between the two transcript channels
     (text_len, turn_latency_us) per conversation; pairwise-complete

@@ -90,3 +90,49 @@ def test_token_vocabulary_matches_oracle(ray_session):
     # counts are descending with token-asc tie-break
     n = got["n"].to_numpy()
     assert (n[:-1] >= n[1:]).all()
+
+
+def test_ewma_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import ewma_last
+
+    got = ewma_last(SF)
+    want = _oracle("ewma_last")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+
+
+def test_ewma_scalar_fold_parity():
+    """The vectorized cross-series scan must be bit-equal to a scalar
+    left fold per series."""
+    from ctas_ray.pipelines.queries import _ewma_partition
+
+    rng = np.random.default_rng(7)
+    n = 37
+    df = pd.DataFrame(
+        {
+            "event_type": np.repeat(["a", "b"], n),
+            "user_id": np.int64(3),
+            "ts": np.tile(pd.date_range("2024-01-01", periods=n, freq="1min"), 2),
+            "event_id": np.arange(2 * n, dtype=np.int64),
+            "value": rng.normal(size=2 * n) * 100,
+        }
+    )
+    out = _ewma_partition(df)
+    for et in ("a", "b"):
+        vals = df[df["event_type"] == et]["value"].to_numpy()
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = 0.25 * x + 0.75 * acc
+        want = int(np.floor(acc * 1e6 + 0.5))
+        got = int(out[out["parameter_id"] == et]["ewma_e6"].iloc[0])
+        assert got == want
+
+
+def test_rolling_extrema_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import rolling_extrema
+
+    got = rolling_extrema(SF)
+    want = _oracle("rolling_extrema")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    assert (got["max5_e6"] >= got["min5_e6"]).all()
