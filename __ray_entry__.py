@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "channel_correlation": q.channel_correlation,
         "ewma_last": q.ewma_last,
         "rolling_extrema": q.rolling_extrema,
+        "range_shift_flags": q.range_shift_flags,
+        "activity_trend": q.activity_trend,
         # corpus vocabulary combiner — hash-verified
         "token_vocabulary_topk": q.token_vocabulary_topk,
         "rolling_stats": q.rolling_stats,                  # F9
@@ -572,6 +574,57 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
            t AS changepoint, a AS cusum_scaled
     FROM r WHERE rk = 1 ORDER BY 1, 2""",
+        # repeated-value / range-shift screening flags: run lengths via
+        # the ROW_NUMBER-difference trick; flags are integer compares
+        # and exact power-of-two scalings
+        "range_shift_flags": """
+    WITH v AS (
+      SELECT event_type, user_id, value,
+             ROW_NUMBER() OVER w AS t,
+             COUNT(*) OVER (PARTITION BY event_type, user_id) AS n
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT event_type, user_id, n, COUNT(*) AS run_len
+      FROM (SELECT event_type, user_id, value, n, t,
+                   t - ROW_NUMBER() OVER (PARTITION BY event_type, user_id, value
+                                          ORDER BY t) AS grp
+            FROM v)
+      GROUP BY event_type, user_id, n, value, grp
+    ),
+    runlen AS (
+      SELECT event_type, user_id, MAX(n) AS n, MAX(run_len) AS max_run
+      FROM runs GROUP BY 1, 2
+    ),
+    halves AS (
+      SELECT event_type, user_id,
+             MAX(CASE WHEN t <= n // 2 THEN value END)
+               - MIN(CASE WHEN t <= n // 2 THEN value END) AS r1,
+             MAX(CASE WHEN t > n // 2 THEN value END)
+               - MIN(CASE WHEN t > n // 2 THEN value END) AS r2
+      FROM v GROUP BY 1, 2
+    )
+    SELECT r.event_type AS parameter_id,
+           CAST(r.user_id AS VARCHAR) AS subject_id,
+           r.n AS n, r.max_run AS max_run,
+           CASE WHEN r.max_run * 2 >= r.n THEN 1 ELSE 0 END AS repeated_flag,
+           CASE WHEN h.r2 > 2 * h.r1 OR h.r1 > 2 * h.r2 THEN 1 ELSE 0 END
+               AS range_shift_flag
+    FROM runlen r JOIN halves h
+      ON h.event_type = r.event_type AND h.user_id = r.user_id
+    WHERE r.n >= 4 ORDER BY 1, 2""",
+        # per-series linear trend; REGR_SLOPE over the same ordering
+        "activity_trend": """
+    WITH v AS (
+      SELECT event_type, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS t
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           CAST(FLOOR(REGR_SLOPE(value, t) * 1000000 + 0.5) AS BIGINT) AS slope_e6
+    FROM v GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY 1, 2""",
         # EWMA left fold: list_reduce applies the same (mul, mul, add)
         # IEEE op sequence as the engine's masked per-step vector ops,
         # so the doubles are bit-equal before quantization

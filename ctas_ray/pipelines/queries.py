@@ -243,6 +243,112 @@ def cusum_changepoint(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
+def _flags_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Repeated-value + range-shift flags per series (the north-star's
+    named screening flags; extends SURVEY F3/F1 — the reference's
+    repeated-value signal is unique_value_count_relative,
+    R/ctas.R:632-638). All comparisons are selections or exact
+    power-of-two scalings, so no float-order sensitivity:
+    - repeated_flag: longest run of identical consecutive values covers
+      >= half the series (integer compare max_run*2 >= n).
+    - range_shift_flag: range of the second half vs first half differs
+      by more than 2x in either direction (2*r is exact in IEEE).
+    Series with n < 4 are skipped (halves would be degenerate)."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    cols = {
+        "parameter_id": np.empty(0, object),
+        "subject_id": np.empty(0, object),
+        "n": np.empty(0, np.int64),
+        "max_run": np.empty(0, np.int64),
+        "repeated_flag": np.empty(0, np.int64),
+        "range_shift_flag": np.empty(0, np.int64),
+    }
+    if len(g) == 0:
+        return pd.DataFrame(cols)
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    vals = g["value"].to_numpy(dtype=np.float64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    rows = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 4:
+            continue
+        x = vals[s:e]
+        runs = np.flatnonzero(np.r_[True, x[1:] != x[:-1], True])
+        max_run = int(np.diff(runs).max())
+        h = n // 2
+        r1 = float(x[:h].max() - x[:h].min())
+        r2 = float(x[h:].max() - x[h:].min())
+        rows.append(
+            (
+                et[s], str(uid[s]), int(n), max_run,
+                int(max_run * 2 >= n),
+                int(r2 > 2.0 * r1 or r1 > 2.0 * r2),
+            )
+        )
+    return pd.DataFrame(rows, columns=list(cols)) if rows else pd.DataFrame(cols)
+
+
+def range_shift_flags(sf_dir: str) -> pd.DataFrame:
+    """Per-series screening flags: dominant repeated value and
+    half-vs-half range shift; value-exact vs a run-length +
+    window-halves SQL re-derivation."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_flags_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _trend_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """OLS slope of value against 1-based turn index per series
+    (two-pass sums mirroring REGR_SLOPE), e6-quantized."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    rows = []
+    if len(g):
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        vals = g["value"].to_numpy(dtype=np.float64)
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(g)]
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            x = vals[s:e]
+            t = np.arange(1, n + 1, dtype=np.float64)
+            dt = t - t.mean()
+            slope = (dt * (x - x.mean())).sum() / (dt * dt).sum()
+            rows.append((et[s], str(uid[s]), int(_scaled_int(float(slope)))))
+    return pd.DataFrame(rows, columns=["parameter_id", "subject_id", "slope_e6"])
+
+
+def activity_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-series linear trend (value vs turn index); value-exact vs
+    DuckDB REGR_SLOPE over the same ordering."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_trend_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
 def _ewma_partition(part: pd.DataFrame, alpha: float = 0.25) -> pd.DataFrame:
     """Final EWMA value per (parameter, subject): acc_1 = x_1,
     acc_t = alpha*x_t + (1-alpha)*acc_{t-1}. Sequential in t but

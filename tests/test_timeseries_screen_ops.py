@@ -136,3 +136,45 @@ def test_rolling_extrema_matches_oracle(ray_session):
     _assert_frames_equal(got, want)
     assert len(got) > 0
     assert (got["max5_e6"] >= got["min5_e6"]).all()
+
+
+def test_range_shift_flags_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import range_shift_flags
+
+    got = range_shift_flags(SF)
+    want = _oracle("range_shift_flags")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+
+
+def test_flags_planted_patterns():
+    """A constant-dominated series must raise repeated_flag; a
+    flat-then-exploding series must raise range_shift_flag."""
+    from ctas_ray.pipelines.queries import _flags_partition
+
+    n = 30
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min")
+    rep = pd.DataFrame(
+        {"event_type": "rep", "user_id": np.int64(1), "ts": ts,
+         "event_id": np.arange(n, dtype=np.int64),
+         "value": np.r_[np.full(20, 7.0), np.arange(10, dtype=np.float64)]}
+    )
+    shift = pd.DataFrame(
+        {"event_type": "shift", "user_id": np.int64(2), "ts": ts,
+         "event_id": np.arange(n, dtype=np.int64),
+         "value": np.r_[np.linspace(0, 1, 15), np.linspace(0, 10, 15)]}
+    )
+    out = _flags_partition(pd.concat([rep, shift], ignore_index=True))
+    rrow = out[out["parameter_id"] == "rep"].iloc[0]
+    srow = out[out["parameter_id"] == "shift"].iloc[0]
+    assert rrow["repeated_flag"] == 1 and rrow["max_run"] == 20
+    assert srow["range_shift_flag"] == 1 and srow["repeated_flag"] == 0
+
+
+def test_activity_trend_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import activity_trend
+
+    got = activity_trend(SF)
+    want = _oracle("activity_trend")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
