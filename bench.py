@@ -186,6 +186,8 @@ def main() -> None:
         timed("asof_join", lambda: q.asof_join_clicks(sf_dir))
         timed("hopping_windows", lambda: q.hopping_window_stats(sf_dir))
         timed("global_quantiles", lambda: q.global_value_quantiles(sf_dir))
+        timed("cusum_changepoint", lambda: q.cusum_changepoint(sf_dir))
+        timed("ewma_last", lambda: q.ewma_last(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(
