@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_trend": q.activity_trend,
         # corpus vocabulary combiner — hash-verified
         "token_vocabulary_topk": q.token_vocabulary_topk,
+        "inverted_index": q.inverted_index,
+        "stratified_sample": q.stratified_sample,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -677,6 +679,29 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT token, COUNT(*) AS n FROM toks
     GROUP BY 1 ORDER BY n DESC, token LIMIT 100""",
+        # inverted index: per-token document frequency + posting head
+        "inverted_index": """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+    ),
+    sel AS (
+      SELECT token, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM pairs
+    )
+    SELECT token, COUNT(*) AS df,
+           STRING_AGG(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS postings_head
+    FROM sel GROUP BY 1 ORDER BY 1""",
+        # deterministic md5-bucket stratified sample (20% per stratum)
+        "stratified_sample": """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 20
+    ORDER BY doc_id""",
         "series_features_basic": """
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
            COUNT(value) AS n,

@@ -537,6 +537,90 @@ def token_vocabulary_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
 NUM_VOCAB_PARTS = 32
 
 
+def stratified_sample(sf_dir: str, rate_pct: int = 20) -> pd.DataFrame:
+    """Deterministic stratified sample: within every language stratum,
+    keep the docs whose md5(doc_id) falls in the lowest rate_pct% of
+    the hash space. Hash-based selection is reproducible, join-free and
+    embarrassingly parallel (a stateless filter — no RNG state to
+    coordinate across workers, no sort, no shuffle), which is the
+    scale-correct way to sample 100 TB; value-exact vs the same md5
+    arithmetic in SQL."""
+    import hashlib
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:4], "big"
+                ) % 100 < rate_pct
+                for i in b["doc_id"]
+            ),
+            dtype=bool,
+            count=len(b),
+        )
+        return b.loc[keep, ["doc_id", "lang"]]
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        .map_batches(pick, batch_format="pandas")
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted index over the corpus: per token, document frequency
+    and the head of the posting list (first 5 doc_ids ascending).
+    Token-partitioned combiner like token_vocabulary_topk: per-batch
+    distinct (token, doc) pairs, one token-hash exchange, per-part
+    aggregation — postings never concentrate on the driver."""
+    from ..functions.text import WS_RE
+
+    def batch_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        dids: list = []
+        for did, text in zip(b["doc_id"], b["text"]):
+            seen = set(t for t in WS_RE.split(text.strip()) if t)
+            toks.extend(seen)
+            dids.extend([did] * len(seen))
+        if not toks:
+            return pd.DataFrame(
+                {"token": np.empty(0, object),
+                 "doc_id": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        tok_arr = np.asarray(toks, dtype=object)
+        part = (
+            pd.util.hash_pandas_object(pd.Series(tok_arr), index=False).to_numpy()
+            % NUM_VOCAB_PARTS
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"token": tok_arr, "doc_id": np.asarray(dids, dtype=np.int64),
+             "part": part}
+        )
+
+    def part_index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        agg = g.groupby("token", sort=True)["doc_id"].agg(
+            df="count",
+            postings_head=lambda s: ",".join(str(d) for d in s.head(5)),
+        ).reset_index()
+        agg["df"] = agg["df"].astype(np.int64)
+        return agg
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(batch_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(part_index, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def _ks_stat_group(g: pd.DataFrame) -> pd.DataFrame:
     """Two-sample KS statistic per site vs all other sites of this
     parameter (A6's core statistic; jitter off, tie-collapsed walk)."""

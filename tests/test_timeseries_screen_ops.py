@@ -178,3 +178,32 @@ def test_activity_trend_matches_oracle(ray_session):
     want = _oracle("activity_trend")
     _assert_frames_equal(got, want)
     assert len(got) > 0
+
+
+def test_stratified_sample_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import stratified_sample
+
+    got = stratified_sample(SF)
+    want = _oracle("stratified_sample")
+    _assert_frames_equal(got, want)
+    assert 0 < len(got)
+    # rate sanity: ~20% of the corpus, deterministic
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert 0.05 * n < len(got) < 0.45 * n
+    again = stratified_sample(SF)
+    assert (again["doc_id"].to_numpy() == got["doc_id"].to_numpy()).all()
+
+
+def test_inverted_index_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import inverted_index
+
+    got = inverted_index(SF)
+    want = _oracle("inverted_index")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # posting head is ascending doc ids, at most 5
+    for p in got["postings_head"]:
+        ids = [int(x) for x in p.split(",")]
+        assert len(ids) <= 5 and ids == sorted(ids)
