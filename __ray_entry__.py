@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_vocabulary_topk": q.token_vocabulary_topk,
         "inverted_index": q.inverted_index,
         "stratified_sample": q.stratified_sample,
+        "hopping_active_users": q.hopping_active_users,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -697,6 +698,20 @@ def oracle_sql() -> dict[str, str]:
            STRING_AGG(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
                       ',' ORDER BY doc_id) AS postings_head
     FROM sel GROUP BY 1 ORDER BY 1""",
+        # exact distinct users per hopping window (1h window, 15m hop)
+        "hopping_active_users": """
+    WITH ev AS (
+      SELECT event_type, user_id, epoch_us(ts) AS tsu FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    wins AS (
+      SELECT event_type, user_id,
+             (tsu // 900000000) * 900000000 - o.o * 900000000 AS window_start_us
+      FROM ev, UNNEST(generate_series(0, 3)) AS o(o)
+    )
+    SELECT event_type, window_start_us,
+           COUNT(DISTINCT user_id) AS n_entities
+    FROM wins GROUP BY 1, 2 ORDER BY 1, 2""",
         # deterministic md5-bucket stratified sample (20% per stratum)
         "stratified_sample": """
     SELECT doc_id, lang FROM documents

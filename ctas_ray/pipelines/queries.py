@@ -1516,6 +1516,19 @@ def hopping_window_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
 
 
+def hopping_active_users(sf_dir: str) -> pd.DataFrame:
+    """Hourly active users every 15 minutes per event_type — exact
+    COUNT DISTINCT per hopping window (stages/windows.py:
+    hopping_distinct: block-local triple dedup before one exchange)."""
+    from ..stages.windows import hopping_distinct
+
+    ev = _events(sf_dir, ["event_type", "ts", "user_id"])
+    out = hopping_distinct(
+        ev, size_us=60 * 60 * 1_000_000, hop_us=15 * 60 * 1_000_000
+    ).to_pandas()
+    return out.sort_values(["event_type", "window_start_us"]).reset_index(drop=True)
+
+
 def repetition_stats(sf_dir: str) -> pd.DataFrame:
     """Per-document repetition/quality signals (top-word count,
     distinct word/bigram counts) — integer outputs, SQL-exact

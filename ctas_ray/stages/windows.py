@@ -525,3 +525,113 @@ def _factorize_str(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Codes + uniques for an object/str array (np.unique-based)."""
     uniq, codes = np.unique(np.asarray(arr, dtype=object).astype(str), return_inverse=True)
     return codes.astype(np.int64), uniq
+
+
+def hopping_distinct(
+    ds: rd.Dataset,
+    *,
+    group: str = "event_type",
+    ts: str = "ts",
+    entity: str = "user_id",
+    size_us: int = 60 * 60 * 1_000_000,
+    hop_us: int = 15 * 60 * 1_000_000,
+) -> rd.Dataset:
+    """Exact distinct-entity count per hopping window (e.g. hourly
+    active users every 15 minutes).
+
+    COUNT DISTINCT's combiner is the distinct set itself, so the
+    per-block partial DEDUPS the fanned-out (group, window, entity)
+    triples before the exchange — the shuffle moves one row per
+    distinct triple per block, never per event. Windows are salted by
+    window index, so each (group, window)'s count resolves wholly
+    inside one partition group; a second dedup there removes
+    cross-block duplicates. NULL entities are dropped (SQL COUNT
+    DISTINCT semantics)."""
+    assert size_us % hop_us == 0, "size must be a multiple of hop"
+    k = size_us // hop_us
+
+    def _empty(with_part: bool) -> pa.Table:
+        cols = {
+            group: pa.array([], type=pa.string()),
+            "window_start_us": pa.array([], type=pa.int64()),
+            "entity": pa.array([], type=pa.int64()),
+        }
+        if with_part:
+            cols["part"] = pa.array([], type=pa.int64())
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(with_part=True)
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(t.column(entity)).to_numpy(zero_copy_only=False)
+        if not valid.all():
+            t = t.filter(pa.array(valid))
+            if t.num_rows == 0:
+                return _empty(with_part=True)
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        tsu = _ts_us(t, ts)
+        ent = _np(t, entity).astype(np.int64)
+        top = (tsu // hop_us) * hop_us
+        n = len(tsu)
+        starts = (
+            np.repeat(top, k)
+            - np.tile(np.arange(k - 1, -1, -1, dtype=np.int64) * hop_us, n)
+        )
+        gcodes, guniq = _factorize_str(np.repeat(g, k))
+        ee = np.repeat(ent, k)
+        win = starts // hop_us
+        order = np.lexsort((ee, win, gcodes))
+        gcodes, win, ee, starts = (
+            gcodes[order], win[order], ee[order], starts[order],
+        )
+        new = np.r_[
+            True,
+            (gcodes[1:] != gcodes[:-1]) | (win[1:] != win[:-1]) | (ee[1:] != ee[:-1]),
+        ]
+        return pa.table(
+            {
+                group: pa.array(guniq[gcodes[new]], type=pa.string()),
+                "window_start_us": pa.array(starts[new], type=pa.int64()),
+                "entity": pa.array(ee[new], type=pa.int64()),
+                "part": pa.array(win[new] % np.int64(_SALT_BUCKETS), type=pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group: pa.array([], type=pa.string()),
+                    "window_start_us": pa.array([], type=pa.int64()),
+                    "n_entities": pa.array([], type=pa.int64()),
+                }
+            )
+        g = t.column(group).to_numpy(zero_copy_only=False)
+        w = _np(t, "window_start_us")
+        ee = _np(t, "entity")
+        gcodes, guniq = _factorize_str(g)
+        order = np.lexsort((ee, w, gcodes))
+        gcodes, w, ee = gcodes[order], w[order], ee[order]
+        uniq = np.r_[
+            True,
+            (gcodes[1:] != gcodes[:-1]) | (w[1:] != w[:-1]) | (ee[1:] != ee[:-1]),
+        ]
+        gcodes, w = gcodes[uniq], w[uniq]
+        seg = np.r_[True, (gcodes[1:] != gcodes[:-1]) | (w[1:] != w[:-1])]
+        st = np.nonzero(seg)[0]
+        counts = np.diff(np.r_[st, len(gcodes)]).astype(np.int64)
+        return pa.table(
+            {
+                group: pa.array(guniq[gcodes[st]], type=pa.string()),
+                "window_start_us": pa.array(w[st], type=pa.int64()),
+                "n_entities": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge, batch_format="pyarrow")
+    )

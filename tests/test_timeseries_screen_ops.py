@@ -207,3 +207,14 @@ def test_inverted_index_matches_oracle(ray_session):
     for p in got["postings_head"]:
         ids = [int(x) for x in p.split(",")]
         assert len(ids) <= 5 and ids == sorted(ids)
+
+
+def test_hopping_active_users_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import hopping_active_users
+
+    got = hopping_active_users(SF)
+    want = _oracle("hopping_active_users")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # every count is positive and bounded by the corpus user count
+    assert (got["n_entities"] > 0).all()
