@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q.inverted_index,
         "stratified_sample": q.stratified_sample,
         "hopping_active_users": q.hopping_active_users,
+        "embedding_centroids": q.embedding_centroids,
+        "top_docs_per_group": q.top_docs_per_group,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -698,6 +700,27 @@ def oracle_sql() -> dict[str, str]:
            STRING_AGG(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
                       ',' ORDER BY doc_id) AS postings_head
     FROM sel GROUP BY 1 ORDER BY 1""",
+        # per-label centroid partials: quantize-then-sum is
+        # order-independent, so the vector aggregate is exact
+        "embedding_centroids": """
+    WITH ex AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             UNNEST(embedding) AS e,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sum_e6,
+           COUNT(*) AS n
+    FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
+        # grouped top-k selection (k longest docs per language)
+        "top_docs_per_group": """
+    SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 3 ORDER BY lang, rank""",
         # exact distinct users per hopping window (1h window, 15m hop)
         "hopping_active_users": """
     WITH ev AS (

@@ -621,6 +621,100 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("token").reset_index(drop=True)
 
 
+def embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid as exact integer partials:
+    (label, dim) -> n + sum of e6-quantized components (centroid =
+    sum/n derivable downstream). Quantize-then-sum makes the aggregate
+    order-independent, so the vector partial aggregation (per-block
+    matrix reduce, one tiny label-salted exchange) is value-exact —
+    the pattern that replaces a full-vector shuffle at scale."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"label": np.empty(0, np.int64), "dim": np.empty(0, np.int64),
+                 "sum_e6": np.empty(0, np.int64), "n": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in b["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        labels = b["label"].to_numpy(dtype=np.int64)
+        uniq = np.unique(labels)
+        d = q.shape[1]
+        frames = []
+        for lab in uniq:
+            m = labels == lab
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(d, lab, dtype=np.int64),
+                        "dim": np.arange(1, d + 1, dtype=np.int64),
+                        "sum_e6": q[m].sum(axis=0),
+                        "n": np.full(d, int(m.sum()), dtype=np.int64),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["part"] = (out["label"] % 16).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["label", "dim"], sort=True).agg(
+            sum_e6=("sum_e6", "sum"), n=("n", "sum")
+        ).reset_index()
+        return agg.astype(np.int64)
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def top_docs_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-k: the k longest docs per language (ties by doc_id).
+    Per-block local top-k is a valid combiner for selection, so only
+    k rows per (lang, block) reach the lang-salted exchange."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[["lang", "doc_id", "n_chars"]].sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = t.groupby("lang", sort=False).head(k).copy()
+        out["part"] = (
+            pd.util.hash_pandas_object(out["lang"], index=False).to_numpy() % 8
+        ).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = t.groupby("lang", sort=False).head(k).copy()
+        out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out[["lang", "rank", "doc_id", "n_chars"]].astype(
+            {"rank": np.int64, "doc_id": np.int64, "n_chars": np.int64}
+        )
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["lang", "doc_id", "n_chars"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
 def _ks_stat_group(g: pd.DataFrame) -> pd.DataFrame:
     """Two-sample KS statistic per site vs all other sites of this
     parameter (A6's core statistic; jitter off, tie-collapsed walk)."""

@@ -218,3 +218,33 @@ def test_hopping_active_users_matches_oracle(ray_session):
     assert len(got) > 0
     # every count is positive and bounded by the corpus user count
     assert (got["n_entities"] > 0).all()
+
+
+def test_embedding_centroids_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import embedding_centroids
+
+    got = embedding_centroids(SF)
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = con.execute(e.oracle_sql()["embedding_centroids"]).fetchdf()
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # every label has a full dim vector and a consistent n
+    dims = got.groupby("label")["dim"].count()
+    assert dims.nunique() == 1
+    assert (got.groupby("label")["n"].nunique() == 1).all()
+
+
+def test_top_docs_per_group_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import top_docs_per_group
+
+    got = top_docs_per_group(SF)
+    want = _oracle("top_docs_per_group")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    assert (got.groupby("lang")["rank"].max() <= 3).all()
