@@ -463,11 +463,19 @@ def _channel_corr_partition(part: pd.DataFrame) -> pd.DataFrame:
     text_len = (
         g["props"].fillna("").astype(str).str.len().to_numpy(dtype=np.float64)
     )
+    # segment boundaries, not per-user boolean masks (O(n), not O(users*n))
+    change = np.empty(len(g), dtype=bool)
+    if len(g) == 0:
+        return pd.DataFrame(columns=["conv_id", "corr_e6"])
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
     rows = []
-    for u in np.unique(uid):
-        m = uid == u
-        x = text_len[m][1:]
-        t = ts_us[m]
+    for s, e in zip(starts, ends):
+        u = uid[s]
+        x = text_len[s + 1 : e]
+        t = ts_us[s:e]
         if len(t) < 3:
             continue
         y = (t[1:] - t[:-1]).astype(np.float64)

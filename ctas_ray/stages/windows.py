@@ -579,7 +579,8 @@ def hopping_distinct(
             np.repeat(top, k)
             - np.tile(np.arange(k - 1, -1, -1, dtype=np.int64) * hop_us, n)
         )
-        gcodes, guniq = _factorize_str(np.repeat(g, k))
+        gc1, guniq = _factorize_str(g)  # factorize once, then fan out codes
+        gcodes = np.repeat(gc1, k)
         ee = np.repeat(ent, k)
         win = starts // hop_us
         order = np.lexsort((ee, win, gcodes))
