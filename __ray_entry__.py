@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # [graft] training-data operators
         "dedup_exact": q.dedup_exact,
         "curated_corpus": q.curated_corpus,
+        # full curation chain: gates -> near-dup removal -> sample
+        "curated_corpus_neardup": q.curated_corpus_neardup,
         "text_stats": q.text_stats,
         "text_quality_counts": q.text_quality_counts,
         "topk_similarity": q.topk_similarity,
@@ -958,6 +960,55 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, n_chars, ws_tokens, fingerprint
     FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+        # end-to-end curation: quality gates -> exact-Jaccard near-dup
+        # clusters (keep cluster minimum; exact dups are jac 1.0 members
+        # of the same clusters) -> deterministic md5 50% sample
+        "curated_corpus_neardup": """
+    WITH RECURSIVE kept AS (
+      SELECT doc_id, text, LENGTH(text) AS n_chars
+      FROM (
+        SELECT doc_id, text, LENGTH(text) AS n_chars,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+               LENGTH(regexp_replace(text, '[0-9A-Za-z_ \\t\\n\\f\\r]', '', 'g')) AS n_punct,
+               LEN(LIST_FILTER(regexp_split_to_array(TRIM(text), '\\s+'), x -> x <> '')) AS ws_tokens
+        FROM documents)
+      WHERE n_chars BETWEEN 50 AND 10000
+        AND n_punct * 10 <= n_chars * 3
+        AND n_digits * 10 <= n_chars * 3
+        AND ws_tokens >= 5
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, SUBSTRING(text, i, 5) AS g
+      FROM kept,
+           UNNEST(generate_series(1, GREATEST(LENGTH(text) - 4, 1))) AS t(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ),
+    ed AS (
+      SELECT id_a AS a, id_b AS b FROM pr
+      UNION ALL SELECT id_b AS a, id_a AS b FROM pr
+    ),
+    reach(node, root) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN ed e ON e.a = r.node
+    ),
+    dropped AS (
+      SELECT node FROM reach GROUP BY node HAVING node <> MIN(root)
+    )
+    SELECT doc_id, n_chars FROM kept
+    WHERE doc_id NOT IN (SELECT node FROM dropped)
+      AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 50
+    ORDER BY doc_id""",
         "text_stats": """
     SELECT doc_id, LENGTH(text) AS n_chars,
            LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,

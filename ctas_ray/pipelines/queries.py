@@ -1087,6 +1087,100 @@ def curated_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def curated_corpus_neardup(sf_dir: str) -> pd.DataFrame:
+    """[graft] FULL curation chain, hash-verified end-to-end: quality
+    gates -> near-dup removal at exact Jaccard >= 0.8 (prefix-filtered
+    similarity join + connected components; exact duplicates fall out
+    of the same clusters at jac 1.0) -> deterministic 50% md5 sample.
+    The drop set (non-minimum members of near-dup clusters) is bounded
+    by the duplicate mass, so broadcasting it into the final filter is
+    scale-safe; texts only flow through the (guaranteed-recall) join's
+    own collapse path, never a second exchange."""
+    import hashlib
+
+    import ray
+
+    from ..stages.curation import CurationConfig, _DIGIT_RE, _PUNCT_RE
+    from ..stages.dedup import _close_clusters, jaccard_similarity_join
+    from ..functions.text import WS_RE
+
+    cfg = CurationConfig()
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].tolist()
+        n_chars = b["text"].str.len().to_numpy(dtype=np.int64)
+        n_digits = np.fromiter(
+            (len(_DIGIT_RE.findall(t)) for t in texts), dtype=np.int64,
+            count=len(texts),
+        )
+        n_punct = np.fromiter(
+            (len(_PUNCT_RE.findall(t)) for t in texts), dtype=np.int64,
+            count=len(texts),
+        )
+        ws_tokens = np.fromiter(
+            (sum(1 for x in WS_RE.split(t.strip()) if x) for t in texts),
+            dtype=np.int64, count=len(texts),
+        )
+        keep = (
+            (n_chars >= cfg.min_chars)
+            & (n_chars <= cfg.max_chars)
+            & (n_punct * 10 <= n_chars * cfg.max_punct_per10)
+            & (n_digits * 10 <= n_chars * cfg.max_digit_per10)
+            & (ws_tokens >= cfg.min_ws_tokens)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy()[keep],
+                "text": np.asarray(texts, dtype=object)[keep],
+                "n_chars": n_chars[keep],
+            }
+        )
+
+    gated = _docs(sf_dir).map_batches(gate, batch_format="pandas").materialize()
+    pairs = jaccard_similarity_join(
+        gated.map_batches(
+            lambda b: b[["doc_id", "text"]], batch_format="pandas"
+        ),
+        threshold=0.8,
+        shingle_k=5,
+    )
+    if len(pairs):
+        cc = _close_clusters(
+            rd.from_pandas(pairs[["id_a", "id_b"]]).repartition(4), "doc_id"
+        )
+        drop = np.sort(
+            cc.loc[cc["doc_id"] != cc["cluster_id"], "doc_id"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+    else:
+        drop = np.empty(0, dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def final_filter(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        dropped = np.isin(ids, ray.get(drop_ref))
+        sampled = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:4], "big"
+                ) % 100 < 50
+                for i in ids
+            ),
+            dtype=bool, count=len(ids),
+        )
+        keep = ~dropped & sampled
+        return pd.DataFrame(
+            {
+                "doc_id": ids[keep],
+                "n_chars": b["n_chars"].to_numpy(dtype=np.int64)[keep],
+            }
+        )
+
+    out = gated.map_batches(final_filter, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_clusters(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup clusters, hash-verified: the signature math
     ((a*x+b) mod 2^64 multiply-shift over polynomial shingle hashes,

@@ -248,3 +248,14 @@ def test_top_docs_per_group_matches_oracle(ray_session):
     _assert_frames_equal(got, want)
     assert len(got) > 0
     assert (got.groupby("lang")["rank"].max() <= 3).all()
+
+
+def test_curated_corpus_neardup_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import curated_corpus_neardup
+
+    got = curated_corpus_neardup(SF)
+    want = _oracle("curated_corpus_neardup")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # near-dup removal really dropped something relative to gates+sample
+    assert got["doc_id"].is_unique
