@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_active_users": q.hopping_active_users,
         "embedding_centroids": q.embedding_centroids,
         "top_docs_per_group": q.top_docs_per_group,
+        "stratified_topk_sample": q.stratified_topk_sample,
+        "quantiles_by_parameter": q.quantiles_by_parameter,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -737,6 +739,34 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, window_start_us,
            COUNT(DISTINCT user_id) AS n_entities
     FROM wins GROUP BY 1, 2 ORDER BY 1, 2""",
+        # exactly-k-per-stratum uniform sample by md5 order
+        "stratified_topk_sample": """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10 ORDER BY lang, doc_id""",
+        # per-parameter exact type-7 quantile brackets (selection walk)
+        "quantiles_by_parameter": """
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    n AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+    o AS (SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk
+          FROM v),
+    qs AS (SELECT UNNEST([0.25, 0.5, 0.75, 0.9]) AS q)
+    SELECT n.event_type AS parameter_id, qs.q AS q,
+           CAST(FLOOR(qs.q * (n.n - 1)) AS BIGINT) AS rank_lo,
+           CAST(CEIL(qs.q * (n.n - 1)) AS BIGINT) AS rank_hi,
+           lo.value AS value_lo, hi.value AS value_hi
+    FROM qs CROSS JOIN n
+    JOIN o lo ON lo.event_type = n.event_type
+             AND lo.rk = CAST(FLOOR(qs.q * (n.n - 1)) AS BIGINT)
+    JOIN o hi ON hi.event_type = n.event_type
+             AND hi.rk = CAST(CEIL(qs.q * (n.n - 1)) AS BIGINT)
+    ORDER BY 1, 2""",
         # deterministic md5-bucket stratified sample (20% per stratum)
         "stratified_sample": """
     SELECT doc_id, lang FROM documents

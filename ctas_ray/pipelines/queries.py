@@ -723,6 +723,75 @@ def top_docs_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.sort_values(["lang", "rank"]).reset_index(drop=True)
 
 
+def stratified_topk_sample(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exactly-k-per-stratum uniform sample: the k docs with the
+    SMALLEST md5(doc_id) per language (hash order = uniform without
+    replacement, deterministic and join-free). Per-block local bottom-k
+    is the combiner, so only k rows per (lang, block) reach the
+    exchange — reservoir sampling without reservoir state."""
+    import hashlib
+
+    def local_bottomk(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+                for i in b["doc_id"]
+            ),
+            dtype=np.uint64, count=len(b),
+        )
+        t = pd.DataFrame(
+            {"lang": b["lang"].to_numpy(), "doc_id": b["doc_id"].to_numpy(),
+             "h": h}
+        ).sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        out = t.groupby("lang", sort=False).head(k).copy()
+        out["part"] = (
+            pd.util.hash_pandas_object(out["lang"], index=False).to_numpy() % 8
+        ).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        out = t.groupby("lang", sort=False).head(k)
+        return out[["lang", "doc_id"]].astype({"doc_id": np.int64})
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        .map_batches(local_bottomk, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def quantiles_by_parameter(sf_dir: str) -> pd.DataFrame:
+    """Exact per-parameter type-7 quantile brackets via the distributed
+    histogram-selection engine (stages/sketches.py:global_quantiles) —
+    no global sort; one selection run per named parameter (parameters
+    are a bounded dimension in the ctas model, subjects are not)."""
+    from ..stages.sketches import global_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    params = sorted(
+        _events(sf_dir, ["event_type"]).unique("event_type")
+    )
+    rows = []
+    for p in params:
+        ds = _events(sf_dir, ["event_type", "value"]).filter(
+            expr=f"event_type == '{p}'"
+        )
+        res = global_quantiles(ds, "value", qs)
+        res.insert(0, "parameter_id", p)
+        rows.append(res)
+    out = pd.concat(rows, ignore_index=True)
+    out = out[["parameter_id", "q", "rank_lo", "rank_hi", "value_lo", "value_hi"]]
+    out["rank_lo"] = out["rank_lo"].astype(np.int64)
+    out["rank_hi"] = out["rank_hi"].astype(np.int64)
+    return out.sort_values(["parameter_id", "q"]).reset_index(drop=True)
+
+
 def _ks_stat_group(g: pd.DataFrame) -> pd.DataFrame:
     """Two-sample KS statistic per site vs all other sites of this
     parameter (A6's core statistic; jitter off, tie-collapsed walk)."""

@@ -259,3 +259,28 @@ def test_curated_corpus_neardup_matches_oracle(ray_session):
     assert len(got) > 0
     # near-dup removal really dropped something relative to gates+sample
     assert got["doc_id"].is_unique
+
+
+def test_stratified_topk_sample_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import stratified_topk_sample
+
+    got = stratified_topk_sample(SF)
+    want = _oracle("stratified_topk_sample")
+    _assert_frames_equal(got, want)
+    assert (got.groupby("lang")["doc_id"].count() <= 10).all()
+
+
+def test_quantiles_by_parameter_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import quantiles_by_parameter
+
+    got = quantiles_by_parameter(SF)
+    want = _oracle("quantiles_by_parameter")
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        if g.dtype.kind == "f":
+            assert np.allclose(g.astype(float), w.astype(float), rtol=0, atol=0)
+        else:
+            assert (g == w).all(), c
+    assert (got["value_lo"] <= got["value_hi"]).all()
