@@ -44,7 +44,23 @@ def _events(sf_dir: str, columns=None) -> rd.Dataset:
 
 
 def _docs(sf_dir: str) -> rd.Dataset:
-    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    """Documents read with size-aware block sizing: Ray's default
+    parallelism heuristic targets 2x CPUs and splits a sub-MB file
+    into ~64 micro-blocks, turning every downstream map stage into
+    dozens of dispatch-bound micro-tasks. For SMALL inputs cap blocks
+    at ~2 MB each (min 4 for parallelism); for large inputs leave
+    Ray's target-block-size splitting alone."""
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    kwargs: dict = {"columns": ["doc_id", "text"]}
+    try:
+        size = os.path.getsize(path)
+        if size < 256 * 1024 * 1024:
+            kwargs["override_num_blocks"] = max(4, int(size // (2 * 1024 * 1024)))
+    except OSError:
+        pass
+    return read_parquet_clean(path, **kwargs)
 
 
 # ---------------------------------------------------------------------------
