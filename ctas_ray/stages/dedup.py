@@ -173,7 +173,6 @@ def _bucket_pairs_frame(ids: np.ndarray, max_bucket: int, bucket_desc: str) -> p
     ii, jj = np.triu_indices(n, k=1)
     return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
-
 def _gather_verify_pairs(
     candidates: rd.Dataset,
     attrs: rd.Dataset,
@@ -183,73 +182,79 @@ def _gather_verify_pairs(
     num_parts: int = NUM_PARTS,
 ) -> rd.Dataset:
     """Attach each side's per-doc attribute (signature / shingle set) to
-    the candidate pairs and verify them — as TWO vectorized hash
-    exchanges instead of two JoinOperators:
+    the candidate pairs and verify them, shipping each attribute ONCE
+    PER (doc, pair-partition) — never once per pair side. Dense
+    candidate sets (an exact join on a low-diversity corpus can emit
+    millions of pairs over a few thousand docs) previously replicated
+    each blob into every pair touching it (~pairs x blob bytes through
+    the meet exchange); the demand table bounds that by
+    min(pairs, docs x num_parts) blob copies.
 
-    1. doc-keyed gather: pair-side requests (doc, other, side) union the
-       attribute supply rows, hash-partitioned on doc; a per-partition
-       pandas merge attaches the attribute to each requesting side. An
-       attribute ships once per requesting pair side, never once per
-       band/bucket row.
-    2. pair-keyed meet: both attached sides hash-partition on the pair;
-       a per-partition merge pairs them up and ``verify_rows`` (columns
-       id_a, id_b, attr_a, attr_b) filters to verified pairs.
+    1. demand gather (doc-keyed): block-deduped (pair-partition, doc)
+       demand rows union the attribute supply; a per-partition merge
+       emits one (part, doc, attr) row per distinct demand.
+    2. meet (pair-keyed): attribute rows union the (block-deduped) pair
+       rows; per partition, pairs dedup globally, both sides attach via
+       merges against the partition's doc->attr table, and
+       ``verify_rows`` (columns id_a, id_b, attr_a, attr_b) filters to
+       verified pairs.
     """
 
-    def requests(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "doc": pd.concat([b["id_a"], b["id_b"]], ignore_index=True),
-                "other": pd.concat([b["id_b"], b["id_a"]], ignore_index=True),
-                "side": np.r_[
-                    np.zeros(len(b), dtype=np.int8), np.ones(len(b), dtype=np.int8)
-                ],
-            }
-        )
+    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[["id_a", "id_b"]].drop_duplicates()
+        out = out.copy()
+        out["doc"] = out["id_a"]  # typed placeholder; never read
         out["attr"] = None
-        out["part"] = _row_part(out, ["doc"], num_parts)
-        return out[["doc", "other", "side", "attr", "part"]]
+        out["kind"] = np.int8(0)
+        out["part"] = _row_part(out, ["id_a", "id_b"], num_parts)
+        return out[["id_a", "id_b", "doc", "attr", "kind", "part"]]
+
+    def demand_rows(b: pd.DataFrame) -> pd.DataFrame:
+        pr = b[["id_a", "id_b"]].drop_duplicates()
+        part = _row_part(pr, ["id_a", "id_b"], num_parts)
+        d = pd.DataFrame(
+            {
+                "doc": pd.concat([pr["id_a"], pr["id_b"]], ignore_index=True),
+                "part": np.concatenate([part, part]),
+            }
+        ).drop_duplicates()
+        d["attr"] = None
+        d["kind"] = np.int8(1)
+        d["dpart"] = _row_part(d, ["doc"], num_parts)
+        return d[["doc", "part", "attr", "kind", "dpart"]]
 
     def supply(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "doc": b[id_col],
-                "other": b[id_col],  # typed placeholder; never read
-                "side": np.full(len(b), -1, dtype=np.int8),
+                "part": np.int64(-1),
                 "attr": b[attr_col],
+                "kind": np.int8(2),
             }
         )
-        out["part"] = _row_part(out, ["doc"], num_parts)
-        return out[["doc", "other", "side", "attr", "part"]]
+        out["dpart"] = _row_part(out, ["doc"], num_parts)
+        return out[["doc", "part", "attr", "kind", "dpart"]]
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sup = g.loc[g["side"] == -1, ["doc", "attr"]]
-        # duplicate requests for the same pair side (a pair colliding in
-        # many buckets) all hash to THIS doc partition — dedup here is
-        # global, so no separate distinct-pairs exchange is needed and
-        # each attribute ships once per pair side
-        req = g.loc[g["side"] >= 0, ["doc", "other", "side"]].drop_duplicates()
-        m = req.merge(sup, on="doc", how="inner")
-        side = m["side"].to_numpy()
-        doc = m["doc"].to_numpy(dtype=object)
-        other = m["other"].to_numpy(dtype=object)
-        out = pd.DataFrame(
-            {
-                "id_a": np.where(side == 0, doc, other),
-                "id_b": np.where(side == 0, other, doc),
-                "side": side,
-                "attr": m["attr"],
-            }
-        )
-        out["part"] = _row_part(out, ["id_a", "id_b"], num_parts)
-        return out
+        sup = g.loc[g["kind"] == 2, ["doc", "attr"]]
+        dem = g.loc[g["kind"] == 1, ["doc", "part"]].drop_duplicates()
+        m = dem.merge(sup, on="doc", how="inner")
+        m = m.copy()
+        m["id_a"] = m["doc"]  # typed placeholder for the meet union
+        m["id_b"] = m["doc"]
+        m["kind"] = np.int8(2)
+        return m[["id_a", "id_b", "doc", "attr", "kind", "part"]]
 
     def meet(g: pd.DataFrame):
         import pyarrow as pa
 
-        a = g.loc[g["side"] == 0, ["id_a", "id_b", "attr"]]
-        b = g.loc[g["side"] == 1, ["id_a", "id_b", "attr"]]
-        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        blobs = g.loc[g["kind"] == 2, ["doc", "attr"]]
+        pairs = g.loc[g["kind"] == 0, ["id_a", "id_b"]].drop_duplicates()
+        m = pairs.merge(
+            blobs.rename(columns={"doc": "id_a", "attr": "attr_a"}), on="id_a"
+        ).merge(
+            blobs.rename(columns={"doc": "id_b", "attr": "attr_b"}), on="id_b"
+        )
         out = verify_rows(m)
         # typed Arrow out: empty partitions otherwise emit object-dtype
         # pandas blocks that trip Ray's block-size estimator ("cannot
@@ -272,13 +277,18 @@ def _gather_verify_pairs(
             }
         )
 
-    gathered = (
-        candidates.map_batches(requests, batch_format="pandas")
+    attr_routed = (
+        candidates.map_batches(demand_rows, batch_format="pandas")
         .union(attrs.map_batches(supply, batch_format="pandas"))
-        .groupby("part")
+        .groupby("dpart")
         .map_groups(attach, batch_format="pandas")
     )
-    return gathered.groupby("part").map_groups(meet, batch_format="pandas")
+    return (
+        candidates.map_batches(pair_rows, batch_format="pandas")
+        .union(attr_routed)
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+    )
 
 
 def _connected_components(pairs: pd.DataFrame, id_col: str) -> pd.DataFrame:
