@@ -1460,27 +1460,39 @@ def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
     ``site_mode``: 'crc32' (rows-only screen queries) or 'mod12'
     (user_id % 12 — SQL-expressible, used by the hash-verified
     study-screen oracle queries)."""
-    import pyarrow.parquet as pq
     import zlib
 
-    ev = pq.read_table(
-        f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value"],
-    ).to_pandas()
-    ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
-    ev["timepoint_rank"] = ev.groupby(["user_id", "event_type"]).cumcount() + 1.0
-    data = pd.DataFrame(
-        {
-            "subject_id": "u" + ev["user_id"].astype(str),
-            "parameter_id": ev["event_type"],
-            "timepoint_1_name": "T" + ev["timepoint_rank"].astype(int).astype(str),
-            "timepoint_2_name": "ND",
-            "timepoint_rank": ev["timepoint_rank"],
-            "result": ev["value"],
-            "baseline": np.nan,
-        }
+    def to_measurements(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        rank = (
+            g.groupby(["user_id", "event_type"], sort=False).cumcount() + 1.0
+        ).to_numpy()
+        return pd.DataFrame(
+            {
+                "subject_id": ("u" + g["user_id"].astype(str)).to_numpy(),
+                "parameter_id": g["event_type"].to_numpy(),
+                "timepoint_1_name": np.char.add(
+                    "T", rank.astype(np.int64).astype(str)
+                ),
+                "timepoint_2_name": "ND",
+                "timepoint_rank": rank,
+                "result": g["value"].to_numpy(),
+                "baseline": np.nan,
+            }
+        )
+
+    # measurement derivation stays DISTRIBUTED (salted per-subject
+    # partitions; ranks are per (subject, parameter) so they resolve
+    # wholly inside a partition) — the raw events never collect to the
+    # driver. Only the small dimension tables (users, parameters) do.
+    data = (
+        _salted(_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]))
+        .groupby("part")
+        .map_groups(to_measurements, batch_format="pandas")
     )
-    users = sorted(ev["user_id"].unique())
+    users = sorted(_events(sf_dir, ["user_id"]).unique("user_id"))
     if site_mode == "mod12":
         site_idx = np.array([u % 12 for u in users])
     else:
@@ -1493,7 +1505,7 @@ def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
             "region": [f"region_{i % 2}" for i in site_idx],
         }
     )
-    pids = sorted(ev["event_type"].unique())
+    pids = sorted(_events(sf_dir, ["event_type"]).unique("event_type"))
     parameters = pd.DataFrame(
         {
             "parameter_id": pids,
@@ -1519,7 +1531,7 @@ def _study_screen(sf_dir: str) -> dict:
 
     data, subjects, parameters = _events_study_tables(sf_dir)
     return process_a_study_ray(
-        rd.from_pandas(data).repartition(8),
+        data,
         subjects,
         parameters,
         cfg=StudyConfig(max_share_missing=0.8),
@@ -1569,7 +1581,7 @@ def _study_screen_sql(sf_dir: str, method: str) -> dict:
 
     data, subjects, parameters = _events_study_tables(sf_dir, site_mode="mod12")
     return process_a_study_ray(
-        rd.from_pandas(data).repartition(8),
+        data,
         subjects,
         parameters,
         cfg=StudyConfig(
