@@ -33,8 +33,10 @@ the skew dedup actually meets (masses of identical documents):
   set-Jaccard verify on gathered shingle sets.
 - SimHash: 64-bit fingerprints, banded into 4x16-bit LSH keys, exact
   collapse + capped buckets + vectorized popcount Hamming verify.
-- embedding cosine: normalize + random-hyperplane multi-probe bucket,
-  capped buckets, exact cosine verify within buckets.
+- embedding cosine: normalize once, random-hyperplane multi-probe
+  bucket rows carrying ONLY (bucket, id) — the 13-way probe fan-out
+  never replicates vectors; capped buckets; exact cosine verify on
+  demand-gathered unit vectors (one copy per (doc, partition)).
 """
 
 from __future__ import annotations
@@ -918,10 +920,15 @@ def embedding_cosine_dedup(
     max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> pd.DataFrame:
     """Near-dup vectors: random-hyperplane LSH bucket (n_planes sign
-    bits), exact cosine verify within buckets, union-find clusters.
-    Multi-probe: each vector also lands in buckets at Hamming distance 1
-    so near-threshold pairs straddling one plane still collide.
-    Oversized buckets fall back to chain pairs (logged)."""
+    bits), exact cosine verify, union-find clusters. Multi-probe: each
+    vector also lands in buckets at Hamming distance 1 so
+    near-threshold pairs straddling one plane still collide. Oversized
+    buckets fall back to chain pairs (logged).
+
+    Bucket rows carry ONLY (bucket, vec_id) — the 13-way multi-probe
+    fan-out never replicates the vectors; unit vectors are gathered
+    onto the deduplicated candidate pairs by the demand-routed
+    _gather_verify_pairs (one copy per (doc, partition))."""
     import ray
 
     first = embeddings.take(1)[0]
@@ -929,74 +936,77 @@ def embedding_cosine_dedup(
     rng = np.random.default_rng(seed)
     planes_ref = ray.put(rng.normal(0, 1, size=(dim, n_planes)))
 
-    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
-        planes = ray.get(planes_ref)
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
         vecs = np.stack(b[vec_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        bits = ((unit @ planes) > 0).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "unit": [u.tobytes() for u in unit]}
+        )
+
+    units = embeddings.map_batches(normalize, batch_format="pandas").materialize()
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        planes = ray.get(planes_ref)
+        mat = np.frombuffer(b"".join(b["unit"]), dtype=np.float64).reshape(
+            len(b), -1
+        )
+        bits = ((mat @ planes) > 0).astype(np.int64)
         key_int = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-        n = len(b)
-        n_probe = n_planes + 1
         # probe 0 = the base bucket, probe p>=1 flips plane p-1
         flips = np.r_[0, 1 << np.arange(n_planes)].astype(np.int64)
         buckets = (key_int[:, None] ^ flips[None, :]).ravel()
-        units = np.repeat(
-            np.array([u.tobytes() for u in unit], dtype=object), n_probe
-        )
         return pd.DataFrame(
             {
-                id_col: np.repeat(b[id_col].to_numpy(), n_probe),
+                id_col: np.repeat(b[id_col].to_numpy(), n_planes + 1),
                 "bucket": buckets,
-                "unit": units,
                 "part": buckets % NUM_PARTS,
             }
         )
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["bucket", id_col], kind="mergesort")
         starts, ends = _segments(g["bucket"].to_numpy(dtype=np.int64))
         ids_all = g[id_col].to_numpy()
-        units_all = g["unit"].to_numpy(dtype=object)
-        acc = []
+        frames = [pd.DataFrame({"id_a": ids_all[:0], "id_b": ids_all[:0]})]
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            ids = ids_all[s:e]
-            mat = np.frombuffer(b"".join(units_all[s:e]), dtype=np.float64).reshape(
-                e - s, -1
-            )
-            if len(ids) > max_bucket_size:
-                logger.warning(
-                    "embedding bucket %s has %d members (> cap %d): chain fallback",
-                    g["bucket"].iloc[s], len(ids), max_bucket_size,
-                )
-                cos = np.einsum("ij,ij->i", mat[:-1], mat[1:])
-                keep = cos >= threshold
-                acc.append(
-                    pd.DataFrame(
-                        {"id_a": ids[:-1][keep], "id_b": ids[1:][keep], "cosine": cos[keep]}
-                    )
-                )
-                continue
-            cos = mat @ mat.T
-            ii, jj = np.triu_indices(len(ids), k=1)
-            keep = cos[ii, jj] >= threshold
-            acc.append(
-                pd.DataFrame(
-                    {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]], "cosine": cos[ii, jj][keep]}
+            frames.append(
+                _bucket_pairs_frame(
+                    ids_all[s:e], max_bucket_size,
+                    f"(bucket={g['bucket'].iloc[s]})",
                 )
             )
-        if not acc:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        return pd.concat(acc, ignore_index=True)
+        return pd.concat(frames, ignore_index=True)
 
-    verified = (
-        embeddings.map_batches(bucketize, batch_format="pandas")
+    candidates = (
+        units.map_batches(bucketize, batch_format="pandas")
         .groupby("part")
-        .map_groups(verify_part, batch_format="pandas")
+        .map_groups(bucket_pairs_part, batch_format="pandas")
     )
+
+    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
+        if len(m) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a = np.frombuffer(b"".join(m["attr_a"]), dtype=np.float64).reshape(
+            len(m), -1
+        )
+        b2 = np.frombuffer(b"".join(m["attr_b"]), dtype=np.float64).reshape(
+            len(m), -1
+        )
+        cos = np.einsum("ij,ij->i", a, b2)
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    verified = _gather_verify_pairs(candidates, units, id_col, "unit", verify_rows)
     return _close_clusters(verified, id_col)
 
 
