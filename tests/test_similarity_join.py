@@ -161,3 +161,25 @@ def test_clusters_distributed_cc_matches_union_find(ray_session):
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert (ref["doc_id"].to_numpy() == got["doc_id"].to_numpy()).all()
     assert (ref["cluster_id"].to_numpy() == got["cluster_id"].to_numpy()).all()
+
+
+def test_join_dense_candidates_matches_bruteforce(ray_session):
+    """Dense-candidate regime: 300 near-identical template docs force
+    ~all-pairs candidates; the demand-routed verify must return exactly
+    the brute-force pair set (and not blow up)."""
+    from ctas_ray.stages.dedup import jaccard_similarity_join
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight ")
+    texts = {}
+    for i in range(300):
+        # vary a small suffix so docs are near but not exact duplicates
+        texts[i] = base * 3 + f"variant token {i % 7} tail {i % 3}"
+    docs = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = jaccard_similarity_join(rd.from_pandas(docs).repartition(4),
+                                  threshold=0.9)
+    want = _brute_pairs(texts, 0.9)
+    got = {(a, b): j for a, b, j in zip(out["id_a"], out["id_b"], out["jac"])}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
