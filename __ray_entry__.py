@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_group": q.top_docs_per_group,
         "stratified_topk_sample": q.stratified_topk_sample,
         "quantiles_by_parameter": q.quantiles_by_parameter,
+        "percent_rank_by_series": q.percent_rank_by_series,
+        "value_histogram": q.value_histogram,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -739,6 +741,31 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, window_start_us,
            COUNT(DISTINCT user_id) AS n_entities
     FROM wins GROUP BY 1, 2 ORDER BY 1, 2""",
+        # rank transform within series (min-rank ties), integer-exact
+        "percent_rank_by_series": """
+    WITH v AS (
+      SELECT event_type, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS turn,
+             RANK() OVER (PARTITION BY event_type, user_id
+                          ORDER BY value) AS rank,
+             COUNT(*) OVER (PARTITION BY event_type, user_id) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           turn, rank, n
+    FROM v ORDER BY 1, 2, 3""",
+        # fixed-width global-range histogram per parameter
+        "value_histogram": """
+    WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    h AS (
+      SELECT event_type AS parameter_id,
+             LEAST(CAST(FLOOR((value - b.lo) / ((b.hi - b.lo) / 20)) AS BIGINT),
+                   19) AS bin
+      FROM events, b WHERE value IS NOT NULL
+    )
+    SELECT parameter_id, bin, COUNT(*) AS n
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
         # exactly-k-per-stratum uniform sample by md5 order
         "stratified_topk_sample": """
     SELECT lang, doc_id FROM (

@@ -808,6 +808,97 @@ def quantiles_by_parameter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["parameter_id", "q"]).reset_index(drop=True)
 
 
+def _percent_rank_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """PERCENT_RANK of each value within its (parameter, subject)
+    series: (rank-1)/(n-1) over ascending value with ties sharing the
+    minimum rank — integer rank columns emitted instead of the float
+    ratio so the check is exact."""
+    t = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(t) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "turn": np.empty(0, np.int64),
+                "rank": np.empty(0, np.int64),
+                "n": np.empty(0, np.int64),
+            }
+        )
+    gb = t.groupby(["event_type", "user_id"], sort=False)
+    return pd.DataFrame(
+        {
+            "parameter_id": t["event_type"].to_numpy(),
+            "subject_id": t["user_id"].to_numpy(dtype=np.int64).astype(str),
+            "turn": (gb.cumcount() + 1).to_numpy(dtype=np.int64),
+            "rank": gb["value"].rank(method="min").to_numpy(dtype=np.int64),
+            "n": gb["value"].transform("size").to_numpy(dtype=np.int64),
+        }
+    )
+
+
+def percent_rank_by_series(sf_dir: str) -> pd.DataFrame:
+    """Rank-transform of values within each series (min-rank ties),
+    emitted as exact integer (rank, n) per turn — the percentile
+    normalization primitive; value-exact vs SQL RANK()."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_percent_rank_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["parameter_id", "subject_id", "turn"]
+    ).reset_index(drop=True)
+
+
+def value_histogram(sf_dir: str, n_bins: int = 20) -> pd.DataFrame:
+    """Fixed-width histogram of value per parameter over a GLOBAL
+    [min, max] range: two streaming passes (min/max, then per-block
+    partial counts combined in one tiny exchange) — integer-exact."""
+    ev = _events(sf_dir, ["event_type", "value"])
+    stats = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "lo": [np.nanmin(b["value"].to_numpy(dtype=np.float64))],
+                "hi": [np.nanmax(b["value"].to_numpy(dtype=np.float64))],
+            }
+        )
+        if b["value"].notna().any()
+        else pd.DataFrame({"lo": [np.inf], "hi": [-np.inf]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = float(stats["lo"].min()), float(stats["hi"].max())
+    width = (hi - lo) / n_bins
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[b["value"].notna()]
+        v = t["value"].to_numpy(dtype=np.float64)
+        bins = np.minimum(
+            np.floor((v - lo) / width).astype(np.int64), n_bins - 1
+        )
+        out = pd.DataFrame({"parameter_id": t["event_type"].to_numpy(), "bin": bins})
+        agg = out.groupby(["parameter_id", "bin"], sort=False).size().reset_index(
+            name="n"
+        )
+        agg["part"] = (agg["bin"] % 8).astype(np.int64)
+        return agg
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["parameter_id", "bin"], sort=True)["n"].sum().reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "bin"]).reset_index(drop=True)
+
+
 def _ks_stat_group(g: pd.DataFrame) -> pd.DataFrame:
     """Two-sample KS statistic per site vs all other sites of this
     parameter (A6's core statistic; jitter off, tie-collapsed walk)."""

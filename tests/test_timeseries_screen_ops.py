@@ -284,3 +284,27 @@ def test_quantiles_by_parameter_matches_oracle(ray_session):
         else:
             assert (g == w).all(), c
     assert (got["value_lo"] <= got["value_hi"]).all()
+
+
+def test_percent_rank_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import percent_rank_by_series
+
+    got = percent_rank_by_series(SF)
+    want = _oracle("percent_rank_by_series")
+    _assert_frames_equal(got, want)
+    assert (got["rank"] <= got["n"]).all()
+    assert (got["rank"] >= 1).all()
+
+
+def test_value_histogram_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import value_histogram
+
+    got = value_histogram(SF)
+    want = _oracle("value_histogram")
+    _assert_frames_equal(got, want)
+    assert got["bin"].between(0, 19).all()
+    # total counts = non-null values
+    import pyarrow.parquet as pq
+
+    vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])
+    assert got["n"].sum() == len(vals) - vals.column("value").null_count
