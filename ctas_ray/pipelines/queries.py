@@ -1578,12 +1578,34 @@ def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
     # partitions; ranks are per (subject, parameter) so they resolve
     # wholly inside a partition) — the raw events never collect to the
     # driver. Only the small dimension tables (users, parameters) do.
+    # materialized: the study pipeline scans its input twice (rank-name
+    # projection + feature explode); pinning the derived blocks keeps
+    # those scans from re-executing the derivation exchange
     data = (
         _salted(_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]))
         .groupby("part")
         .map_groups(to_measurements, batch_format="pandas")
+        .materialize()
     )
-    users = sorted(_events(sf_dir, ["user_id"]).unique("user_id"))
+    # ONE scan for both small dimension tables (distinct users and
+    # parameters) instead of two unique() plans
+    def dims(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": ["u"] * b["user_id"].nunique()
+                + ["p"] * b["event_type"].nunique(),
+                "val": list(b["user_id"].unique().astype(str))
+                + list(b["event_type"].unique()),
+            }
+        )
+
+    dim = (
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(dims, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    users = sorted(int(v) for v in dim.loc[dim["kind"] == "u", "val"])
     if site_mode == "mod12":
         site_idx = np.array([u % 12 for u in users])
     else:
@@ -1596,7 +1618,7 @@ def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
             "region": [f"region_{i % 2}" for i in site_idx],
         }
     )
-    pids = sorted(_events(sf_dir, ["event_type"]).unique("event_type"))
+    pids = sorted(dim.loc[dim["kind"] == "p", "val"])
     parameters = pd.DataFrame(
         {
             "parameter_id": pids,
