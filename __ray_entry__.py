@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_parameter": q.quantiles_by_parameter,
         "percent_rank_by_series": q.percent_rank_by_series,
         "value_histogram": q.value_histogram,
+        # relational pipelines over the TPC-H-ish tables — hash-verified
+        "tpch_pricing_summary": q.tpch_pricing_summary,
+        "tpch_top_revenue_orders": q.tpch_top_revenue_orders,
+        "tpch_regional_volume": q.tpch_regional_volume,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -741,6 +745,45 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type, window_start_us,
            COUNT(DISTINCT user_id) AS n_entities
     FROM wins GROUP BY 1, 2 ORDER BY 1, 2""",
+        # TPC-H Q1-shaped filtered partial-agg scan over lineitem
+        "tpch_pricing_summary": """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_e2,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_e2,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS sum_disc_e4
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # TPC-H Q3-shaped: broadcast customer segment, fact-fact join,
+        # top-10 unshipped revenue
+        "tpch_top_revenue_orders": """
+    SELECT o.o_orderkey,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS revenue_e4,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""",
+        # TPC-H Q5-shaped: regional same-nation supplier volume
+        "tpch_regional_volume": """
+    SELECT n.n_name,
+           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1""",
         # rank transform within series (min-rank ties), integer-exact
         "percent_rank_by_series": """
     WITH v AS (

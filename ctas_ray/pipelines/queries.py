@@ -2032,3 +2032,249 @@ def jaccard_neardup_clusters(sf_dir: str) -> pd.DataFrame:
             "cluster_id": cc["cluster_id"].to_numpy().astype(np.int64),
         }
     ).sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# relational pipelines over the TPC-H-ish tables (lineitem/orders/...)
+# ---------------------------------------------------------------------------
+
+
+def _lineitem(sf_dir: str, columns) -> rd.Dataset:
+    return read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+def _rev_e4(price: np.ndarray, disc: np.ndarray) -> np.ndarray:
+    """Per-row revenue extendedprice*(1-discount), e4-quantized BIGINT —
+    the same IEEE expression as the SQL oracle, so sums are exact and
+    order-independent."""
+    return np.floor(price * (1.0 - disc) * 10000.0 + 0.5).astype(np.int64)
+
+
+def tpch_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: one filtered scan with
+    per-block partial aggregation (quantize-then-sum integers) and a
+    six-group merge — the canonical combiner pipeline over the largest
+    fact table."""
+    cutoff = np.datetime64("1999-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[b["l_shipdate"].to_numpy().astype("datetime64[us]") <= cutoff]
+        if len(t) == 0:
+            return pd.DataFrame(
+                {"l_returnflag": np.empty(0, object),
+                 "l_linestatus": np.empty(0, object),
+                 "n": np.empty(0, np.int64),
+                 "sum_qty_e2": np.empty(0, np.int64),
+                 "sum_base_e2": np.empty(0, np.int64),
+                 "sum_disc_e4": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        qty = np.floor(t["l_quantity"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        base = np.floor(t["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        disc = _rev_e4(
+            t["l_extendedprice"].to_numpy(np.float64),
+            t["l_discount"].to_numpy(np.float64),
+        )
+        g = pd.DataFrame(
+            {"l_returnflag": t["l_returnflag"].to_numpy(),
+             "l_linestatus": t["l_linestatus"].to_numpy(),
+             "qty": qty, "base": base, "disc": disc}
+        ).groupby(["l_returnflag", "l_linestatus"], sort=False)
+        agg = g.agg(
+            n=("qty", "size"), sum_qty_e2=("qty", "sum"),
+            sum_base_e2=("base", "sum"), sum_disc_e4=("disc", "sum"),
+        ).reset_index()
+        agg["part"] = (
+            pd.util.hash_pandas_object(
+                agg[["l_returnflag", "l_linestatus"]], index=False
+            ).to_numpy() % 4
+        ).astype(np.int64)
+        return agg
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            n=("n", "sum"), sum_qty_e2=("sum_qty_e2", "sum"),
+            sum_base_e2=("sum_base_e2", "sum"), sum_disc_e4=("sum_disc_e4", "sum"),
+        ).reset_index()
+        for c in ("n", "sum_qty_e2", "sum_base_e2", "sum_disc_e4"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    out = (
+        _lineitem(sf_dir, ["l_shipdate", "l_quantity", "l_extendedprice",
+                           "l_discount", "l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def tpch_top_revenue_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3-shaped top unshipped-revenue orders: the small customer
+    dimension broadcasts as a key set (ray.put once, read per task),
+    the two FACT tables meet in one hash join on orderkey, revenue
+    partials pre-combine per block before the groupby."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
+    )
+    keys_ref = ray.put(keys)
+    cut = np.datetime64("1998-01-01")
+
+    def filter_orders(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            np.isin(b["o_custkey"].to_numpy(np.int64), ray.get(keys_ref))
+            & (b["o_orderdate"].to_numpy().astype("datetime64[us]") < cut)
+        )
+        t = b[m]
+        return pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": t["o_orderdate"]
+                .dt.strftime("%Y-%m-%d")
+                .to_numpy(object),
+                "o_orderpriority": t["o_orderpriority"].to_numpy(object),
+            }
+        )
+
+    def filter_items(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_shipdate"].to_numpy().astype("datetime64[us]") > cut
+        t = b[m]
+        if len(t) == 0:
+            return pd.DataFrame(
+                {"l_orderkey": np.empty(0, np.int64),
+                 "rev_e4": np.empty(0, np.int64)}
+            )
+        rev = _rev_e4(
+            t["l_extendedprice"].to_numpy(np.float64),
+            t["l_discount"].to_numpy(np.float64),
+        )
+        # pre-combine per (orderkey, block) before the join/groupby
+        agg = (
+            pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(np.int64),
+                          "rev_e4": rev})
+            .groupby("l_orderkey", sort=False)["rev_e4"].sum().reset_index()
+        )
+        agg["rev_e4"] = agg["rev_e4"].astype(np.int64)
+        return agg
+
+    orders_f = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(filter_orders, batch_format="pandas").repartition(8)
+    items_f = (
+        _lineitem(sf_dir, ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(filter_items, batch_format="pandas")
+        .repartition(8)
+    )
+    joined = items_f.join(
+        orders_f, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).to_pandas()
+    agg = (
+        joined.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)
+        ["rev_e4"].sum().reset_index()
+        .rename(columns={"l_orderkey": "o_orderkey", "rev_e4": "revenue_e4"})
+    )
+    agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
+    agg["o_orderkey"] = agg["o_orderkey"].astype(np.int64)
+    agg = agg.sort_values(
+        ["revenue_e4", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return agg[["o_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
+
+
+def tpch_regional_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5-shaped regional supplier volume: the dimension chain
+    region -> nation -> customer/supplier broadcasts as lookup arrays;
+    the fact-fact join (lineitem x filtered orders) is the only
+    exchange; the same-nation predicate and national revenue sums are
+    vectorized per batch."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nkeys = nation.loc[nation["n_regionkey"] == asia, "n_nationkey"].to_numpy(np.int64)
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cust_nat = dict(
+        zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int))
+    )
+    supp_nat = np.full(int(supp["s_suppkey"].max()) + 1, -1, dtype=np.int64)
+    supp_nat[supp["s_suppkey"].to_numpy(np.int64)] = supp["s_nationkey"].to_numpy(np.int64)
+    cn_ref = ray.put(cust_nat)
+    sn_ref = ray.put(supp_nat)
+    nset = set(int(x) for x in nkeys)
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def filter_orders(b: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cn_ref)
+        d = b["o_orderdate"].to_numpy().astype("datetime64[us]")
+        natk = np.fromiter(
+            (cn.get(int(c), -1) for c in b["o_custkey"]),
+            dtype=np.int64, count=len(b),
+        )
+        m = (d >= lo) & (d < hi) & np.isin(natk, list(nset))
+        return pd.DataFrame(
+            {"o_orderkey": b["o_orderkey"].to_numpy(np.int64)[m],
+             "cust_nat": natk[m]}
+        )
+
+    def item_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "l_suppkey": b["l_suppkey"].to_numpy(np.int64),
+                "rev_e4": _rev_e4(
+                    b["l_extendedprice"].to_numpy(np.float64),
+                    b["l_discount"].to_numpy(np.float64),
+                ),
+            }
+        )
+
+    orders_f = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(filter_orders, batch_format="pandas").repartition(8)
+    items = (
+        _lineitem(sf_dir, ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(item_rows, batch_format="pandas")
+        .repartition(8)
+    )
+    joined = items.join(
+        orders_f, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def national(b: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(sn_ref)
+        snat = sn[b["l_suppkey"].to_numpy(np.int64)]
+        m = snat == b["cust_nat"].to_numpy(np.int64)
+        t = pd.DataFrame({"natk": snat[m], "rev_e4": b["rev_e4"].to_numpy(np.int64)[m]})
+        return t.groupby("natk", sort=False)["rev_e4"].sum().reset_index()
+
+    parts = joined.map_batches(national, batch_format="pandas").to_pandas()
+    agg = parts.groupby("natk", sort=True)["rev_e4"].sum().reset_index()
+    out = pd.DataFrame(
+        {
+            "n_name": [nname[int(x)] for x in agg["natk"]],
+            "revenue_e4": agg["rev_e4"].astype(np.int64),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)

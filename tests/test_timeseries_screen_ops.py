@@ -308,3 +308,42 @@ def test_value_histogram_matches_oracle(ray_session):
 
     vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])
     assert got["n"].sum() == len(vals) - vals.column("value").null_count
+
+
+def _oracle_tpch(name: str) -> pd.DataFrame:
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(e.oracle_sql()[name]).fetchdf()
+
+
+def test_tpch_pricing_summary_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import tpch_pricing_summary
+
+    got = tpch_pricing_summary(SF)
+    want = _oracle_tpch("tpch_pricing_summary")
+    _assert_frames_equal(got, want)
+    assert len(got) == 6
+
+
+def test_tpch_top_revenue_orders_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import tpch_top_revenue_orders
+
+    got = tpch_top_revenue_orders(SF)
+    want = _oracle_tpch("tpch_top_revenue_orders")
+    _assert_frames_equal(got, want)
+    r = got["revenue_e4"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+
+
+def test_tpch_regional_volume_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import tpch_regional_volume
+
+    got = tpch_regional_volume(SF)
+    want = _oracle_tpch("tpch_regional_volume")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
