@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_pricing_summary": q.tpch_pricing_summary,
         "tpch_top_revenue_orders": q.tpch_top_revenue_orders,
         "tpch_regional_volume": q.tpch_regional_volume,
+        "tpch_late_shipment_priority": q.tpch_late_shipment_priority,
+        "tpch_order_count_distribution": q.tpch_order_count_distribution,
         "rolling_stats": q.rolling_stats,                  # F9
         "site_iqr_signals": q.site_iqr_signals,            # A9
         "ks_statistic_by_site": q.ks_statistic_by_site,    # A6 statistic
@@ -783,6 +785,22 @@ def oracle_sql() -> dict[str, str]:
     JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
     WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
       AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1""",
+        # TPC-H Q4-shaped semi-join (EXISTS) priority counts
+        "tpch_late_shipment_priority": """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1""",
+        # TPC-H Q13-shaped left-outer order-count distribution
+        "tpch_order_count_distribution": """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
     GROUP BY 1 ORDER BY 1""",
         # rank transform within series (min-rank ties), integer-exact
         "percent_rank_by_series": """

@@ -2278,3 +2278,77 @@ def tpch_regional_volume(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def tpch_late_shipment_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped SEMI-JOIN: count orders per priority that have
+    at least one late-shipped line item. The existence set (distinct
+    late orderkeys) deduplicates per block, then per hash partition, so
+    the inner join that implements the semi-join only ever sees one row
+    per qualifying order."""
+    cut = np.datetime64("2000-01-01")
+
+    def late_keys(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_shipdate"].to_numpy().astype("datetime64[us]") > cut
+        k = np.unique(b["l_orderkey"].to_numpy(np.int64)[m])
+        return pd.DataFrame(
+            {"okey": k, "part": (k % 16).astype(np.int64)}
+        )
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"okey": np.unique(g["okey"].to_numpy(np.int64))})
+
+    keys = (
+        _lineitem(sf_dir, ["l_orderkey", "l_shipdate"])
+        .map_batches(late_keys, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .repartition(8)
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).repartition(8)
+    joined = orders.join(
+        keys, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("okey",),
+    ).to_pandas()
+    out = (
+        joined.groupby("o_orderpriority", sort=True)
+        .size()
+        .reset_index(name="n_orders")
+    )
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def tpch_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13-shaped LEFT-OUTER distribution: orders per customer
+    (zero-order customers included via the left join), then the
+    histogram of those counts. Order counts pre-combine per block."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            pd.DataFrame({"c_custkey": b["o_custkey"].to_numpy(np.int64)})
+            .groupby("c_custkey", sort=False).size().reset_index(name="n")
+        )
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    counts = (
+        read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(partial, batch_format="pandas")
+        .repartition(8)
+    )
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).repartition(8)
+    joined = cust.join(
+        counts, join_type="left_outer", num_partitions=8, on=("c_custkey",),
+    ).to_pandas()
+    per_cust = joined.groupby("c_custkey", sort=False)["n"].sum().fillna(0)
+    dist = (
+        per_cust.astype(np.int64).value_counts().rename_axis("c_count")
+        .reset_index(name="custdist")
+    )
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    return dist.sort_values("c_count").reset_index(drop=True)

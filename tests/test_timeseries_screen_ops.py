@@ -347,3 +347,25 @@ def test_tpch_regional_volume_matches_oracle(ray_session):
     want = _oracle_tpch("tpch_regional_volume")
     _assert_frames_equal(got, want)
     assert len(got) > 0
+
+
+def test_tpch_semi_join_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import tpch_late_shipment_priority
+
+    got = tpch_late_shipment_priority(SF)
+    want = _oracle_tpch("tpch_late_shipment_priority")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+
+
+def test_tpch_order_count_distribution_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import tpch_order_count_distribution
+
+    got = tpch_order_count_distribution(SF)
+    want = _oracle_tpch("tpch_order_count_distribution")
+    _assert_frames_equal(got, want)
+    # distribution covers every customer exactly once
+    import pyarrow.parquet as pq
+
+    n_cust = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+    assert got["custdist"].sum() == n_cust
