@@ -125,6 +125,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_value_quantiles": q.global_value_quantiles,
         # HLL cardinality sketch — rows-only (pytest pins error bound)
         "approx_distinct_counts": q.approx_distinct_counts,
+        # aggregate-gated semi-join (Q18-shaped) — hash-verified
+        "tpch_large_order_customers": q.tpch_large_order_customers,
+        # ordered event-sequence funnel matching — hash-verified
+        "window_funnel": q.window_funnel,
+        # per-doc top-k tf/df terms, vocabulary never collected — hash-verified
+        "tfidf_top_terms": q.tfidf_top_terms,
+        # transcript turn-taking profile — hash-verified
+        "conv_turn_taking": q.conv_turn_taking,
     }
 
 
@@ -722,7 +730,7 @@ def oracle_sql() -> dict[str, str]:
       FROM embeddings
     )
     SELECT label, CAST(dim AS BIGINT) AS dim,
-           SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS sum_e6,
+           CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_e6,
            COUNT(*) AS n
     FROM ex GROUP BY 1, 2 ORDER BY 1, 2""",
         # grouped top-k selection (k longest docs per language)
@@ -750,18 +758,18 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q1-shaped filtered partial-agg scan over lineitem
         "tpch_pricing_summary": """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_e2,
-           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_e2,
-           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
-                    AS BIGINT)) AS sum_disc_e4
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS sum_disc_e4
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01'
     GROUP BY 1, 2 ORDER BY 1, 2""",
         # TPC-H Q3-shaped: broadcast customer segment, fact-fact join,
         # top-10 unshipped revenue
         "tpch_top_revenue_orders": """
     SELECT o.o_orderkey,
-           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
-                    AS BIGINT)) AS revenue_e4,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4,
            STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o.o_orderpriority
     FROM orders o
@@ -774,8 +782,8 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H Q5-shaped: regional same-nation supplier volume
         "tpch_regional_volume": """
     SELECT n.n_name,
-           SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
-                    AS BIGINT)) AS revenue_e4
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1480,4 +1488,86 @@ def oracle_sql() -> dict[str, str]:
     JOIN o lo ON lo.rk = CAST(FLOOR(qs.q * (n.n - 1)) AS BIGINT)
     JOIN o hi ON hi.rk = CAST(CEIL(qs.q * (n.n - 1)) AS BIGINT)
     ORDER BY q""",
+        # TPC-H Q18-shaped: aggregate-gate the fact table, semi-join the
+        # qualifying keys back, decorate, global top-k
+        "tpch_large_order_customers": """
+    WITH qty AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2
+      FROM lineitem GROUP BY 1 HAVING sum_qty_e2 > 30000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_e2,
+           q.sum_qty_e2
+    FROM qty q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_e2 DESC, o.o_orderkey LIMIT 20""",
+        # ordered event-sequence (funnel) matching: each step's match is
+        # the MIN event time of its type strictly after the previous
+        # step's matched time — integer microseconds, exact
+        "window_funnel": """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+    SELECT CAST(s1.user_id AS VARCHAR) AS subject_id,
+           1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS funnel_level,
+           s1.t1 AS t1_us,
+           COALESCE(s2.t2, -1) AS t2_us,
+           COALESCE(s3.t3, -1) AS t3_us
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    ORDER BY subject_id""",
+        # per-document top-k distinguishing terms: tf/df score as ONE
+        # IEEE divide of exact integers (identical on both engines)
+        "tfidf_top_terms": """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             CAST(FLOOR(t.tf * 1000000.0 / d.df) AS BIGINT) AS score_e6
+      FROM tf t JOIN df d USING (token)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score_e6 DESC, token) AS rank
+      FROM sc
+    )
+    SELECT doc_id, rank, token, tf, df, score_e6
+    FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+        # per-conversation turn-taking profile over the derived
+        # transcript table (tool = event_type on every 3rd turn)
+        "conv_turn_taking": """
+    WITH t AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS turn_idx,
+             COALESCE(LENGTH(props), 0) AS text_len,
+             epoch_us(ts) AS t_us,
+             event_type
+      FROM events
+    )
+    SELECT conv_id,
+           COUNT(*) AS n_turns,
+           CAST(SUM(CASE WHEN turn_idx % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tool_calls,
+           COUNT(DISTINCT CASE WHEN turn_idx % 3 = 2 THEN event_type END)
+             AS n_distinct_tools,
+           CAST(SUM(text_len) AS BIGINT) AS total_text_len,
+           CAST(MAX(text_len) AS BIGINT) AS max_text_len,
+           MAX(t_us) - MIN(t_us) AS span_us
+    FROM t GROUP BY 1 ORDER BY 1""",
     }

@@ -2352,3 +2352,241 @@ def tpch_order_count_distribution(sf_dir: str) -> pd.DataFrame:
     dist["c_count"] = dist["c_count"].astype(np.int64)
     dist["custdist"] = dist["custdist"].astype(np.int64)
     return dist.sort_values("c_count").reset_index(drop=True)
+
+
+def tpch_large_order_customers(sf_dir: str, threshold_e2: int = 30_000,
+                               k: int = 20) -> pd.DataFrame:
+    """TPC-H Q18-shaped "large volume customer" pattern: pre-aggregate
+    the fact table (total quantity per order), gate on the aggregate
+    (HAVING > threshold), then semi-join the survivors back to the
+    dimension side for decoration and take the global top-k. The
+    quantity totals combine per block first (integer e2-quantized per
+    VALUE, so partial+final re-aggregation is exact), the qualifying
+    key set is tiny (HAVING-selective), and only it flows into the
+    joins — the fact table is touched exactly once."""
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        okey = b["l_orderkey"].to_numpy(np.int64)
+        qty = _scaled_int(b["l_quantity"].to_numpy(np.float64), 100.0)
+        agg = (
+            pd.DataFrame({"okey": okey, "q": qty})
+            .groupby("okey", sort=False)["q"].sum().reset_index()
+        )
+        agg["part"] = (agg["okey"].to_numpy(np.int64) % 16).astype(np.int64)
+        return agg
+
+    def qty_total(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("okey", sort=False)["q"].sum().reset_index()
+        tot = tot[tot["q"] > np.int64(threshold_e2)]
+        return tot.rename(columns={"q": "sum_qty_e2"})
+
+    big = (
+        _lineitem(sf_dir, ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(qty_total, batch_format="pandas")
+        .repartition(8)
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).repartition(8)
+    joined = orders.join(
+        big, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("okey",),
+    ).to_pandas()
+    # qualifying orders are few: decorate with customer names via a
+    # driver-side merge of the two small frames (broadcast pattern)
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    out = joined.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    out["totalprice_e2"] = _scaled_int(out["o_totalprice"].to_numpy(np.float64), 100.0)
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    out = out.sort_values(
+        ["totalprice_e2", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "totalprice_e2", "sum_qty_e2"]].reset_index(drop=True)
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["sum_qty_e2"] = out["sum_qty_e2"].astype(np.int64)
+    return out
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Per hash-partition funnel matching, vectorized across users:
+    step k's timestamp is the MIN event time of step k's type that is
+    strictly AFTER step k-1's matched time — three masked groupby-mins,
+    no per-user Python loop."""
+    t = part["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    uid = part["user_id"].to_numpy(np.int64)
+    etype = part["event_type"].to_numpy()
+    users = np.unique(uid)
+    idx = pd.Series(np.arange(len(users)), index=users)
+    u_ix = idx[uid].to_numpy()
+
+    NONE = np.int64(np.iinfo(np.int64).max)
+    prev = np.full(len(users), -np.int64(1))  # step-0 sentinel: ts > -1 always
+    step_ts = []
+    for step in _FUNNEL_STEPS:
+        cur = np.full(len(users), NONE)
+        m = (etype == step) & (t > prev[u_ix])
+        if m.any():
+            np.minimum.at(cur, u_ix[m], t[m])
+        step_ts.append(cur)
+        prev = np.where(cur == NONE, np.int64(np.iinfo(np.int64).max - 1), cur)
+        # users who missed this step can never match later steps:
+        # max-1 sentinel keeps t > prev false for every real timestamp
+    t1, t2, t3 = step_ts
+    level = (
+        (t1 != NONE).astype(np.int64)
+        + (t2 != NONE).astype(np.int64)
+        + (t3 != NONE).astype(np.int64)
+    )
+    keep = level >= 1
+    return pd.DataFrame(
+        {
+            "subject_id": pd.Series(users[keep]).astype(str),
+            "funnel_level": level[keep],
+            "t1_us": np.where(t1[keep] == NONE, -1, t1[keep]),
+            "t2_us": np.where(t2[keep] == NONE, -1, t2[keep]),
+            "t3_us": np.where(t3[keep] == NONE, -1, t3[keep]),
+        }
+    )
+
+
+def window_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered event-sequence (funnel) matching per user: the earliest
+    view -> click -> purchase chain with strictly increasing event
+    times, reported as the per-step matched timestamps plus the depth
+    reached. One salted exchange keyed on user; the match itself is
+    three masked scatter-mins per partition. Timestamps are integer
+    microseconds — exact."""
+    out = (
+        _salted(_events(sf_dir, ["user_id", "ts", "event_type"]))
+        .groupby("part")
+        .map_groups(_funnel_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("subject_id").reset_index(drop=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-document top-k distinguishing terms by tf/df score. Two
+    exchanges, neither collects the vocabulary: (1) per-block
+    (doc, token, tf) partials partitioned by token hash — each token
+    lives in exactly one partition, so the partition computes its
+    tokens' FULL document frequencies locally and attaches them;
+    (2) regroup by doc for the per-doc top-k. The score is
+    floor(tf * 1e6 / df): one IEEE divide of exact integers, identical
+    on both engines."""
+    from ..functions.text import WS_RE
+
+    n_parts = 32
+
+    def doc_tf(b: pd.DataFrame) -> pd.DataFrame:
+        docs: list = []
+        toks: list = []
+        for did, text in zip(b["doc_id"], b["text"]):
+            seen = [t for t in WS_RE.split(text.strip()) if t]
+            if not seen:
+                continue
+            u, c = np.unique(np.asarray(seen, dtype=object), return_counts=True)
+            docs.append(np.full(len(u), did, dtype=np.int64))
+            toks.append((u, c))
+        if not docs:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "token": np.empty(0, object),
+                 "tf": np.empty(0, np.int64), "part": np.empty(0, np.int64)}
+            )
+        doc_col = np.concatenate(docs)
+        tok_col = np.concatenate([u for u, _ in toks])
+        tf_col = np.concatenate([c for _, c in toks]).astype(np.int64)
+        part = (
+            pd.util.hash_pandas_object(pd.Series(tok_col), index=False).to_numpy()
+            % n_parts
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": doc_col, "token": tok_col, "tf": tf_col, "part": part}
+        )
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token", sort=False).size()
+        out = g[["doc_id", "token", "tf"]].copy()
+        out["df"] = df[out["token"]].to_numpy(np.int64)
+        out["score_e6"] = np.floor(
+            out["tf"].to_numpy(np.float64) * 1e6 / out["df"].to_numpy(np.float64)
+        ).astype(np.int64)
+        out["dpart"] = (out["doc_id"].to_numpy(np.int64) % n_parts).astype(np.int64)
+        return out
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score_e6", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        return g[["doc_id", "rank", "token", "tf", "df", "score_e6"]]
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(doc_tf, batch_format="pandas")
+        .groupby("part")
+        .map_groups(attach_df, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(doc_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def conv_turn_taking(sf_dir: str) -> pd.DataFrame:
+    """Per-conversation turn-taking profile over the derived transcript
+    table: turn count, tool-call count, distinct tools, total / max
+    text length and wall-clock span. All-integer aggregates over one
+    conversation-keyed exchange (the transcript derivation's own
+    partitioning is reused — no second shuffle)."""
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        lens = g["text"].str.len().to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        tool = g["tool"].to_numpy()
+        d = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "len": lens,
+                "ts": ts,
+                "is_tool": (tool != "").astype(np.int64),
+                "tool": np.where(tool == "", None, tool),
+            }
+        )
+        agg = d.groupby("conv_id", sort=False).agg(
+            n_turns=("len", "size"),
+            n_tool_calls=("is_tool", "sum"),
+            n_distinct_tools=("tool", "nunique"),
+            total_text_len=("len", "sum"),
+            max_text_len=("len", "max"),
+            span_us=("ts", lambda s: s.max() - s.min()),
+        ).reset_index()
+        for c in agg.columns[1:]:
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (
+            pd.util.hash_pandas_object(b["conv_id"], index=False).to_numpy() % 32
+        ).astype(np.int64)
+        return b
+
+    tx = transcripts_from_events(sf_dir)
+    out = (
+        tx.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(profile, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)

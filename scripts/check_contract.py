@@ -49,6 +49,12 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind != bv.dtype.kind:
+                # the driver's value hash may be dtype-sensitive:
+                # int64-vs-float64 passes allclose here but is a risk
+                problems.append(
+                    f"DTYPE column {c}: ray={av.dtype} sql={bv.dtype}"
+                )
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 ok = np.allclose(
                     av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True
