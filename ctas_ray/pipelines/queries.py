@@ -21,7 +21,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from ..sources import read_parquet_clean
+from ..sources import arrow_clean as _arrow_clean, read_parquet_clean
 
 from ..config import RollupConfig, StudyConfig
 from ..functions.series import feature_autocorr
@@ -2175,8 +2175,8 @@ def tpch_top_revenue_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .map_batches(filter_items, batch_format="pandas")
         .repartition(8)
     )
-    joined = items_f.join(
-        orders_f, join_type="inner", num_partitions=8,
+    joined = _arrow_clean(items_f).join(
+        _arrow_clean(orders_f), join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     ).to_pandas()
     agg = (
@@ -2257,8 +2257,8 @@ def tpch_regional_volume(sf_dir: str) -> pd.DataFrame:
         .map_batches(item_rows, batch_format="pandas")
         .repartition(8)
     )
-    joined = items.join(
-        orders_f, join_type="inner", num_partitions=8,
+    joined = _arrow_clean(items).join(
+        _arrow_clean(orders_f), join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -2308,8 +2308,8 @@ def tpch_late_shipment_priority(sf_dir: str) -> pd.DataFrame:
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).repartition(8)
-    joined = orders.join(
-        keys, join_type="inner", num_partitions=8,
+    joined = _arrow_clean(orders).join(
+        _arrow_clean(keys), join_type="inner", num_partitions=8,
         on=("o_orderkey",), right_on=("okey",),
     ).to_pandas()
     out = (
@@ -2341,8 +2341,8 @@ def tpch_order_count_distribution(sf_dir: str) -> pd.DataFrame:
     cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     ).repartition(8)
-    joined = cust.join(
-        counts, join_type="left_outer", num_partitions=8, on=("c_custkey",),
+    joined = _arrow_clean(cust).join(
+        _arrow_clean(counts), join_type="left_outer", num_partitions=8, on=("c_custkey",),
     ).to_pandas()
     per_cust = joined.groupby("c_custkey", sort=False)["n"].sum().fillna(0)
     dist = (
@@ -2390,8 +2390,8 @@ def tpch_large_order_customers(sf_dir: str, threshold_e2: int = 30_000,
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     ).repartition(8)
-    joined = orders.join(
-        big, join_type="inner", num_partitions=8,
+    joined = _arrow_clean(orders).join(
+        _arrow_clean(big), join_type="inner", num_partitions=8,
         on=("o_orderkey",), right_on=("okey",),
     ).to_pandas()
     # qualifying orders are few: decorate with customer names via a

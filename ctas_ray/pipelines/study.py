@@ -38,6 +38,7 @@ from ..functions.series import FEATURE_REGISTRY
 from ..functions.stats import p_adjust
 from ..oracle import fill_parameter_defaults, readable_combo
 from ..planning import pick_timepoint_combos, pick_subjects_for_custom_timeseries
+from ..sources import arrow_clean
 from ..study_core import (
     build_wide_timeseries,
     finalize_ks_scores,
@@ -1025,7 +1026,9 @@ def _run_vector_mode(
         # EMPTY blocks with no schema for unused salt partitions, and
         # Ray's join aggregator rejects columnless blocks ("No match
         # ... FieldRef parameter_id"); the block merge erases them
-        narrow = data.map_batches(_narrow, batch_format="pandas").repartition(16)
+        narrow = arrow_clean(
+            data.map_batches(_narrow, batch_format="pandas").repartition(16)
+        )
         joined = narrow.join(
             membership,
             join_type="inner",

@@ -61,3 +61,17 @@ def read_parquet_clean(path, **kwargs) -> rd.Dataset:
     return ds.map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def arrow_clean(ds: rd.Dataset) -> rd.Dataset:
+    """Strip schema metadata from a Dataset about to feed a hash
+    exchange (join): an Arrow schema carrying a metadata dict is
+    UNHASHABLE, which defeats Ray's schema-dedup fast path inside every
+    HashShuffleAggregator reduce ('Failed to hash the schemas'
+    warnings, one per reduce task). Pandas-format upstream stages pick
+    up the ``b'pandas'`` metadata at the pandas->Arrow boundary, so any
+    pandas-fed join input needs this. Metadata-only table rewrap —
+    zero-copy."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )

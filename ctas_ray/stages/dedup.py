@@ -49,6 +49,8 @@ import pandas as pd
 
 import ray.data as rd
 
+from ..sources import arrow_clean
+
 from ..functions.text import (
     WS_RE,
     char_shingles,
@@ -370,8 +372,8 @@ def _connected_components_distributed(
     )
     prev_sum = None
     for _ in range(max_iters):
-        nbr = edges.join(
-            labels, join_type="inner", num_partitions=num_partitions,
+        nbr = arrow_clean(edges).join(
+            arrow_clean(labels), join_type="inner", num_partitions=num_partitions,
             on=("dst",), right_on=("node",),
         ).map_batches(
             lambda b: pd.DataFrame({"node": b["src"], "label": b["label"]}),
@@ -408,8 +410,8 @@ def _connected_components_distributed(
             batch_format="pandas",
         )
         new_labels = (
-            new_labels.join(
-                lut, join_type="inner", num_partitions=num_partitions,
+            arrow_clean(new_labels).join(
+                arrow_clean(lut), join_type="inner", num_partitions=num_partitions,
                 on=("label",), right_on=("lnode",),
             )
             .map_batches(
