@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q.tfidf_top_terms,
         # transcript turn-taking profile — hash-verified
         "conv_turn_taking": q.conv_turn_taking,
+        # windowed self-join co-occurrence without pair materialization
+        "event_cooccurrence": q.event_cooccurrence,
     }
 
 
@@ -1570,4 +1572,19 @@ def oracle_sql() -> dict[str, str]:
            CAST(MAX(text_len) AS BIGINT) AS max_text_len,
            MAX(t_us) - MIN(t_us) AS span_us
     FROM t GROUP BY 1 ORDER BY 1""",
+        # ordered event-type co-occurrence inside a 1h window: the
+        # engine counts without materializing pairs; the oracle IS the
+        # naive windowed self-join
+        "event_cooccurrence": """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM e a JOIN e b ON b.user_id = a.user_id
+       AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+       AND b.t <= a.t + 3600000000
+    )
+    SELECT type_a, type_b, COUNT(*) AS n_pairs
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -2590,3 +2590,66 @@ def conv_turn_taking(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _cooccur_partition(part: pd.DataFrame, window_us: int) -> pd.DataFrame:
+    """Windowed self-join per partition WITHOUT materializing pairs:
+    sort by (user, t, event_id), bound each row's window with one
+    searchsorted, then count later-events-by-type via per-type prefix
+    sums — O(n_types * n) instead of the O(pairs) an actual join ships."""
+    part = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    t = part["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    uid = part["user_id"].to_numpy(np.int64)
+    etype = part["event_type"].to_numpy()
+    types, tcode = np.unique(etype, return_inverse=True)
+    n = len(part)
+    if n == 0:
+        return pd.DataFrame(
+            {"type_a": np.empty(0, object), "type_b": np.empty(0, object),
+             "n_pairs": np.empty(0, np.int64)}
+        )
+    # user-run bounds: windows never cross a user boundary
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    run_of = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+    run_end = np.r_[starts[1:], n][run_of]
+    # within-user upper bound of each row's window (sorted by t per user)
+    hi = np.empty(n, np.int64)
+    for s, e in zip(starts, np.r_[starts[1:], n]):
+        hi[s:e] = s + np.searchsorted(t[s:e], t[s:e] + window_us, side="right")
+    hi = np.minimum(hi, run_end)
+    counts = np.zeros((len(types), len(types)), np.int64)
+    idx = np.arange(n)
+    for b in range(len(types)):
+        cum = np.r_[0, np.cumsum(tcode == b)]
+        later = cum[hi] - cum[idx + 1]  # type-b events in (i, hi)
+        np.add.at(counts[:, b], tcode, later)
+    a_ix, b_ix = np.nonzero(counts)
+    return pd.DataFrame(
+        {"type_a": types[a_ix], "type_b": types[b_ix],
+         "n_pairs": counts[a_ix, b_ix]}
+    )
+
+
+def event_cooccurrence(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Ordered event-type co-occurrence within a time window: for every
+    (earlier, later) type pair, how often the later event follows the
+    earlier one within `window_s` in the same user's stream. The
+    windowed SELF-JOIN never materializes pairs: each partition counts
+    them with prefix sums (O(n_types * n)), and only the tiny
+    (type_a, type_b, count) partials cross the wire."""
+    import functools as _ft
+
+    out = (
+        _salted(_events(sf_dir, ["user_id", "ts", "event_type", "event_id"]))
+        .groupby("part")
+        .map_groups(
+            _ft.partial(_cooccur_partition, window_us=window_s * 1_000_000),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = (
+        out.groupby(["type_a", "type_b"], sort=True)["n_pairs"].sum().reset_index()
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

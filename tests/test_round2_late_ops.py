@@ -115,3 +115,48 @@ def test_conv_turn_taking_matches_oracle(ray_session):
     assert (got["n_tool_calls"] <= got["n_turns"]).all()
     assert (got["n_distinct_tools"] <= got["n_tool_calls"]).all()
     assert (got["max_text_len"] <= got["total_text_len"]).all()
+
+
+def test_event_cooccurrence_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import event_cooccurrence
+
+    got = event_cooccurrence(SF)
+    want = _oracle("event_cooccurrence")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+
+
+def test_cooccur_partition_vs_brute_force():
+    """Prefix-sum counting equals the naive windowed self-join on a
+    hand-sized random stream (incl. same-timestamp tie handling)."""
+    rng = np.random.default_rng(7)
+    n = 300
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    part = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, n),
+            "ts": base + rng.integers(0, 2000, n) * np.timedelta64(1_000_000, "us"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "event_id": np.arange(n),
+        }
+    )
+    from ctas_ray.pipelines.queries import _cooccur_partition
+
+    W = 300 * 1_000_000
+    got = (
+        _cooccur_partition(part, W)
+        .groupby(["type_a", "type_b"])["n_pairs"].sum().to_dict()
+    )
+    t = part["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    brute: dict = {}
+    for i in range(n):
+        for j in range(n):
+            if part["user_id"].iat[i] != part["user_id"].iat[j]:
+                continue
+            after = t[j] > t[i] or (
+                t[j] == t[i] and part["event_id"].iat[j] > part["event_id"].iat[i]
+            )
+            if after and t[j] <= t[i] + W:
+                k = (part["event_type"].iat[i], part["event_type"].iat[j])
+                brute[k] = brute.get(k, 0) + 1
+    assert got == brute
