@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_taking": q.conv_turn_taking,
         # windowed self-join co-occurrence without pair materialization
         "event_cooccurrence": q.event_cooccurrence,
+        # Gorilla codec losslessness as a value-exact external check:
+        # engine returns decode(encode(points)), oracle returns points
+        "codec_roundtrip_points": q.codec_roundtrip_points,
     }
 
 
@@ -1587,4 +1590,10 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT type_a, type_b, COUNT(*) AS n_pairs
     FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+        # the original per-turn channel points: the engine side encodes
+        # them with the Gorilla codec and returns the DECODED stream
+        "codec_roundtrip_points": f"""
+    WITH {turns_cte}
+    SELECT conv_id, channel, ts_us, CAST(v AS BIGINT) AS value
+    FROM chan ORDER BY 1, 2, 3, 4""",
     }

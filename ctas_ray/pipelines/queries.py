@@ -2653,3 +2653,56 @@ def event_cooccurrence(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     )
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def codec_roundtrip_points(sf_dir: str) -> pd.DataFrame:
+    """Gorilla codec graduated to a VALUE-EXACT external check: the
+    engine encodes every (conv, channel, chunk) activity series
+    (functions/codec.py, XOR + delta-of-delta), then DECODES the blobs
+    and returns the reconstructed points; the SQL oracle returns the
+    original points directly. Equality == losslessness, checked by the
+    driver's hash compare instead of only by pytest. NaN placeholders
+    (a latency channel's first turn) are encoded too but dropped here,
+    matching the oracle's NULL-latency exclusion."""
+    import tempfile
+
+    from ..functions.codec import decode_series
+    from .rollup import run_rollup_events
+
+    out_dir = tempfile.mkdtemp(prefix="ctas_blobdec_")
+    paths = run_rollup_events(sf_dir, out_dir, RollupConfig())
+
+    def dec(b: pd.DataFrame) -> pd.DataFrame:
+        convs, chans, tss, vals = [], [], [], []
+        for conv, ch, blob in zip(b["conv_id"], b["channel"], b["blob"]):
+            ts, v = decode_series(bytes(blob))
+            keep = ~np.isnan(v)
+            k = int(keep.sum())
+            if k == 0:
+                continue
+            convs.append(np.full(k, conv, dtype=object))
+            chans.append(np.full(k, ch, dtype=object))
+            tss.append(ts[keep].astype(np.int64))
+            vals.append(v[keep].astype(np.int64))
+        if not convs:
+            return pd.DataFrame(
+                {"conv_id": np.empty(0, object), "channel": np.empty(0, object),
+                 "ts_us": np.empty(0, np.int64), "value": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "conv_id": np.concatenate(convs),
+                "channel": np.concatenate(chans),
+                "ts_us": np.concatenate(tss),
+                "value": np.concatenate(vals),
+            }
+        )
+
+    out = (
+        rd.read_parquet(paths["blobs"], columns=["conv_id", "channel", "blob"])
+        .map_batches(dec, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["conv_id", "channel", "ts_us", "value"], kind="mergesort"
+    ).reset_index(drop=True)

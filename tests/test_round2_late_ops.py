@@ -160,3 +160,15 @@ def test_cooccur_partition_vs_brute_force():
                 k = (part["event_type"].iat[i], part["event_type"].iat[j])
                 brute[k] = brute.get(k, 0) + 1
     assert got == brute
+
+
+def test_codec_roundtrip_points_matches_oracle(ray_session):
+    """Losslessness as an external check: decode(encode(points)) from
+    the rollup's Gorilla blobs equals the original channel points the
+    DuckDB oracle derives straight from events."""
+    from ctas_ray.pipelines.queries import codec_roundtrip_points
+
+    got = codec_roundtrip_points(SF)
+    want = _oracle("codec_roundtrip_points")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
