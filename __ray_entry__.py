@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gorilla codec losslessness as a value-exact external check:
         # engine returns decode(encode(points)), oracle returns points
         "codec_roundtrip_points": q.codec_roundtrip_points,
+        # incremental (late-data) ingest == from-scratch rollup
+        "rollup_1m_incremental": q.rollup_1m_incremental,
     }
 
 
@@ -602,7 +604,7 @@ def oracle_sql() -> dict[str, str]:
       FROM s
     )
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
-           t AS changepoint, a AS cusum_scaled
+           t AS changepoint, CAST(a AS BIGINT) AS cusum_scaled
     FROM r WHERE rk = 1 ORDER BY 1, 2""",
         # repeated-value / range-shift screening flags: run lengths via
         # the ROW_NUMBER-difference trick; flags are integer compares
@@ -978,6 +980,10 @@ def oracle_sql() -> dict[str, str]:
            CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6
     FROM ranked WHERE rank <= 5 ORDER BY 1, 3""",
         "rollup_1m": rollup_sql(60_000_000),
+        # the engine side splits events at the median ts, rolls up the
+        # early half, folds the late half in via incremental ingest;
+        # the oracle stays direct-from-raw (equality == exact refresh)
+        "rollup_1m_incremental": rollup_sql(60_000_000),
         "rollup_1h": rollup_sql(3_600_000_000),
         "rollup_1d": rollup_sql(86_400_000_000),
         "gapfill_locf_1m": f"""

@@ -188,6 +188,9 @@ def main() -> None:
         timed("global_quantiles", lambda: q.global_value_quantiles(sf_dir))
         timed("cusum_changepoint", lambda: q.cusum_changepoint(sf_dir))
         timed("ewma_last", lambda: q.ewma_last(sf_dir))
+        timed("tfidf_top_terms", lambda: q.tfidf_top_terms(sf_dir))
+        timed("event_cooccurrence", lambda: q.event_cooccurrence(sf_dir))
+        timed("window_funnel", lambda: q.window_funnel(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(

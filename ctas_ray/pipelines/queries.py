@@ -2706,3 +2706,53 @@ def codec_roundtrip_points(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["conv_id", "channel", "ts_us", "value"], kind="mergesort"
     ).reset_index(drop=True)
+
+
+def rollup_1m_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest exactness as an external check: split the
+    events at the median timestamp, roll up the early half, fold the
+    late half in with ingest_events_increment (conversation-granular
+    delete + replace), and return the merged 1m tier. The oracle is the
+    SAME direct-from-raw SQL as rollup_1m — equality proves the
+    incremental refresh is bit-for-bit a from-scratch rollup."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from .rollup import ingest_events_increment, run_rollup_events
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet")
+    ts = ev["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    cut = np.quantile(ts, 0.5)
+    root = tempfile.mkdtemp(prefix="ctas_incr_")
+    d_old, d_full = os.path.join(root, "old"), os.path.join(root, "full")
+    os.makedirs(d_old)
+    os.makedirs(d_full)
+    import pyarrow as pa_
+
+    pq_.write_table(ev.filter(pa_.array(ts <= cut)), f"{d_old}/events.parquet")
+    pq_.write_table(ev, f"{d_full}/events.parquet")
+    inc = os.path.join(root, "increment.parquet")
+    pq_.write_table(ev.filter(pa_.array(ts > cut)), inc)
+
+    cfg = RollupConfig()
+    prior = run_rollup_events(d_old, os.path.join(root, "prior"), cfg)
+    merged = ingest_events_increment(
+        d_full, inc, prior, os.path.join(root, "merged"), cfg
+    )
+    t = rd.read_parquet(merged["tier_1m"]).to_pandas()
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)

@@ -321,10 +321,17 @@ def run_rollup_events(
     cfg: RollupConfig = RollupConfig(),
     amplify: int = 1,
     verify_roundtrip: bool = False,
+    user_filter_ref=None,
 ) -> dict[str, str]:
     """Single-exchange rollup straight from the events table (fused
     turn-derivation + channels + cascade + codec; see
-    stages.rollup.fused_events_rollup)."""
+    stages.rollup.fused_events_rollup).
+
+    ``user_filter_ref``: optional ``ray.put`` handle to a sorted int64
+    array of user ids; when set, only those conversations are rolled up
+    (the incremental-ingest recompute path — see
+    :func:`ingest_events_increment`). Applied BEFORE the exchange, so
+    unaffected conversations never enter the shuffle."""
     import numpy as np
     import pandas as pd
 
@@ -359,6 +366,12 @@ def run_rollup_events(
         # project text -> text_len BEFORE the exchange: only 4 narrow
         # int columns enter the shuffle, never the strings — and keep
         # the blocks Arrow so the sort exchange moves zero-copy buffers
+        if user_filter_ref is not None:
+            keep = np.isin(
+                b["user_id"].to_numpy(zero_copy_only=False),
+                ray.get(user_filter_ref), assume_unique=False,
+            )
+            b = b.filter(pa.array(keep))
         uid = b["user_id"].to_numpy(zero_copy_only=False)
         tlen = pc.cast(
             pc.coalesce(pc.utf8_length(b["props"]), pa.scalar(0, pa.int32())),
@@ -498,3 +511,113 @@ def read_tier(
     if derived:
         ds = ds.map_batches(with_derived_stats, batch_format="pyarrow")
     return ds
+
+
+BLOB_COLUMNS = [
+    "conv_id", "channel", "chunk", "n", "blob",
+    "first_ts", "last_ts", "roundtrip_ok",
+]
+
+
+def ingest_events_increment(
+    full_sf_dir: str,
+    increment_path: str,
+    prior_paths: dict[str, str],
+    out_dir: str,
+    cfg: RollupConfig = RollupConfig(),
+) -> dict[str, str]:
+    """[graft] Incremental / late-data ingest: fold a new batch of
+    events into an EXISTING rollup without recomputing untouched
+    conversations — the continuous-aggregate refresh story of a
+    downsampling store (the reference's operating model is a full
+    daily re-run, paper p.5; here only affected partitions re-run).
+
+    Derived channels make per-bucket merge insufficient for exactness:
+    a late turn changes the NEXT turn's latency, and the Gorilla blob
+    of every chunk it lands in. So the refresh granularity is the
+    CONVERSATION (delete + replace):
+
+      1. affected = distinct user ids in the increment (driver-side
+         unique of one int64 column of the increment — bounded by the
+         increment, never by history),
+      2. recompute those conversations from FULL history via the normal
+         fused path with a pre-exchange filter (unaffected rows never
+         enter the shuffle),
+      3. carry forward every other conversation's tier/blob rows
+         untouched, union with the recomputed rows, write.
+
+    ``full_sf_dir`` must hold the merged history (old events plus the
+    increment) as events.parquet; ``increment_path`` is the new-batch
+    parquet. Returns the same ``paths`` mapping as
+    :func:`run_rollup_events`. The result is bit-for-bit equal to a
+    from-scratch rollup of the full history (pinned by
+    tests/test_incremental_ingest.py)."""
+    import numpy as np
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # 1. affected conversations (increment keys only)
+    inc_uid = read_parquet_clean(increment_path, columns=["user_id"])
+    parts = inc_uid.map_batches(
+        lambda b: pd.DataFrame(
+            {"user_id": np.unique(b["user_id"].to_numpy(np.int64))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    affected_uids = np.unique(parts["user_id"].to_numpy(np.int64))
+    affected_convs = set("u" + pd.Series(affected_uids).astype(str))
+    uid_ref = ray.put(affected_uids)
+    conv_ref = ray.put(affected_convs)
+
+    # 2. recompute ONLY affected conversations from full history
+    recompute_dir = os.path.join(out_dir, "recompute")
+    new_paths = run_rollup_events(
+        full_sf_dir, recompute_dir, cfg, user_filter_ref=uid_ref
+    )
+
+    def _keep_unaffected(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b["conv_id"].isin(ray.get(conv_ref))]
+
+    manifest_path = os.path.join(out_dir, "manifest.jsonl")
+    writer = ManifestWriter.remote(manifest_path)
+    paths: dict[str, str] = {}
+    t0 = time.perf_counter()
+
+    # 3. delete + replace per tier
+    for width in cfg.tiers_s:
+        name = tier_name(width)
+        prior = prior_paths[f"tier_{name}"]
+        keep = read_parquet_clean(
+            prior, columns=TIER_PARTIAL_COLUMNS
+        ).map_batches(_coerce_partial_types, batch_format="pyarrow").map_batches(
+            _keep_unaffected, batch_format="pandas"
+        )
+        fresh = read_parquet_clean(
+            new_paths[f"tier_{name}"], columns=TIER_PARTIAL_COLUMNS
+        ).map_batches(_coerce_partial_types, batch_format="pyarrow")
+        dest = os.path.join(out_dir, "tiers", f"tier={name}")
+        keep.union(fresh).write_parquet(dest)
+        paths[f"tier_{name}"] = [dest]
+
+    # ... and for the codec blobs
+    prior_blobs = read_parquet_clean(
+        prior_paths["blobs"], columns=BLOB_COLUMNS
+    ).map_batches(_keep_unaffected, batch_format="pandas")
+    fresh_blobs = read_parquet_clean(new_paths["blobs"], columns=BLOB_COLUMNS)
+    blob_dest = os.path.join(out_dir, "blobs")
+    prior_blobs.union(fresh_blobs).write_parquet(blob_dest)
+    paths["blobs"] = blob_dest
+
+    writer.append.remote(
+        manifest_entry(
+            partition_id=f"increment:{_fingerprint(increment_path, cfg)}",
+            rows_in=int(len(affected_uids)), rows_out=int(len(affected_uids)),
+            nbytes=0, wall_s=time.perf_counter() - t0,
+            fingerprint=_fingerprint(full_sf_dir, cfg),
+            extra={"affected_conversations": int(len(affected_uids)),
+                   "recompute_dir": recompute_dir},
+        )
+    )
+    ray.get(writer.flush.remote())
+    return paths

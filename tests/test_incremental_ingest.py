@@ -1,0 +1,155 @@
+"""Incremental / late-data ingest (pipelines/rollup.py:
+ingest_events_increment): folding a new batch into an existing rollup
+at conversation granularity must be BIT-FOR-BIT equal to a
+from-scratch rollup of the full history — tiers and Gorilla blobs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _split_events(tmp_path):
+    """FULL history + a time-split: everything before the median ts is
+    the prior batch, the rest is the late increment (so roughly every
+    conversation gains late turns — the worst case for merging)."""
+    ev = pq.read_table(f"{SF}/events.parquet")
+    ts = ev["ts"].to_numpy(zero_copy_only=False)
+    cut = np.quantile(ts.astype("datetime64[us]").astype(np.int64), 0.5)
+    old = ev.filter(pa.array(ts.astype("datetime64[us]").astype(np.int64) <= cut))
+    new = ev.filter(pa.array(ts.astype("datetime64[us]").astype(np.int64) > cut))
+    d_old = tmp_path / "old"
+    d_full = tmp_path / "full"
+    os.makedirs(d_old)
+    os.makedirs(d_full)
+    pq.write_table(old, d_old / "events.parquet")
+    pq.write_table(ev, d_full / "events.parquet")
+    inc = tmp_path / "increment.parquet"
+    pq.write_table(new, inc)
+    assert old.num_rows > 0 and new.num_rows > 0
+    return str(d_old), str(d_full), str(inc)
+
+
+def _frame(paths, columns, sort_cols):
+    import ray.data as rd
+
+    df = rd.read_parquet(paths, columns=columns).to_pandas()
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def ingested(ray_session, tmp_path_factory):
+    from ctas_ray.config import RollupConfig
+    from ctas_ray.pipelines.rollup import (
+        ingest_events_increment,
+        run_rollup_events,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("incr")
+    d_old, d_full, inc = _split_events(tmp_path)
+    cfg = RollupConfig()
+    prior = run_rollup_events(d_old, str(tmp_path / "prior"), cfg)
+    merged = ingest_events_increment(
+        d_full, inc, prior, str(tmp_path / "merged"), cfg
+    )
+    scratch = run_rollup_events(d_full, str(tmp_path / "scratch"), cfg)
+    return merged, scratch, tmp_path
+
+
+TIER_COLS = ["conv_id", "channel", "bucket", "count", "sum", "min", "max",
+             "sumsq", "first_ts", "first_val", "last_ts", "last_val"]
+
+
+@pytest.mark.parametrize("tier", ["tier_1m", "tier_1h", "tier_1d"])
+def test_incremental_equals_scratch_tier(ingested, tier):
+    merged, scratch, _ = ingested
+    a = _frame(merged[tier], TIER_COLS, ["conv_id", "channel", "bucket"])
+    b = _frame(scratch[tier], TIER_COLS, ["conv_id", "channel", "bucket"])
+    assert len(a) == len(b) and len(a) > 0
+    for c in TIER_COLS:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            # bit-for-bit: compare payloads, not tolerances
+            assert (av.view(np.uint64) == bv.view(np.uint64)).all(), c
+        else:
+            assert (av == bv).all(), c
+
+
+def test_incremental_equals_scratch_blobs(ingested):
+    merged, scratch, _ = ingested
+    cols = ["conv_id", "channel", "chunk", "n", "blob"]
+    key = ["conv_id", "channel", "chunk"]
+    a = _frame(merged["blobs"], cols, key)
+    b = _frame(scratch["blobs"], cols, key)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["n"].to_numpy() == b["n"].to_numpy()).all()
+    # Gorilla blobs byte-equal: the recompute re-encodes every affected
+    # conversation from full history, untouched ones carry forward
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["blob"], b["blob"]))
+
+
+def test_increment_manifest_row(ingested):
+    import json
+
+    merged, _, tmp_path = ingested
+    mf = tmp_path / "merged" / "manifest.jsonl"
+    rows = [json.loads(l) for l in open(mf)]
+    inc_rows = [r for r in rows if r["partition_id"].startswith("increment:")]
+    assert len(inc_rows) == 1
+    assert inc_rows[0]["affected_conversations"] > 0
+
+
+def test_unaffected_conversations_not_recomputed(ray_session, tmp_path):
+    """An increment touching ONE conversation must recompute only that
+    conversation: the recompute dir's stage0 holds rows for exactly the
+    affected conv."""
+    import ray.data as rd
+
+    from ctas_ray.config import RollupConfig
+    from ctas_ray.pipelines.rollup import (
+        ingest_events_increment,
+        run_rollup_events,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet")
+    uid = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    target = int(uid[0])
+    m = (uid == target) & (np.arange(len(uid)) % 2 == 1)
+    old = ev.filter(pa.array(~m))
+    inc = ev.filter(pa.array(m))
+    d_old, d_full = tmp_path / "old", tmp_path / "full"
+    os.makedirs(d_old)
+    os.makedirs(d_full)
+    pq.write_table(old, d_old / "events.parquet")
+    pq.write_table(ev, d_full / "events.parquet")
+    pq.write_table(inc, tmp_path / "inc.parquet")
+
+    cfg = RollupConfig()
+    prior = run_rollup_events(str(d_old), str(tmp_path / "prior"), cfg)
+    merged = ingest_events_increment(
+        str(d_full), str(tmp_path / "inc.parquet"), prior,
+        str(tmp_path / "merged"), cfg,
+    )
+    recomputed = rd.read_parquet(
+        merged["tier_1m"]
+        if isinstance(merged["tier_1m"], list)
+        else [merged["tier_1m"]],
+        columns=["conv_id"],
+    )
+    # recompute dir: only the affected conversation's rows
+    rec_dir = str(tmp_path / "merged" / "recompute" / "stage0" / "kind=tier")
+    rec = rd.read_parquet(rec_dir, columns=["conv_id"]).to_pandas()
+    assert set(rec["conv_id"]) == {f"u{target}"}
+    # merged output still contains every conversation
+    allc = recomputed.to_pandas()["conv_id"]
+    assert f"u{target}" in set(allc) and len(set(allc)) > 1
