@@ -2720,7 +2720,11 @@ def rollup_1m_incremental(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.parquet as pq_
 
-    from .rollup import ingest_events_increment, run_rollup_events
+    from .rollup import (
+        ingest_events_increment,
+        read_increment_tier,
+        run_rollup_events,
+    )
 
     ev = pq_.read_table(f"{sf_dir}/events.parquet")
     ts = ev["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
@@ -2741,7 +2745,9 @@ def rollup_1m_incremental(sf_dir: str) -> pd.DataFrame:
     merged = ingest_events_increment(
         d_full, inc, prior, os.path.join(root, "merged"), cfg
     )
-    t = rd.read_parquet(merged["tier_1m"]).to_pandas()
+    # merge-on-read (the scale path): prior untouched, only the delta
+    # was written; the view resolves lazily
+    t = read_increment_tier(merged, "tier_1m").to_pandas()
     out = pd.DataFrame(
         {
             "conv_id": t["conv_id"],
