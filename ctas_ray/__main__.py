@@ -6,6 +6,8 @@ allowed to call ray.init besides bench/tests, per the driver contract):
   python -m ctas_ray rollup  --input tx.parquet --out /tmp/rollup [--archive-text]
   python -m ctas_ray screen  --input tx.parquet --out /tmp/screen [--scoring ks]
   python -m ctas_ray retain  --out /tmp/rollup --tier tier_1m --max-age-s 86400
+  python -m ctas_ray ingest  --full-events /data/full --increment /data/new.parquet \
+                             --prior /tmp/rollup --out /tmp/rollup_v2
 """
 
 from __future__ import annotations
@@ -32,8 +34,25 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--scoring", default="ks", choices=["ks", "mixedeffects", "avg_feat_value"])
     ps.add_argument("--features", default=None)
     ps.add_argument("--max-share-missing", type=float, default=0.8)
-    ps.add_argument("--plan-mode", default="classic", choices=["classic", "vector"])
+    ps.add_argument("--plan-mode", default="vector", choices=["classic", "vector"],
+                    help="vector (default) is the scale-safe planner; "
+                         "classic mirrors the reference's subject-list walk")
     ps.add_argument("--num-cpus", type=int, default=None)
+
+    pi = sub.add_parser(
+        "ingest", help="fold a late event batch into an existing rollup "
+                       "(merge-on-read delta; see ingest_events_increment)")
+    pi.add_argument("--full-events", required=True,
+                    help="dir holding the FULL history as events.parquet")
+    pi.add_argument("--increment", required=True, help="new-batch parquet")
+    pi.add_argument("--prior", required=True,
+                    help="existing rollup out_dir (from `rollup`/previous ingest)")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--partitioned-events", default=None,
+                    help="key-partitioned event store (part=<uid%%B>/) for read pruning")
+    pi.add_argument("--materialize", action="store_true",
+                    help="also rewrite a self-contained store (compaction)")
+    pi.add_argument("--num-cpus", type=int, default=None)
 
     pt = sub.add_parser("retain", help="apply a retention policy to a rollup dir")
     pt.add_argument("--out", required=True)
@@ -98,6 +117,29 @@ def main(argv: list[str] | None = None) -> int:
                 frame.to_parquet(path, index=False)
                 written[name] = {"path": path, "rows": len(frame)}
             print(json.dumps(written))
+        elif args.cmd == "ingest":
+            from ctas_ray.config import RollupConfig
+            from ctas_ray.pipelines.rollup import (
+                ingest_events_increment,
+                run_rollup_events,
+                tier_name,
+            )
+
+            cfg = RollupConfig()
+            # prior paths: reconstruct the run_rollup_events mapping from
+            # the prior out_dir layout
+            from ctas_ray.pipelines.rollup import _tier_paths
+
+            prior = {"blobs": f"{args.prior}/stage0/kind=blob"}
+            for width in cfg.tiers_s:
+                name = tier_name(width)
+                prior[f"tier_{name}"] = _tier_paths(args.prior, name)
+            paths = ingest_events_increment(
+                args.full_events, args.increment, prior, args.out, cfg,
+                materialize=args.materialize,
+                partitioned_events_dir=args.partitioned_events,
+            )
+            print(json.dumps({k: str(v) for k, v in paths.items()}))
         else:  # retain
             import time
 
