@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "codec_roundtrip_points": q.codec_roundtrip_points,
         # incremental (late-data) ingest == from-scratch rollup
         "rollup_1m_incremental": q.rollup_1m_incremental,
+        # eval-set n-gram decontamination (broadcast blacklist filter)
+        "decontaminated_corpus": q.decontaminated_corpus,
     }
 
 
@@ -1602,4 +1604,27 @@ def oracle_sql() -> dict[str, str]:
     WITH {turns_cte}
     SELECT conv_id, channel, ts_us, CAST(v AS BIGINT) AS value
     FROM chan ORDER BY 1, 2, 3, 4""",
+        # eval-set decontamination: candidate docs sharing an 8-token
+        # n-gram with the held-out set (doc_id < 20) are flagged
+        "decontaminated_corpus": """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS s(i)
+    ),
+    bl AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+      FROM grams g JOIN bl ON bl.g = g.g
+      WHERE g.doc_id >= 20
+      GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+           CASE WHEN h.n_hits IS NULL THEN 1 ELSE 0 END AS keep
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id >= 20 ORDER BY 1""",
     }

@@ -2762,3 +2762,58 @@ def rollup_1m_incremental(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
+DECON_NGRAM = 8          # token n-gram width for contamination matching
+DECON_HOLDOUT_MAX = 20   # doc_id < this = the "eval set" stand-in
+
+
+def decontaminated_corpus(sf_dir: str) -> pd.DataFrame:
+    """Eval-set decontamination, the curation step every training-data
+    pipeline needs: drop any document sharing an 8-token n-gram with a
+    held-out contamination set (here: doc_id < 20 stands in for the
+    eval set). The contamination set is tiny by construction, so its
+    n-gram set BROADCASTS (ray.put once, read per batch) and the scan
+    is an embarrassingly parallel stateless filter — no join, no
+    shuffle, the scale-correct shape for 100 TB. Output: per surviving
+    candidate the distinct-overlap count (0) and keep flag; dropped
+    docs appear with their hit counts for auditability."""
+    import ray
+
+    from ..functions.text import WS_RE
+
+    def ngrams(text: str) -> set:
+        toks = [t for t in WS_RE.split(text.strip()) if t]
+        return {
+            " ".join(toks[i: i + DECON_NGRAM])
+            for i in range(len(toks) - DECON_NGRAM + 1)
+        }
+
+    holdout = (
+        _docs(sf_dir)
+        .filter(lambda r: r["doc_id"] < DECON_HOLDOUT_MAX)
+        .to_pandas()
+    )
+    blacklist = set()
+    for t in holdout["text"]:
+        blacklist |= ngrams(t)
+    bl_ref = ray.put(blacklist)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bl = ray.get(bl_ref)
+        m = b["doc_id"].to_numpy(np.int64) >= DECON_HOLDOUT_MAX
+        t = b[m]
+        hits = np.fromiter(
+            (len(ngrams(x) & bl) for x in t["text"]),
+            dtype=np.int64, count=len(t),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(np.int64),
+                "n_hits": hits,
+                "keep": (hits == 0).astype(np.int64),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

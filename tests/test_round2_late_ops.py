@@ -172,3 +172,33 @@ def test_codec_roundtrip_points_matches_oracle(ray_session):
     want = _oracle("codec_roundtrip_points")
     _assert_frames_equal(got, want)
     assert len(got) > 0
+
+
+def test_decontaminated_corpus_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import decontaminated_corpus
+
+    got = decontaminated_corpus(SF)
+    want = _oracle("decontaminated_corpus")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    assert ((got["keep"] == 1) == (got["n_hits"] == 0)).all()
+
+
+def test_decontamination_planted_overlap():
+    """A candidate that quotes 8+ consecutive tokens from the held-out
+    set must be flagged; 7-token overlap must not."""
+    from ctas_ray.functions.text import WS_RE
+    from ctas_ray.pipelines.queries import DECON_NGRAM
+
+    holdout = "the quick brown fox jumps over the lazy dog tonight"
+    toks = holdout.split()
+    quoted8 = " ".join(["prefix"] + toks[:8] + ["suffix"])
+    quoted7 = " ".join(["prefix"] + toks[:7] + ["suffix"])
+
+    def ngrams(text):
+        t = [x for x in WS_RE.split(text.strip()) if x]
+        return {" ".join(t[i: i + DECON_NGRAM]) for i in range(len(t) - DECON_NGRAM + 1)}
+
+    bl = ngrams(holdout)
+    assert len(ngrams(quoted8) & bl) == 1
+    assert len(ngrams(quoted7) & bl) == 0
