@@ -592,16 +592,38 @@ def ingest_events_increment(
 
     # 1. affected conversations (increment keys only)
     inc_uid = read_parquet_clean(increment_path, columns=["user_id"])
-    parts = inc_uid.map_batches(
-        lambda b: pd.DataFrame(
-            {"user_id": np.unique(b["user_id"].to_numpy(np.int64))}
-        ),
-        batch_format="pandas",
-    ).to_pandas()
-    affected_uids = np.unique(parts["user_id"].to_numpy(np.int64))
+
+    def _uniq(b: pd.DataFrame) -> pd.DataFrame:
+        if "user_id" not in b.columns:  # empty-batch guard
+            return pd.DataFrame({"user_id": np.empty(0, np.int64)})
+        return pd.DataFrame({"user_id": np.unique(b["user_id"].to_numpy(np.int64))})
+
+    parts = inc_uid.map_batches(_uniq, batch_format="pandas").to_pandas()
+    affected_uids = (
+        np.unique(parts["user_id"].to_numpy(np.int64))
+        if "user_id" in parts.columns  # a 0-row Dataset collects columnless
+        else np.empty(0, np.int64)
+    )
     affected_convs = set("u" + pd.Series(affected_uids).astype(str))
     uid_ref = ray.put(affected_uids)
     conv_ref = ray.put(affected_convs)
+
+    # empty increment: nothing to recompute — the view is the prior
+    # rollup verbatim (delta=None, empty tombstones)
+    if len(affected_uids) == 0:
+        import json as _json
+
+        tomb_path = os.path.join(out_dir, "tombstones.parquet")
+        pd.DataFrame({"conv_id": pd.Series([], dtype=str)}).to_parquet(tomb_path)
+        view = {
+            "prior": {k: v for k, v in prior_paths.items()
+                      if k == "blobs" or k.startswith("tier_")},
+            "delta": None,
+            "tombstones": tomb_path,
+        }
+        with open(os.path.join(out_dir, "increment.json"), "w") as f:
+            _json.dump(view, f, indent=1)
+        return {k: {"increment_view": out_dir, "key": k} for k in view["prior"]}
 
     # 2. recompute ONLY affected conversations from full history.
     # With a key-partitioned store, PRUNE AT THE READ: only the
@@ -711,6 +733,8 @@ def _resolve_increment(spec, columns):
         prior = _resolve_increment(view["prior"][key], columns).map_batches(
             drop, batch_format="pandas"
         )
+        if view["delta"] is None:  # empty increment: prior verbatim
+            return prior
         delta = _resolve_increment(view["delta"][key], columns)
         return prior.union(delta)
     return read_parquet_clean(spec, columns=columns)

@@ -289,3 +289,32 @@ def test_partitioned_store_read_pruning(ray_session, tmp_path):
     )
     b = _frame(scratch["tier_1m"], TIER_COLS, TIER_KEY)
     _assert_tier_equal(a, b)
+
+
+def test_empty_increment_is_identity(ray_session, tmp_path):
+    """An empty increment (no new rows) must leave the view identical
+    to the prior rollup and not crash the recompute."""
+    from ctas_ray.config import RollupConfig
+    from ctas_ray.pipelines.rollup import (
+        ingest_events_increment,
+        read_increment_tier,
+        run_rollup_events,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet")
+    d_full = tmp_path / "full"
+    os.makedirs(d_full)
+    pq.write_table(ev, d_full / "events.parquet")
+    pq.write_table(ev.slice(0, 0), tmp_path / "empty.parquet")
+
+    cfg = RollupConfig()
+    prior = run_rollup_events(str(d_full), str(tmp_path / "prior"), cfg)
+    merged = ingest_events_increment(
+        str(d_full), str(tmp_path / "empty.parquet"), prior,
+        str(tmp_path / "merged"), cfg,
+    )
+    a = _sorted(
+        read_increment_tier(merged, "tier_1m").to_pandas()[TIER_COLS], TIER_KEY
+    )
+    b = _frame(prior["tier_1m"], TIER_COLS, TIER_KEY)
+    _assert_tier_equal(a, b)
