@@ -142,6 +142,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_incremental": q.rollup_1m_incremental,
         # eval-set n-gram decontamination (broadcast blacklist filter)
         "decontaminated_corpus": q.decontaminated_corpus,
+        # integer-exact distributed Lloyd's k-means — hash-verified
+        "kmeans_embedding_clusters": q.kmeans_embedding_clusters,
+        # early-vs-late distribution drift (KS statistic) — hash-verified
+        "drift_split_ks": q.drift_split_ks,
+        # LLM sequence packing (sharded greedy first-fit) — hash-verified
+        "pack_sequences": q.pack_sequences,
+        # retention enforcement via partition-pruned tier read — hash-verified
+        "rollup_1m_retention": q.rollup_1m_retention,
     }
 
 
@@ -440,6 +448,64 @@ def _shingle_weight_rows() -> str:
     base = int(_SHINGLE_BASE)
     weights = [pow(base, e, m64) for e in range(5)]
     return ",".join(f"({e}, CAST('{weights[e]}' AS HUGEINT))" for e in range(5))
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means in SQL, mirroring
+    stages/clustering.py exactly: e6-quantized int64 vectors, exact
+    integer squared-L2 distances, argmin ties -> smallest cluster,
+    floor-divided integer centroid means (the positive-mod form makes
+    the numerator exactly divisible, so truncating `//` equals floor),
+    empty clusters keep the previous centroid."""
+    parts = [
+        f"""
+    q AS (
+      SELECT vec_id,
+             UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv
+      FROM embeddings
+    ),
+    ids AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    cent0 AS (SELECT i.cluster, q.dim, q.qv AS cv FROM ids i JOIN q USING (vec_id))"""
+    ]
+    for it in range(iters):
+        parts.append(f""",
+    d{it} AS (
+      SELECT q.vec_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM q JOIN cent{it} c USING (dim) GROUP BY 1, 2
+    ),
+    a{it} AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM d{it}
+    ),
+    asg{it} AS (SELECT vec_id, cluster FROM a{it} WHERE rk = 1),
+    cent{it + 1} AS (
+      SELECT c.cluster, c.dim,
+             CASE WHEN u.cnt IS NULL THEN c.cv
+                  ELSE (u.s - (((u.s % u.cnt) + u.cnt) % u.cnt)) // u.cnt END AS cv
+      FROM cent{it} c LEFT JOIN (
+        SELECT a.cluster, q.dim, SUM(q.qv) AS s, COUNT(*) AS cnt
+        FROM asg{it} a JOIN q USING (vec_id) GROUP BY 1, 2
+      ) u ON u.cluster = c.cluster AND u.dim = c.dim
+    )""")
+    parts.append(f""",
+    dF AS (
+      SELECT q.vec_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM q JOIN cent{iters} c USING (dim) GROUP BY 1, 2
+    ),
+    aF AS (
+      SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM dF
+    )
+    SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
+    FROM aF WHERE rk = 1 ORDER BY vec_id""")
+    return "WITH " + "".join(parts)
 
 
 def _closure_sql() -> str:
@@ -1627,4 +1693,86 @@ def oracle_sql() -> dict[str, str]:
            CASE WHEN h.n_hits IS NULL THEN 1 ELSE 0 END AS keep
     FROM documents d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id >= 20 ORDER BY 1""",
+        "kmeans_embedding_clusters": _kmeans_sql(8, 2),
+        # early-vs-late drift: KS statistic between the chronological
+        # first and second halves per event_type (same tie-collapsed
+        # walk as ks_statistic_by_site; n_early = n // 2)
+        "drift_split_ks": """
+    WITH base AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    tagged AS (
+      SELECT event_type, value,
+             CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END AS is_in
+      FROM base
+    ),
+    tot AS (
+      SELECT event_type, SUM(is_in) AS n_in, SUM(1 - is_in) AS n_out
+      FROM tagged GROUP BY 1
+    ),
+    walk AS (
+      SELECT event_type, value,
+             SUM(is_in) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS cum_in,
+             SUM(1 - is_in) OVER (PARTITION BY event_type ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS cum_out
+      FROM tagged
+    ),
+    vals AS (
+      SELECT event_type, value,
+             MAX(cum_in) AS cum_in, MAX(cum_out) AS cum_out
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT v.event_type AS parameter_id,
+           CAST(t.n_in AS BIGINT) AS n_early,
+           CAST(t.n_out AS BIGINT) AS n_late,
+           CAST(FLOOR(MAX(ABS(v.cum_in * 1.0 / t.n_in
+                             - v.cum_out * 1.0 / t.n_out)) * 1000000 + 0.5)
+                AS BIGINT) AS ks_e6
+    FROM vals v JOIN tot t USING (event_type)
+    WHERE t.n_in > 0 AND t.n_out > 0
+    GROUP BY 1, 2, 3 ORDER BY 1""",
+        # sharded greedy first-fit sequence packing (PACK_CTX=160,
+        # shard = doc_id % 8), recursive walk per shard
+        "pack_sequences": """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             LEAST(LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')), 160) AS tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    walk AS (
+      SELECT shard, rn, doc_id, tok,
+             CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+             tok AS fill
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.tok,
+             CASE WHEN w.fill + d.tok > 160 AND w.fill > 0
+                  THEN w.bin + 1 ELSE w.bin END,
+             CASE WHEN w.fill + d.tok > 160 AND w.fill > 0
+                  THEN 0 ELSE w.fill END,
+             CASE WHEN w.fill + d.tok > 160 AND w.fill > 0
+                  THEN d.tok ELSE w.fill + d.tok END
+      FROM walk w JOIN docs d ON d.shard = w.shard AND d.rn = w.rn + 1
+    )
+    SELECT shard, doc_id, bin, bin_offset, CAST(tok AS BIGINT) AS tok
+    FROM walk ORDER BY shard, doc_id""",
+        # retention: the 1m tier restricted to buckets >= the horizon
+        # (60% through the event-time span, floored to a 1m bucket);
+        # the engine evaluates this as a parquet row-group predicate on
+        # the PERSISTED tier, the oracle recomputes direct from raw
+        "rollup_1m_retention": f"""
+    SELECT * FROM ({rollup_sql(60_000_000)}) t
+    WHERE bucket >= (
+      SELECT ((MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+               * 3 // 5) // 60000000) * 60000000
+      FROM events)
+    ORDER BY conv_id, channel, bucket""",
     }

@@ -938,15 +938,26 @@ def ks_statistic_by_site(sf_dir: str) -> pd.DataFrame:
 
 
 @functools.lru_cache(maxsize=4)
-def _tier_frames(sf_dir: str) -> dict[str, pd.DataFrame]:
-    """Run the cascade ONCE (the same fused single-exchange path the
-    bench headline uses) and cache the tier frames for the per-tier
-    query entries — so the SQL oracle validates the bench pipeline."""
+def _tier_dirs(sf_dir: str) -> str:
+    """Run the cascade ONCE into a temp dir and cache its location —
+    shared by the per-tier frame queries and the retention read."""
     import tempfile
 
     from .rollup import run_rollup_events
 
     out_dir = tempfile.mkdtemp(prefix="ctas_tiers_")
+    run_rollup_events(sf_dir, out_dir, RollupConfig())
+    return out_dir
+
+
+@functools.lru_cache(maxsize=4)
+def _tier_frames(sf_dir: str) -> dict[str, pd.DataFrame]:
+    """Run the cascade ONCE (the same fused single-exchange path the
+    bench headline uses) and cache the tier frames for the per-tier
+    query entries — so the SQL oracle validates the bench pipeline."""
+    from .rollup import run_rollup_events
+
+    out_dir = _tier_dirs(sf_dir)
     paths = run_rollup_events(sf_dir, out_dir, RollupConfig())
     out = {
         name: rd.read_parquet(paths[name]).to_pandas()
@@ -2817,3 +2828,176 @@ def decontaminated_corpus(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(flag, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-2 continuation: clustering, drift, sequence packing, retention
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+PACK_CTX = 160           # token budget per packed sequence
+PACK_SHARDS = 8          # independent packing streams (shard = doc_id % N)
+
+
+def kmeans_embedding_clusters(sf_dir: str) -> pd.DataFrame:
+    """[graft] Distributed Lloyd's k-means over the embedding column
+    (stages/clustering.py): e6-quantized int64 vectors, exact integer
+    squared-L2 distances, floor-divided integer centroid means — every
+    iteration is a broadcast + one streaming partial-sum map_batches
+    (no shuffle), so the whole algorithm is value-exact vs the unrolled
+    SQL oracle AND scale-correct (driver merge is O(blocks*k*dim))."""
+    from ..stages.clustering import kmeans_quantized
+
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = kmeans_quantized(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    out["dist2"] = out["dist2"].astype(np.int64)
+    return out
+
+
+def _drift_ks_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Distribution drift per parameter: KS statistic between the
+    chronological first half and second half of the non-null values
+    (ordered by (ts, event_id); n_early = n // 2)."""
+    from ..functions.stats import ks_test
+
+    g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    vals = g["value"].to_numpy(dtype=np.float64)
+    n = len(vals)
+    n_early = n // 2
+    if n_early == 0 or n - n_early == 0:
+        return pd.DataFrame(
+            columns=["parameter_id", "n_early", "n_late", "ks_e6"]
+        )
+    stat, _ = ks_test(vals[:n_early], vals[n_early:], "two.sided")
+    return pd.DataFrame(
+        {
+            "parameter_id": [g["event_type"].iloc[0]],
+            "n_early": np.array([n_early], dtype=np.int64),
+            "n_late": np.array([n - n_early], dtype=np.int64),
+            "ks_e6": _scaled_int(np.array([stat])),
+        }
+    )
+
+
+def drift_split_ks(sf_dir: str) -> pd.DataFrame:
+    """[graft] Train-data drift monitor: per event_type, the two-sample
+    KS statistic between the early and late halves of the stream — the
+    week-over-week distribution-shift check a production data pipeline
+    runs on every feature. One groupby exchange; the KS walk reuses the
+    hash-verified A6 kernel (tie-collapsed ECDF difference)."""
+    out = (
+        _events(sf_dir, ["event_type", "user_id", "value", "ts", "event_id"])
+        .map_batches(lambda b: b[b["value"].notna()], batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_drift_ks_group, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """[graft] Sequence packing for LLM pretraining: greedily pack
+    documents into fixed token-budget bins (PACK_CTX), first-fit in
+    doc_id order WITHIN independent shards (doc_id % PACK_SHARDS).
+    Sharding is the scale story: each shard is a self-contained packing
+    stream handled by one map_groups call, so packing 100 TB is
+    embarrassingly parallel across shards while staying deterministic.
+    Docs longer than the budget are truncated to one full bin
+    (tok = min(ws_tokens, PACK_CTX)). Output: (shard, doc_id, bin,
+    bin_offset, tok) — value-exact vs a recursive-CTE SQL oracle."""
+    from ..functions.text import WS_RE
+
+    def pack_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        toks = np.minimum(g["tok"].to_numpy(np.int64), PACK_CTX)
+        bins = np.zeros(len(g), dtype=np.int64)
+        offs = np.zeros(len(g), dtype=np.int64)
+        cur_bin, cur_fill = 0, 0
+        for i, t in enumerate(toks):
+            if cur_fill + t > PACK_CTX and cur_fill > 0:
+                cur_bin += 1
+                cur_fill = 0
+            bins[i] = cur_bin
+            offs[i] = cur_fill
+            cur_fill += t
+        return pd.DataFrame(
+            {
+                "shard": g["shard"].to_numpy(np.int64),
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "bin": bins,
+                "bin_offset": offs,
+                "tok": toks,
+            }
+        )
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        toks = np.fromiter(
+            (len([t for t in WS_RE.split(x.strip()) if t]) for x in b["text"]),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "shard": b["doc_id"].to_numpy(np.int64) % PACK_SHARDS,
+                "tok": toks,
+            }
+        )
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(project, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(pack_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+
+
+def _retention_horizon_us(sf_dir: str) -> int:
+    """Deterministic retention horizon: 60% through the [min, max]
+    event-timestamp span, floored to a 1m bucket (exact integer
+    arithmetic, mirrored by the SQL oracle's scalar subquery)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = _events(sf_dir, ["ts"]).aggregate(Min("ts"), Max("ts"))
+    lo = int(pd.Timestamp(agg["min(ts)"]).value // 1000)  # ns -> us
+    hi = int(pd.Timestamp(agg["max(ts)"]).value // 1000)
+    h = lo + (hi - lo) * 3 // 5
+    return (h // 60_000_000) * 60_000_000
+
+
+def rollup_1m_retention(sf_dir: str) -> pd.DataFrame:
+    """[graft] Retention enforcement on the 1m tier: keep only buckets
+    >= a horizon (60% through the data's time span). The engine reads
+    the PERSISTED tier with read_tier(start_us=...) so the bucket range
+    becomes a parquet row-group predicate — expired partitions never
+    leave storage (the retention-drop shape at 100 TB: prune at the
+    read / delete whole partition directories, never scan-and-filter).
+    Oracle: the same direct-from-raw 1m rollup WHERE bucket >= horizon."""
+    from .rollup import read_tier
+
+    horizon = _retention_horizon_us(sf_dir)
+    dirs = _tier_dirs(sf_dir)
+    t = read_tier(dirs, "tier_1m", derived=False, start_us=horizon).to_pandas()
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(
+        drop=True
+    )
