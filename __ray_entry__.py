@@ -150,6 +150,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.pack_sequences,
         # retention enforcement via partition-pruned tier read — hash-verified
         "rollup_1m_retention": q.rollup_1m_retention,
+        # M4 pixel-exact visualization downsample (VLDB'14) — hash-verified
+        "m4_downsample": q.m4_downsample,
+        # PAA fixed-width positional downsample — hash-verified
+        "paa_downsample": q.paa_downsample,
+        # median/MAD robust outlier fences (frequency-map exchange) — hash-verified
+        "mad_outlier_flags": q.mad_outlier_flags,
+        # sequential event-transition counts (combiner) — hash-verified
+        "event_bigram_counts": q.event_bigram_counts,
     }
 
 
@@ -1775,4 +1783,80 @@ def oracle_sql() -> dict[str, str]:
                * 3 // 5) // 60000000) * 60000000
       FROM events)
     ORDER BY conv_id, channel, bucket""",
+        # M4 (first/last/min/max POINTS per 1h bucket) — pure selections,
+        # ties on value break to the earliest turn, so exact by design
+        "m4_downsample": f"""
+    WITH {turns_cte},
+    b AS (
+      SELECT conv_id, channel, turn_ix, ts_us, CAST(v AS BIGINT) AS v,
+             (ts_us // 3600000000) * 3600000000 AS bucket
+      FROM chan
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY conv_id, channel, bucket
+                           ORDER BY turn_ix) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY conv_id, channel, bucket
+                           ORDER BY turn_ix DESC) AS rl,
+        ROW_NUMBER() OVER (PARTITION BY conv_id, channel, bucket
+                           ORDER BY v, turn_ix) AS rmn,
+        ROW_NUMBER() OVER (PARTITION BY conv_id, channel, bucket
+                           ORDER BY v DESC, turn_ix) AS rmx
+      FROM b
+    )
+    SELECT conv_id, channel, bucket,
+           MAX(CASE WHEN rf = 1 THEN ts_us END) AS ts_first,
+           MAX(CASE WHEN rf = 1 THEN v END) AS v_first,
+           MAX(CASE WHEN rl = 1 THEN ts_us END) AS ts_last,
+           MAX(CASE WHEN rl = 1 THEN v END) AS v_last,
+           MAX(CASE WHEN rmn = 1 THEN ts_us END) AS ts_min,
+           MAX(CASE WHEN rmn = 1 THEN v END) AS v_min,
+           MAX(CASE WHEN rmx = 1 THEN ts_us END) AS ts_max,
+           MAX(CASE WHEN rmx = 1 THEN v END) AS v_max
+    FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # PAA: positional 8-turn segments, exact e6-integer sums
+        "paa_downsample": """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) - 1 AS t
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           t // 8 AS seg, COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS sum_e6
+    FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # median/MAD fences in doubled-integer space: med2 = 2*median
+        # (avg of two even ints -> exact), mad4 = 4*MAD; the outlier
+        # test 2*|2x - med2| > 3*mad4 is |x-med| > 3*MAD in int64
+        "mad_outlier_flags": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(MEDIAN(2 * vq) AS BIGINT) AS med2
+      FROM v GROUP BY 1
+    ),
+    d AS (
+      SELECT v.event_type, CAST(MEDIAN(2 * ABS(2 * vq - med2)) AS BIGINT) AS mad4
+      FROM v JOIN m USING (event_type) GROUP BY 1
+    )
+    SELECT v.event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           event_id, vq AS value_e6
+    FROM v JOIN m USING (event_type) JOIN d USING (event_type)
+    WHERE 2 * ABS(2 * vq - med2) > 3 * mad4
+    ORDER BY 1, 2, 3""",
+        # consecutive event-type transitions within a conversation
+        "event_bigram_counts": """
+    WITH v AS (
+      SELECT event_type AS prev_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT prev_type, next_type, COUNT(*) AS n_pairs
+    FROM v WHERE next_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -3001,3 +3001,267 @@ def rollup_1m_retention(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(
         drop=True
     )
+
+
+# ---------------------------------------------------------------------------
+# visualization / robust-screening downsamples (round-2 final session)
+# ---------------------------------------------------------------------------
+
+M4_WIDTH_US = 3_600_000_000  # 1h pixel buckets
+
+
+def _m4_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """M4 aggregation (Jugel et al., VLDB 2014): per (conv, channel,
+    bucket) keep the first/last/min/max POINTS (timestamp + value),
+    the minimal set that renders a pixel-exact line chart. All four
+    are selections — exact regardless of float summation order; ties
+    on min/max value break to the earliest turn."""
+    g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    if len(g) == 0:
+        return pd.DataFrame(
+            columns=[
+                "conv_id", "channel", "bucket",
+                "ts_first", "v_first", "ts_last", "v_last",
+                "ts_min", "v_min", "ts_max", "v_max",
+            ]
+        )
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    ts_us = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    text_len = (
+        g["props"].fillna("").astype(str).str.len().to_numpy(dtype=np.int64)
+    )
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    # 1-based turn index within conversation, O(n) via cumulative trick
+    idx = np.arange(len(g), dtype=np.int64)
+    seg_start = np.maximum.accumulate(np.where(change, idx, 0))
+    turn_ix = idx - seg_start + 1
+    lat = np.empty(len(g), dtype=np.int64)
+    lat[0] = 0
+    lat[1:] = ts_us[1:] - ts_us[:-1]
+    conv = np.char.add("u", uid.astype(str))
+    has_lat = ~change  # latency defined from turn 2 onward
+    d = pd.DataFrame(
+        {
+            "conv_id": np.r_[conv, conv[has_lat]],
+            "channel": np.r_[
+                np.full(len(g), "text_len"),
+                np.full(int(has_lat.sum()), "turn_latency_us"),
+            ],
+            "ts_us": np.r_[ts_us, ts_us[has_lat]],
+            "turn_ix": np.r_[turn_ix, turn_ix[has_lat]],
+            "v": np.r_[text_len, lat[has_lat]],
+        }
+    )
+    d["bucket"] = (d["ts_us"] // M4_WIDTH_US) * M4_WIDTH_US
+    keys = ["conv_id", "channel", "bucket"]
+    by_turn = d.sort_values("turn_ix", kind="mergesort")
+    gb = by_turn.groupby(keys, sort=False)
+    first = gb[["ts_us", "v"]].first().rename(
+        columns={"ts_us": "ts_first", "v": "v_first"}
+    )
+    last = gb[["ts_us", "v"]].last().rename(
+        columns={"ts_us": "ts_last", "v": "v_last"}
+    )
+    vmin = (
+        d.sort_values(["v", "turn_ix"], kind="mergesort")
+        .groupby(keys, sort=False)[["ts_us", "v"]]
+        .first()
+        .rename(columns={"ts_us": "ts_min", "v": "v_min"})
+    )
+    vmax = (
+        d.sort_values(["v", "turn_ix"], ascending=[False, True], kind="mergesort")
+        .groupby(keys, sort=False)[["ts_us", "v"]]
+        .first()
+        .rename(columns={"ts_us": "ts_max", "v": "v_max"})
+    )
+    out = first.join([last, vmin, vmax]).reset_index()
+    return out
+
+
+def m4_downsample(sf_dir: str) -> pd.DataFrame:
+    """[graft] M4 visualization downsample over the transcript channels:
+    one salted exchange keyed by conversation, then per-partition
+    selection kernels — the canonical error-free line-chart reduction
+    (first/last/min/max point per time bucket). Value-exact: every
+    output is a selected input point, never an arithmetic combination."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "user_id", "props"]))
+        .groupby("part")
+        .map_groups(_m4_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
+PAA_SEG_W = 8
+
+
+def _paa_partition(part: pd.DataFrame) -> pd.DataFrame:
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            columns=["parameter_id", "subject_id", "seg", "n", "sum_e6"]
+        )
+    vq = _scaled_int(g["value"].to_numpy())
+    cc = g.groupby(["event_type", "user_id"], sort=False).cumcount().to_numpy()
+    d = pd.DataFrame(
+        {
+            "parameter_id": g["event_type"].to_numpy(),
+            "subject_id": g["user_id"].to_numpy(dtype=np.int64).astype(str),
+            "seg": (cc // PAA_SEG_W).astype(np.int64),
+            "vq": vq,
+        }
+    )
+    out = (
+        d.groupby(["parameter_id", "subject_id", "seg"], sort=False)["vq"]
+        .agg(n="size", sum_e6="sum")
+        .reset_index()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def paa_downsample(sf_dir: str) -> pd.DataFrame:
+    """[graft] Piecewise Aggregate Approximation: fixed-width positional
+    segments (8 turns) per series, each reduced to (count, exact e6
+    integer sum) — the classic dimensionality-reduction downsample for
+    similarity search over long series (Keogh et al. 2001). Integer
+    sums are order-immune, so the partial-per-partition plan is exact."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_paa_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id", "seg"]).reset_index(
+        drop=True
+    )
+
+
+def _weighted_med2(v: np.ndarray, c: np.ndarray) -> int:
+    """2x the median of a weighted integer distribution, exactly:
+    odd n -> 2*middle; even n -> sum of the two middles (both integer,
+    so the doubled median is always an exact int64)."""
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    if n % 2 == 1:
+        i = int(np.searchsorted(cum, (n + 1) // 2))
+        return int(2 * v[i])
+    a = int(v[np.searchsorted(cum, n // 2)])
+    b = int(v[np.searchsorted(cum, n // 2 + 1)])
+    return a + b
+
+
+def _mad_thresholds(g: pd.DataFrame) -> pd.DataFrame:
+    et = g["event_type"].iloc[0]
+    d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+    v = d["vq"].to_numpy(dtype=np.int64)
+    c = d["cnt"].to_numpy(dtype=np.int64)
+    med2 = _weighted_med2(v, c)
+    dd = (
+        pd.DataFrame({"d": np.abs(2 * v - med2), "c": c})
+        .groupby("d", as_index=False)["c"]
+        .sum()
+        .sort_values("d")
+    )
+    mad4 = _weighted_med2(dd["d"].to_numpy(np.int64), dd["c"].to_numpy(np.int64))
+    return pd.DataFrame({"event_type": [et], "med2": [med2], "mad4": [mad4]})
+
+
+def mad_outlier_flags(sf_dir: str) -> pd.DataFrame:
+    """[graft] Robust per-parameter outlier flags via median / MAD
+    fences (|x - med| > 3*MAD), computed the scale-correct way: the
+    exchange carries only per-batch (parameter, quantized value,
+    count) partials — a frequency map, tiny for any physical signal —
+    never the rows; the per-parameter weighted-median kernel then runs
+    on the distribution, and flagging is a stateless broadcast filter.
+    Doubled/quadrupled integer medians (med2 = 2*median, mad4 = 4*MAD)
+    keep every comparison in exact int64: x is an outlier iff
+    2*|2*x - med2| > 3*mad4."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    th = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_mad_thresholds, batch_format="pandas")
+        .to_pandas()
+    )
+    med2 = dict(zip(th["event_type"], th["med2"].astype(np.int64)))
+    mad4 = dict(zip(th["event_type"], th["mad4"].astype(np.int64)))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "subject_id", "event_id", "value_e6"]
+            )
+        vq = _scaled_int(b["value"].to_numpy())
+        m2 = b["event_type"].map(med2).to_numpy(dtype=np.int64)
+        m4 = b["event_type"].map(mad4).to_numpy(dtype=np.int64)
+        keep = 2 * np.abs(2 * vq - m2) > 3 * m4
+        return pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy()[keep],
+                "subject_id": b["user_id"].to_numpy(dtype=np.int64)[keep].astype(str),
+                "event_id": b["event_id"].to_numpy(dtype=np.int64)[keep],
+                "value_e6": vq[keep],
+            }
+        )
+
+    out = ev.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values(["parameter_id", "subject_id", "event_id"]).reset_index(
+        drop=True
+    )
+
+
+def _bigram_partition(part: pd.DataFrame) -> pd.DataFrame:
+    g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    if len(g) < 2:
+        return pd.DataFrame(columns=["prev_type", "next_type", "n_pairs"])
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    et = g["event_type"].to_numpy()
+    same = uid[1:] == uid[:-1]
+    d = pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
+    return (
+        d.groupby(["prev_type", "next_type"], sort=False)
+        .size()
+        .reset_index(name="n_pairs")
+    )
+
+
+def event_bigram_counts(sf_dir: str) -> pd.DataFrame:
+    """[graft] Sequential-pattern mining primitive: global counts of
+    consecutive event-type transitions within a conversation. Combiner
+    pattern — per-partition bigram partials (<= |types|^2 rows each)
+    then a tiny driver merge; the turn stream itself never re-shuffles
+    beyond the one conversation-keyed exchange."""
+    parts = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id"]))
+        .groupby("part")
+        .map_groups(_bigram_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["prev_type", "next_type"], as_index=False)["n_pairs"]
+        .sum()
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)

@@ -1,0 +1,134 @@
+"""Round-2 final-session operators: M4 visualization downsample, PAA
+positional downsample, median/MAD robust outlier fences, event-bigram
+transition counts — DuckDB oracle parity at sf0.001 plus hand-checked
+invariants (M4 point membership, PAA segment widths, MAD fence math on
+a planted distribution, bigram count conservation)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    return con.execute(e.oracle_sql()[name]).fetchdf()
+
+
+def _assert_frames_equal(got: pd.DataFrame, want: pd.DataFrame):
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    want = want[list(got.columns)]
+    for c in got.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        assert g.dtype.kind == w.dtype.kind, (c, g.dtype, w.dtype)
+        assert (g == w).all(), (c, g[g != w][:3], w[g != w][:3])
+
+
+def test_m4_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import M4_WIDTH_US, m4_downsample
+
+    got = m4_downsample(SF)
+    want = _oracle("m4_downsample")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # M4 invariants: min <= first/last <= max; every selected timestamp
+    # falls inside its bucket; buckets are aligned
+    for c in ("v_first", "v_last"):
+        assert (got["v_min"] <= got[c]).all()
+        assert (got[c] <= got["v_max"]).all()
+    for c in ("ts_first", "ts_last", "ts_min", "ts_max"):
+        assert (got[c] >= got["bucket"]).all()
+        assert (got[c] < got["bucket"] + M4_WIDTH_US).all()
+    assert (got["bucket"] % M4_WIDTH_US == 0).all()
+    assert (got["ts_first"] <= got["ts_last"]).all()
+
+
+def test_paa_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import PAA_SEG_W, paa_downsample
+
+    got = paa_downsample(SF)
+    want = _oracle("paa_downsample")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # every segment except a series' last is exactly PAA_SEG_W wide,
+    # and segment totals conserve the series' point count
+    last_seg = got.groupby(["parameter_id", "subject_id"])["seg"].transform("max")
+    full = got["seg"] < last_seg
+    assert (got.loc[full, "n"] == PAA_SEG_W).all()
+    assert (got["n"] >= 1).all() and (got["n"] <= PAA_SEG_W).all()
+
+
+def test_mad_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import mad_outlier_flags
+
+    got = mad_outlier_flags(SF)
+    want = _oracle("mad_outlier_flags")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0, "MAD fences must flag something at sf0.001"
+
+
+def test_weighted_med2_matches_numpy():
+    """The doubled weighted median equals 2 * numpy's median of the
+    expanded array, for odd and even totals and repeated values."""
+    from ctas_ray.pipelines.queries import _weighted_med2
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        vals = np.sort(rng.integers(-50, 50, size=rng.integers(1, 12)))
+        vals = np.unique(vals)
+        cnts = rng.integers(1, 6, size=len(vals))
+        expanded = np.repeat(vals, cnts)
+        got = _weighted_med2(vals.astype(np.int64), cnts.astype(np.int64))
+        want = 2 * np.median(expanded)
+        assert got == want, (vals, cnts, got, want)
+
+
+def test_mad_fence_on_planted_distribution():
+    """A hand-built distribution where the fence is known exactly:
+    values 0 x5, 10 x5, 1000 x1 -> med=10?  Compute explicitly via
+    numpy and assert the integer condition agrees."""
+    from ctas_ray.pipelines.queries import _weighted_med2
+
+    vals = np.array([0, 10, 1000], dtype=np.int64)
+    cnts = np.array([5, 5, 1], dtype=np.int64)
+    expanded = np.repeat(vals, cnts)
+    med = np.median(expanded)
+    mad = np.median(np.abs(expanded - med))
+    med2 = _weighted_med2(vals, cnts)
+    assert med2 == 2 * med
+    dev = np.abs(2 * vals - med2)
+    dd = pd.DataFrame({"d": dev, "c": cnts}).groupby("d", as_index=False)["c"].sum()
+    mad4 = _weighted_med2(dd["d"].to_numpy(np.int64), dd["c"].to_numpy(np.int64))
+    assert mad4 == 4 * mad
+    # outlier condition 2*|2x-med2| > 3*mad4  <=>  |x-med| > 3*MAD
+    for x in expanded:
+        assert (2 * abs(2 * x - med2) > 3 * mad4) == (abs(x - med) > 3 * mad)
+
+
+def test_bigrams_match_oracle(ray_session):
+    from ctas_ray.pipelines.queries import event_bigram_counts
+
+    got = event_bigram_counts(SF)
+    want = _oracle("event_bigram_counts")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # conservation: total transitions == total events - number of convs
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    n = t.num_rows
+    n_convs = len(np.unique(t.column("user_id").to_numpy()))
+    assert int(got["n_pairs"].sum()) == n - n_convs
