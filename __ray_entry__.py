@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outlier_flags": q.mad_outlier_flags,
         # sequential event-transition counts (combiner) — hash-verified
         "event_bigram_counts": q.event_bigram_counts,
+        # LTTB shape-preserving downsample (unrolled-walk oracle) — hash-verified
+        "lttb_downsample": q.lttb_downsample,
     }
 
 
@@ -649,6 +651,66 @@ def oracle_sql() -> dict[str, str]:
            CAST(arg_min(v, turn_ix) AS BIGINT) AS first_val,
            CAST(arg_max(v, turn_ix) AS BIGINT) AS last_val
     FROM chan GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+    def lttb_sql(K: int = 12) -> str:
+        """LTTB unrolled as K-2 chained window CTEs (the sequential
+        bucket walk can't nest an argmax inside a recursive CTE, so —
+        like the k-means oracle — each step is its own CTE). Area
+        comparisons are 2*cnt*area in exact int64."""
+        B = K - 2
+        area = (
+            "ABS(p.t * (a.cnt * c.vq - a.sy) + c.t * (a.sy - a.cnt * p.vq)"
+            " + a.sx * (p.vq - c.vq))"
+        )
+        steps = []
+        for s in range(B):
+            prev = "firstp" if s == 0 else f"sel{s - 1}"
+            steps.append(f"""
+    sel{s} AS (
+      SELECT param, subj, t, vq FROM (
+        SELECT c.param, c.subj, c.t, c.vq,
+               ROW_NUMBER() OVER (PARTITION BY c.param, c.subj
+                   ORDER BY {area} DESC, c.t) AS rk
+        FROM cand c
+        JOIN {prev} p ON p.param = c.param AND p.subj = c.subj
+        JOIN anc a ON a.param = c.param AND a.subj = c.subj AND a.b = {s}
+        WHERE c.b = {s}) WHERE rk = 1)""")
+        unions = "\n      UNION ALL ".join(
+            [f"SELECT param, subj, t, vq FROM sel{s}" for s in range(B)]
+        )
+        return f"""
+    WITH pts AS (
+      SELECT event_type AS param, user_id AS subj,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS t,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             COUNT(*) OVER (PARTITION BY event_type, user_id) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    small AS (SELECT param, subj, t, vq FROM pts WHERE n <= {K}),
+    big AS (SELECT * FROM pts WHERE n > {K}),
+    cand AS (
+      SELECT param, subj, t, vq, ((t - 2) * {B}) // (n - 2) AS b
+      FROM big WHERE t >= 2 AND t <= n - 1
+    ),
+    banc AS (
+      SELECT param, subj, b, SUM(t) AS sx, SUM(vq) AS sy, COUNT(*) AS cnt
+      FROM cand GROUP BY 1, 2, 3
+    ),
+    lastp AS (SELECT param, subj, t, vq FROM big WHERE t = n),
+    firstp AS (SELECT param, subj, t, vq FROM big WHERE t = 1),
+    anc AS (
+      SELECT param, subj, b - 1 AS b, sx, sy, cnt FROM banc WHERE b >= 1
+      UNION ALL
+      SELECT param, subj, {B - 1} AS b, t AS sx, vq AS sy, 1 AS cnt FROM lastp
+    ),{",".join(steps)}
+    SELECT param AS parameter_id, CAST(subj AS VARCHAR) AS subject_id,
+           CAST(t AS BIGINT) AS t, vq AS value_e6
+    FROM (SELECT param, subj, t, vq FROM small
+      UNION ALL SELECT param, subj, t, vq FROM firstp
+      UNION ALL {unions}
+      UNION ALL SELECT param, subj, t, vq FROM lastp)
+    ORDER BY 1, 2, 3"""
 
     return {
         "eligibility_counts": """
@@ -1859,4 +1921,6 @@ def oracle_sql() -> dict[str, str]:
     SELECT prev_type, next_type, COUNT(*) AS n_pairs
     FROM v WHERE next_type IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2""",
+        # LTTB shape-preserving downsample, walk unrolled as window CTEs
+        "lttb_downsample": lttb_sql(12),
     }

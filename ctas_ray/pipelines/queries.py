@@ -3265,3 +3265,98 @@ def event_bigram_counts(sf_dir: str) -> pd.DataFrame:
     )
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+LTTB_K = 12  # target points per series (first + 10 interior buckets + last)
+
+
+def _lttb_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Largest-Triangle-Three-Buckets (Steinarsson 2013) per series,
+    over the turn index as x and the e6-quantized value as y. The
+    triangle-area argmax is computed in doubled-and-scaled integer
+    space: with a = previous selected point, b = candidate and the
+    next bucket's centroid (Sx/cnt, Sy/cnt), 2*cnt*area =
+    |x_a*(cnt*y_b - Sy) + x_b*(Sy - cnt*y_a) + Sx*(y_a - y_b)| — all
+    int64, so engine and SQL oracle agree bit-for-bit; ties break to
+    the earliest turn."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    cols = ["parameter_id", "subject_id", "t", "value_e6"]
+    if len(g) == 0:
+        return pd.DataFrame(columns=cols)
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    vq_all = _scaled_int(g["value"].to_numpy())
+    # series boundaries
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    B = LTTB_K - 2
+    out_param, out_subj, out_t, out_v = [], [], [], []
+
+    def emit(p, s, t, v):
+        out_param.append(p)
+        out_subj.append(s)
+        out_t.append(t)
+        out_v.append(v)
+
+    for s, e in zip(starts, ends):
+        n = e - s
+        p, u = et[s], str(uid[s])
+        vq = vq_all[s:e]
+        if n <= LTTB_K:
+            for i in range(n):
+                emit(p, u, i + 1, int(vq[i]))
+            continue
+        # interior turns t=2..n-1 -> bucket ((t-2)*B)//(n-2); n > K
+        # guarantees every bucket (and every "next" bucket) nonempty
+        tb = ((np.arange(2, n, dtype=np.int64) - 2) * B) // (n - 2)
+        emit(p, u, 1, int(vq[0]))
+        x_a, y_a = 1, int(vq[0])
+        for b in range(B):
+            idxs = np.flatnonzero(tb == b) + 1  # 0-based positions
+            if b < B - 1:
+                nxt = np.flatnonzero(tb == b + 1) + 1
+                Sx = int((nxt + 1).sum())
+                Sy = int(vq[nxt].sum())
+                cnt = len(nxt)
+            else:
+                Sx, Sy, cnt = n, int(vq[-1]), 1
+            xb = idxs + 1
+            yb = vq[idxs]
+            area2n = np.abs(
+                x_a * (cnt * yb - Sy) + xb * (Sy - cnt * y_a) + Sx * (y_a - yb)
+            )
+            j = int(idxs[np.lexsort((idxs, -area2n))[0]])
+            emit(p, u, j + 1, int(vq[j]))
+            x_a, y_a = j + 1, int(vq[j])
+        emit(p, u, n, int(vq[-1]))
+    return pd.DataFrame(
+        {
+            "parameter_id": np.asarray(out_param, dtype=object),
+            "subject_id": np.asarray(out_subj, dtype=object),
+            "t": np.asarray(out_t, dtype=np.int64),
+            "value_e6": np.asarray(out_v, dtype=np.int64),
+        }
+    )
+
+
+def lttb_downsample(sf_dir: str) -> pd.DataFrame:
+    """[graft] LTTB visual downsample to 12 points per series — the
+    third leg of the downsample trio (M4 pixel-exact, PAA segments,
+    LTTB shape-preserving). One conversation-salted exchange, then a
+    per-series sequential bucket walk whose argmax is exact integer
+    arithmetic; the oracle unrolls the walk as chained window CTEs
+    (same technique as the k-means oracle)."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_lttb_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id", "t"]).reset_index(
+        drop=True
+    )

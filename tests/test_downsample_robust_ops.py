@@ -132,3 +132,67 @@ def test_bigrams_match_oracle(ray_session):
     n = t.num_rows
     n_convs = len(np.unique(t.column("user_id").to_numpy()))
     assert int(got["n_pairs"].sum()) == n - n_convs
+
+
+def test_lttb_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import LTTB_K, lttb_downsample
+
+    got = lttb_downsample(SF)
+    want = _oracle("lttb_downsample")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+    # every long series is reduced to exactly K points, first and last
+    # always kept; short series pass through whole
+    sizes = got.groupby(["parameter_id", "subject_id"])["t"].agg(["size", "min", "max"])
+    assert (sizes["size"] <= LTTB_K).all()
+    assert (sizes["min"] == 1).all()
+
+
+def test_lttb_brute_force_parity():
+    """The partition kernel vs a literal per-series reimplementation of
+    the LTTB walk on random integer series (exercises bucket math,
+    anchor selection and tie-breaks without Ray)."""
+    from ctas_ray.pipelines.queries import LTTB_K, _lttb_partition
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for sid in range(12):
+        n = int(rng.integers(3, 60))
+        for i in range(n):
+            rows.append(
+                ("p", sid, np.datetime64("2024-01-01", "us") + i * 1000000, i,
+                 float(rng.integers(0, 500)) / 100.0)
+            )
+    part = pd.DataFrame(rows, columns=["event_type", "user_id", "ts", "event_id", "value"])
+    got = _lttb_partition(part).sort_values(["subject_id", "t"]).reset_index(drop=True)
+
+    def brute(vq):
+        n = len(vq)
+        K, B = LTTB_K, LTTB_K - 2
+        if n <= K:
+            return list(range(1, n + 1))
+        sel = [1]
+        xa, ya = 1, int(vq[0])
+        for b in range(B):
+            ts_in = [t for t in range(2, n) if ((t - 2) * B) // (n - 2) == b]
+            if b < B - 1:
+                nxt = [t for t in range(2, n) if ((t - 2) * B) // (n - 2) == b + 1]
+                sx, sy, cnt = sum(nxt), sum(int(vq[t - 1]) for t in nxt), len(nxt)
+            else:
+                sx, sy, cnt = n, int(vq[-1]), 1
+            best, best_a = None, -1
+            for t in ts_in:
+                yb = int(vq[t - 1])
+                a = abs(xa * (cnt * yb - sy) + t * (sy - cnt * ya) + sx * (ya - yb))
+                if a > best_a:
+                    best, best_a = t, a
+            sel.append(best)
+            xa, ya = best, int(vq[best - 1])
+        sel.append(n)
+        return sel
+
+    for sid, grp in part.groupby("user_id"):
+        vq = np.floor(grp.sort_values("event_id")["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        want_t = brute(vq)
+        got_t = got[got["subject_id"] == str(sid)]["t"].tolist()
+        assert got_t == want_t, (sid, got_t, want_t)
