@@ -191,6 +191,11 @@ def main() -> None:
         timed("tfidf_top_terms", lambda: q.tfidf_top_terms(sf_dir))
         timed("event_cooccurrence", lambda: q.event_cooccurrence(sf_dir))
         timed("window_funnel", lambda: q.window_funnel(sf_dir))
+        # downsample trio + robust fences (round-2 final session)
+        timed("m4_downsample", lambda: q.m4_downsample(sf_dir))
+        timed("lttb_downsample", lambda: q.lttb_downsample(sf_dir))
+        timed("paa_downsample", lambda: q.paa_downsample(sf_dir))
+        timed("mad_outlier_flags", lambda: q.mad_outlier_flags(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(
