@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_bigram_counts": q.event_bigram_counts,
         # LTTB shape-preserving downsample (unrolled-walk oracle) — hash-verified
         "lttb_downsample": q.lttb_downsample,
+        # Mann-Whitney U site screen (frequency-map ranks) — hash-verified
+        "mannwhitney_u_by_site": q.mannwhitney_u_by_site,
     }
 
 
@@ -1923,4 +1925,23 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2 ORDER BY 1, 2""",
         # LTTB shape-preserving downsample, walk unrolled as window CTEs
         "lttb_downsample": lttb_sql(12),
+        # Mann-Whitney doubled rank sums: a tie group at ranks [c+1,c+t]
+        # has first+last = 2*RANK() + tc - 1 = 2*midrank, so u2 = 2*U
+        # is exact int64 on both sides
+        "mannwhitney_u_by_site": """
+    WITH v AS (
+      SELECT event_type, user_id % 12 AS site,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, site,
+             RANK() OVER (PARTITION BY event_type ORDER BY vq) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type, vq) AS tc
+      FROM v
+    )
+    SELECT event_type AS parameter_id, CAST(site AS BIGINT) AS site,
+           COUNT(*) AS n_site,
+           CAST(SUM(2 * rk + tc - 1) - COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS u2
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     }

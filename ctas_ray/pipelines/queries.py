@@ -3360,3 +3360,73 @@ def lttb_downsample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["parameter_id", "subject_id", "t"]).reset_index(
         drop=True
     )
+
+
+def _mwu_param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-parameter Mann-Whitney rank sums from the (site, vq, cnt)
+    frequency distribution. Midranks in doubled-integer space: a tie
+    group occupying ranks [c+1, c+t] has first+last = 2c + t + 1 =
+    2*midrank, so every quantity stays exact int64. u2 = 2*U where
+    U = R_site - n_site*(n_site+1)/2."""
+    et = g["event_type"].iloc[0]
+    dist = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+    v = dist["vq"].to_numpy(dtype=np.int64)
+    t = dist["cnt"].to_numpy(dtype=np.int64)
+    cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
+    midrank2 = 2 * cum_before + t + 1
+    mr = pd.DataFrame({"vq": v, "midrank2": midrank2})
+    d = g.merge(mr, on="vq", how="left")
+    d["r2"] = d["cnt"].to_numpy(np.int64) * d["midrank2"].to_numpy(np.int64)
+    out = (
+        d.groupby("site", as_index=False)
+        .agg(n_site=("cnt", "sum"), r2=("r2", "sum"))
+    )
+    n = out["n_site"].to_numpy(np.int64)
+    out["u2"] = out["r2"].to_numpy(np.int64) - n * (n + 1)
+    return pd.DataFrame(
+        {
+            "parameter_id": np.full(len(out), et, dtype=object),
+            "site": out["site"].to_numpy(np.int64),
+            "n_site": n,
+            "u2": out["u2"].to_numpy(np.int64),
+        }
+    )
+
+
+def mannwhitney_u_by_site(sf_dir: str) -> pd.DataFrame:
+    """[graft] Mann-Whitney U rank statistic per (parameter, site) —
+    the nonparametric sibling of the reference's KS site screen
+    (R/ctas.R:301-379 compares site vs reference distributions; MWU
+    ranks give a location-shift test over the same split). Computed
+    the 100-TB way: the exchange carries only (parameter, site,
+    quantized-value, count) frequency partials — rows never re-shuffle
+    — then one tiny per-parameter kernel derives global midranks from
+    the cumulative distribution and per-site rank sums from the
+    partials. Doubled midranks keep everything exact int64 (u2 = 2*U;
+    int64-safe while points-per-parameter * n_site < 4.6e18)."""
+    ev = _events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "site", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "site": (b["user_id"].to_numpy(dtype=np.int64) % 12),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return (
+            d.groupby(["event_type", "site", "vq"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_mwu_param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "site"]).reset_index(drop=True)

@@ -196,3 +196,39 @@ def test_lttb_brute_force_parity():
         want_t = brute(vq)
         got_t = got[got["subject_id"] == str(sid)]["t"].tolist()
         assert got_t == want_t, (sid, got_t, want_t)
+
+
+def test_mannwhitney_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import mannwhitney_u_by_site
+
+    got = mannwhitney_u_by_site(SF)
+    want = _oracle("mannwhitney_u_by_site")
+    _assert_frames_equal(got, want)
+    assert len(got) > 0
+
+
+def test_mannwhitney_matches_scipy_semantics():
+    """u2/2 equals the classic U statistic computed by brute-force pair
+    counting (greater=1, tie=0.5) for each (parameter, site) split —
+    pins midrank/tie handling without scipy."""
+    import pyarrow.parquet as pq
+    from ctas_ray.pipelines.queries import mannwhitney_u_by_site
+
+    got = mannwhitney_u_by_site(SF).set_index(["parameter_id", "site"])
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "user_id", "value"]
+    ).to_pandas()
+    t = t[t["value"].notna()]
+    t["site"] = t["user_id"].astype(np.int64) % 12
+    t["vq"] = np.floor(t["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    rng = np.random.default_rng(0)
+    params = t["event_type"].unique()
+    for p in sorted(params)[:2]:  # two params suffice; O(n^2) per site
+        sub = t[t["event_type"] == p]
+        for site in sorted(sub["site"].unique())[:4]:
+            x = sub.loc[sub["site"] == site, "vq"].to_numpy()
+            y = sub.loc[sub["site"] != site, "vq"].to_numpy()
+            gt = (x[:, None] > y[None, :]).sum()
+            eq = (x[:, None] == y[None, :]).sum()
+            u = gt + 0.5 * eq
+            assert got.loc[(p, site), "u2"] == 2 * u, (p, site)
