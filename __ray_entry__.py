@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lttb_downsample": q.lttb_downsample,
         # Mann-Whitney U site screen (frequency-map ranks) — hash-verified
         "mannwhitney_u_by_site": q.mannwhitney_u_by_site,
+        # site x hour-of-day usage profile (pure combiner) — hash-verified
+        "site_hourly_profile": q.site_hourly_profile,
+        # exact 5%-trimmed totals per parameter — hash-verified
+        "trimmed_mean_by_parameter": q.trimmed_mean_by_parameter,
     }
 
 
@@ -1944,4 +1948,28 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_site,
            CAST(SUM(2 * rk + tc - 1) - COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS u2
     FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+        "site_hourly_profile": """
+    SELECT user_id % 12 AS site,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_e6
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # exact trimmed totals: drop exactly k = n//20 lowest- and
+        # highest-RANKED points; under ties every dropped rank holds
+        # the same quantized value, so the totals are deterministic
+        "trimmed_mean_by_parameter": """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id,
+           COUNT(*) AS trimmed_n,
+           CAST(SUM(vq) AS BIGINT) AS trimmed_sum_e6
+    FROM v WHERE rn > n // 20 AND rn <= n - n // 20
+    GROUP BY 1 ORDER BY 1""",
     }

@@ -3430,3 +3430,91 @@ def mannwhitney_u_by_site(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["parameter_id", "site"]).reset_index(drop=True)
+
+
+def site_hourly_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Site x hour-of-day activity profile (the usage-pattern
+    screen for systematic site effects, e.g. batch-entered data showing
+    up as single-hour spikes). Pure combiner: per-batch (site, hour)
+    partials, tiny final merge — no row ever re-shuffles."""
+    ev = _events(sf_dir, ["ts", "user_id", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["site", "hour", "n", "sum_e6"])
+        d = pd.DataFrame(
+            {
+                "site": b["user_id"].to_numpy(dtype=np.int64) % 12,
+                "hour": b["ts"]
+                .astype("datetime64[us]")
+                .dt.hour.to_numpy(dtype=np.int64),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        out = d.groupby(["site", "hour"], sort=False).agg(
+            n=("vq", "size"), sum_e6=("vq", "sum")
+        )
+        return out.reset_index()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby(["site", "hour"], as_index=False)[["n", "sum_e6"]].sum()
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_e6"] = out["sum_e6"].astype(np.int64)
+    return out.sort_values(["site", "hour"]).reset_index(drop=True)
+
+
+def _trimmed_param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact 5%-trimmed totals from the value-frequency distribution:
+    drop exactly k = n // 20 lowest-ranked and k highest-ranked points.
+    Trimming by rank over a sorted multiset is value-deterministic
+    under ties (every dropped rank holds the same vq), so the integer
+    totals match any rank-ordered oracle bit-for-bit."""
+    et = g["event_type"].iloc[0]
+    d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+    v = d["vq"].to_numpy(dtype=np.int64)
+    c = d["cnt"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    k = n // 20
+    cum = np.cumsum(c)
+    cum_before = cum - c
+    # kept count per distinct value: overlap of [cum_before, cum) with [k, n-k)
+    kept = np.minimum(cum, n - k) - np.maximum(cum_before, k)
+    kept = np.clip(kept, 0, None)
+    return pd.DataFrame(
+        {
+            "parameter_id": [et],
+            "trimmed_n": [int(kept.sum())],
+            "trimmed_sum_e6": [int((kept * v).sum())],
+        }
+    )
+
+
+def trimmed_mean_by_parameter(sf_dir: str) -> pd.DataFrame:
+    """[graft] Exact 5%-trimmed totals per parameter (robust location,
+    companion to the MAD fences). Same scale shape as mad/MWU: only
+    the (parameter, quantized value, count) frequency map crosses the
+    wire; the trim walk runs on the tiny distribution."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_trimmed_param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
