@@ -166,6 +166,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_hourly_profile": q.site_hourly_profile,
         # exact 5%-trimmed totals per parameter — hash-verified
         "trimmed_mean_by_parameter": q.trimmed_mean_by_parameter,
+        # trapezoid time-weighted average per series — hash-verified
+        "time_weighted_avg": q.time_weighted_avg,
+        # Theil-Sen robust slope (doubled-median pairwise) — hash-verified
+        "theil_sen_slope": q.theil_sen_slope,
+        # longest increasing/constant run per series — hash-verified
+        "longest_run_stats": q.longest_run_stats,
+        # exact NTILE(10) decile totals per parameter — hash-verified
+        "value_decile_totals": q.value_decile_totals,
     }
 
 
@@ -1972,4 +1980,110 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(vq) AS BIGINT) AS trimmed_sum_e6
     FROM v WHERE rn > n // 20 AND rn <= n - n // 20
     GROUP BY 1 ORDER BY 1""",
+        # trapezoid integral totals: values quantized e3 (so the pair
+        # term (vq_i + vq_j) * dt_us stays deep inside int64), LEAD
+        # pairs within each (parameter, subject) series; the consumer
+        # divides num / (2 * span)
+        "time_weighted_avg": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, user_id, vq, tus,
+             LEAD(vq) OVER w AS vq2, LEAD(tus) OVER w AS tus2
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_points,
+           CAST(COALESCE(SUM((vq + vq2) * (tus2 - tus)), 0) AS BIGINT)
+               AS twa_num_e3us,
+           MAX(tus) - MIN(tus) AS span_us
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+        # Theil-Sen: pairwise slopes quantized to e6-per-second via an
+        # IEEE-identical chain (exact int -> double, one correctly-
+        # rounded divide, FLOOR(+0.5)); MEDIAN(2 * sq) is the exact
+        # doubled-integer median on both sides
+        "theil_sen_slope": """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT a.event_type, a.user_id,
+             CAST(FLOOR(CAST((b.vq - a.vq) * 1000000 AS DOUBLE)
+                        / (b.tus - a.tus) + 0.5) AS BIGINT) AS sq
+      FROM v a JOIN v b ON a.event_type = b.event_type
+                       AND a.user_id = b.user_id AND b.tus > a.tus
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_pairs, CAST(MEDIAN(2 * sq) AS BIGINT) AS slope_med2
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+        # gaps-and-islands: island id = windowed SUM of break flags,
+        # longest run = MAX island size per series
+        "longest_run_stats": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    l AS (
+      SELECT *, LAG(vq) OVER w AS pv
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    ),
+    f AS (
+      SELECT *,
+             CASE WHEN pv IS NULL OR vq <= pv THEN 1 ELSE 0 END AS brk_inc,
+             CASE WHEN pv IS NULL OR vq != pv THEN 1 ELSE 0 END AS brk_eq
+      FROM l
+    ),
+    g AS (
+      SELECT event_type, user_id,
+             SUM(brk_inc) OVER w AS isl_inc, SUM(brk_eq) OVER w AS isl_eq
+      FROM f WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    ),
+    inc AS (
+      SELECT event_type, user_id, MAX(c) AS longest_inc FROM (
+        SELECT event_type, user_id, isl_inc, COUNT(*) AS c
+        FROM g GROUP BY 1, 2, 3) GROUP BY 1, 2
+    ),
+    eq AS (
+      SELECT event_type, user_id, MAX(c) AS longest_const FROM (
+        SELECT event_type, user_id, isl_eq, COUNT(*) AS c
+        FROM g GROUP BY 1, 2, 3) GROUP BY 1, 2
+    )
+    SELECT v.event_type AS parameter_id,
+           CAST(v.user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_points,
+           CAST(MAX(longest_inc) AS BIGINT) AS longest_inc,
+           CAST(MAX(longest_const) AS BIGINT) AS longest_const
+    FROM v JOIN inc ON v.event_type = inc.event_type
+                   AND v.user_id = inc.user_id
+           JOIN eq ON v.event_type = eq.event_type
+                  AND v.user_id = eq.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # NTILE totals are tie-deterministic: tied rows share a vq, so
+        # per-decile counts/sums don't depend on the tiebreak
+        "value_decile_totals": """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, vq,
+             NTILE(10) OVER (PARTITION BY event_type ORDER BY vq) AS decile
+      FROM v
+    )
+    SELECT event_type AS parameter_id, CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS sum_e6
+    FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -3518,3 +3518,237 @@ def trimmed_mean_by_parameter(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def _twa_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Time-weighted-average trapezoid totals per (parameter, subject),
+    segment-vectorized. Values quantized to e3 (not e6) so the worst
+    pair term (vq_i + vq_{i+1}) * dt_us stays far inside int64:
+    2 * max|vq3| * series_span_us <= 2 * 5e5 * 2.6e12 ~ 2.6e18.
+    The trapezoid integral is num / (2 * span) in (value, us) units;
+    emitting the integer numerator and denominator keeps the contract
+    hash exact — division happens on the consumer side."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "n_points": np.empty(0, np.int64),
+                "twa_num_e3us": np.empty(0, np.int64),
+                "span_us": np.empty(0, np.int64),
+            }
+        )
+    vq = _scaled_int(g["value"].to_numpy(dtype=np.float64), scale=1e3)
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    # pair contribution at i covers (i, i+1); zero across series breaks
+    w = np.zeros(len(g), dtype=np.int64)
+    if len(g) > 1:
+        same = ~change[1:]
+        w[:-1] = np.where(same, (vq[:-1] + vq[1:]) * (tus[1:] - tus[:-1]), 0)
+    num = np.add.reduceat(w, starts)
+    return pd.DataFrame(
+        {
+            "parameter_id": et[starts],
+            "subject_id": uid[starts].astype(str),
+            "n_points": (ends - starts).astype(np.int64),
+            "twa_num_e3us": num,
+            "span_us": tus[ends - 1] - tus[starts],
+        }
+    )
+
+
+def time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """[graft] Time-weighted average per (parameter, subject) series —
+    the irregular-sampling-correct mean (a plain AVG over-weights burst
+    periods; trapezoid integration weights each value by the time it
+    was 'in effect'). One salted exchange, then segment-vectorized
+    trapezoid sums; integer numerator/denominator keep it hash-exact
+    against a LEAD-window SQL oracle."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_twa_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _theil_sen_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Theil-Sen robust slope per (parameter, subject): doubled-integer
+    median of FLOOR(dv_e6 * 1e6 / dt_us + 0.5) over all pairs with
+    strictly increasing timestamps. Every step is IEEE-identical to the
+    SQL oracle: int64 products < 2^53 convert to double exactly, the
+    divide is correctly rounded in both engines, and doubling the
+    median keeps even-count interpolation exact. O(n_pairs) per series
+    is bounded because series are per-(subject, parameter)."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    rows = []
+    for (et, uid), s in g.groupby(["event_type", "user_id"], sort=False):
+        vq = _scaled_int(s["value"].to_numpy(dtype=np.float64))
+        tus = s["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        i, j = np.triu_indices(len(s), k=1)
+        dt = tus[j] - tus[i]
+        keep = dt > 0
+        if not keep.any():
+            continue
+        dv = (vq[j] - vq[i])[keep] * np.int64(1_000_000)
+        sq = np.floor(dv.astype(np.float64) / dt[keep].astype(np.float64) + 0.5)
+        sq = np.sort(sq.astype(np.int64))
+        n = len(sq)
+        med2 = 2 * sq[n // 2] if n % 2 else sq[n // 2 - 1] + sq[n // 2]
+        rows.append((et, str(uid), n, med2))
+    return pd.DataFrame(
+        rows or None,
+        columns=["parameter_id", "subject_id", "n_pairs", "slope_med2"],
+    ).astype({"n_pairs": np.int64, "slope_med2": np.int64})
+
+
+def theil_sen_slope(sf_dir: str) -> pd.DataFrame:
+    """[graft] Theil-Sen estimator per series — the robust trend screen
+    (median of pairwise slopes shrugs off the outliers that wreck the
+    OLS trend in activity_trend). slope_med2 is 2 * median of the
+    e6-per-second-quantized slope."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_theil_sen_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _runs_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Longest strictly-increasing and longest constant run (in points)
+    per series, via the vectorized last-reset-index trick: runlen_i =
+    i - last_break_at_or_before_i + 1, maxed per series with reduceat.
+    Exact integer comparisons on e6-quantized values."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "n_points": np.empty(0, np.int64),
+                "longest_inc": np.empty(0, np.int64),
+                "longest_const": np.empty(0, np.int64),
+            }
+        )
+    vq = _scaled_int(g["value"].to_numpy(dtype=np.float64))
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    idx = np.arange(n, dtype=np.int64)
+
+    def longest(brk: np.ndarray) -> np.ndarray:
+        last = np.maximum.accumulate(np.where(brk, idx, np.int64(0)))
+        return np.maximum.reduceat(idx - last + 1, starts)
+
+    brk_inc = change.copy()
+    brk_const = change.copy()
+    brk_inc[1:] |= ~(vq[1:] > vq[:-1])
+    brk_const[1:] |= vq[1:] != vq[:-1]
+    return pd.DataFrame(
+        {
+            "parameter_id": et[starts],
+            "subject_id": uid[starts].astype(str),
+            "n_points": (ends - starts).astype(np.int64),
+            "longest_inc": longest(brk_inc),
+            "longest_const": longest(brk_const),
+        }
+    )
+
+
+def longest_run_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Longest strictly-increasing and longest constant run per
+    series — run-length screens for stuck sensors (constant runs) and
+    monotone drift (increasing runs); the gaps-and-islands SQL oracle
+    re-derives both with LAG + windowed SUM islands."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_runs_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _decile_param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-parameter NTILE(10) totals from the (vq, cnt) frequency
+    distribution: decile d (0-based) spans global ranks [lo_d, hi_d)
+    with the first n%10 deciles one element larger (SQL NTILE
+    semantics); each distinct value contributes the overlap of its
+    rank interval. Tied rows are interchangeable, so the per-decile
+    counts and sums are deterministic regardless of how NTILE breaks
+    ties inside a value group."""
+    et = g["event_type"].iloc[0]
+    d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+    v = d["vq"].to_numpy(dtype=np.int64)
+    c = d["cnt"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    q, rem = divmod(n, 10)
+    sizes = np.full(10, q, dtype=np.int64)
+    sizes[:rem] += 1
+    hi = np.cumsum(sizes)
+    lo = hi - sizes
+    cum = np.cumsum(c)
+    cum_before = cum - c
+    rows = []
+    for dec in range(10):
+        kept = np.minimum(cum, hi[dec]) - np.maximum(cum_before, lo[dec])
+        kept = np.clip(kept, 0, None)
+        if sizes[dec] == 0:
+            continue
+        rows.append((et, dec + 1, int(kept.sum()), int((kept * v).sum())))
+    return pd.DataFrame(
+        rows, columns=["parameter_id", "decile", "n", "sum_e6"]
+    ).astype({"decile": np.int64, "n": np.int64, "sum_e6": np.int64})
+
+
+def value_decile_totals(sf_dir: str) -> pd.DataFrame:
+    """[graft] Exact per-decile counts and sums per parameter (the
+    distribution profile the drift and MWU screens read). Same
+    frequency-map exchange as trimmed_mean/mad: only (parameter, vq,
+    cnt) partials shuffle; the decile walk runs on the tiny per-
+    parameter distribution and reproduces SQL NTILE totals exactly."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_decile_param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "decile"]).reset_index(drop=True)
