@@ -174,6 +174,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_run_stats": q.longest_run_stats,
         # exact NTILE(10) decile totals per parameter — hash-verified
         "value_decile_totals": q.value_decile_totals,
+        # Mann-Kendall monotone-trend pair counts — hash-verified
+        "mann_kendall_s": q.mann_kendall_s,
+        # Gopher/C4-style quality gates over documents — hash-verified
+        "doc_quality_verdict": q.doc_quality_verdict,
+        # TPC-H Q17-shaped small-quantity revenue by brand — hash-verified
+        "tpch_small_quantity_revenue": q.tpch_small_quantity_revenue,
     }
 
 
@@ -2086,4 +2092,64 @@ def oracle_sql() -> dict[str, str]:
     SELECT event_type AS parameter_id, CAST(decile AS BIGINT) AS decile,
            COUNT(*) AS n, CAST(SUM(vq) AS BIGINT) AS sum_e6
     FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
+        # Mann-Kendall: concordant minus discordant sign count over
+        # (ts, event_id)-ordered pairs; rn comparison reproduces the
+        # engine's pair ordering exactly (ties in ts broken by event_id)
+        "mann_kendall_s": """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT a.event_type AS parameter_id,
+           CAST(a.user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN b.vq > a.vq THEN 1
+                         WHEN b.vq < a.vq THEN -1 ELSE 0 END) AS BIGINT)
+               AS mk_s
+    FROM v a JOIN v b ON a.event_type = b.event_type
+                     AND a.user_id = b.user_id AND b.rn > a.rn
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # quality gates on the repetition signals; cross-multiplied
+        # integer thresholds (ratio > 1/8 => 8*top > n, < 1/3 => 3*dw < n)
+        "doc_quality_verdict": """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c
+           FROM (SELECT doc_id, UNNEST(words) AS word FROM w) GROUP BY 1, 2),
+    wt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  COUNT(*) AS n_distinct_words, MAX(c) AS top_word_count
+           FROM wc GROUP BY 1),
+    f AS (
+      SELECT doc_id,
+             CAST(n_words < 20 AS BIGINT) AS f_short,
+             CAST(8 * top_word_count > n_words AS BIGINT) AS f_top_word,
+             CAST(3 * n_distinct_words < n_words AS BIGINT) AS f_low_distinct
+      FROM wt
+    )
+    SELECT doc_id, f_short, f_top_word, f_low_distinct,
+           CAST(f_short + f_top_word + f_low_distinct = 0 AS BIGINT) AS keep
+    FROM f ORDER BY doc_id""",
+        # Q17 shape: revenue from lineitems with quantity below 20% of
+        # the part average; the gate is cross-multiplied so both sides
+        # compare exact int64 (5 * q * cnt < sum)
+        "tpch_small_quantity_revenue": """
+    WITH lq AS (
+      SELECT l_partkey,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q_e2,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_e2
+      FROM lineitem
+    ),
+    ag AS (
+      SELECT l_partkey, CAST(SUM(q_e2) AS BIGINT) AS sum_q,
+             COUNT(*) AS cnt
+      FROM lq GROUP BY 1
+    )
+    SELECT p_brand, COUNT(*) AS n_small,
+           CAST(SUM(price_e2) AS BIGINT) AS revenue_e2
+    FROM lq JOIN ag USING (l_partkey)
+            JOIN part ON p_partkey = l_partkey
+    WHERE 5 * q_e2 * cnt < sum_q
+    GROUP BY 1 ORDER BY 1""",
     }

@@ -3752,3 +3752,171 @@ def value_decile_totals(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["parameter_id", "decile"]).reset_index(drop=True)
+
+
+def _mann_kendall_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Mann-Kendall S = sum of sign(vq_j - vq_i) over all (ts, event_id)-
+    ordered pairs per series — the nonparametric monotone-trend count
+    (concordant minus discordant pairs). Pure integer arithmetic."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    rows = []
+    for (et, uid), s in g.groupby(["event_type", "user_id"], sort=False):
+        vq = _scaled_int(s["value"].to_numpy(dtype=np.float64))
+        i, j = np.triu_indices(len(s), k=1)
+        sgn = np.sign(vq[j] - vq[i]).astype(np.int64)
+        rows.append((et, str(uid), len(i), int(sgn.sum())))
+    return pd.DataFrame(
+        rows or None,
+        columns=["parameter_id", "subject_id", "n_pairs", "mk_s"],
+    ).astype({"n_pairs": np.int64, "mk_s": np.int64})
+
+
+def mann_kendall_s(sf_dir: str) -> pd.DataFrame:
+    """[graft] Mann-Kendall trend statistic per series — the rank-based
+    companion of theil_sen_slope (S > 0 means predominantly rising).
+    Same salted single exchange; the pair walk stays inside each
+    bounded per-(subject, parameter) series."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_mann_kendall_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def doc_quality_verdict(sf_dir: str) -> pd.DataFrame:
+    """[graft] Gopher/C4-style document quality gating: integer rule
+    flags (too few words, dominant top word, low distinct-word ratio)
+    and the keep verdict, derived from the repetition signals
+    (stages/text_analysis.py:repetition_stats_batch). Cross-multiplied
+    integer thresholds keep the verdict hash-exact vs the SQL oracle:
+    ratio > 1/8 becomes 8 * top > n, ratio < 1/3 becomes 3 * distinct
+    < n. One pass over documents, no shuffle."""
+    from ..stages.text_analysis import repetition_stats_batch
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        r = repetition_stats_batch(b)
+        n = r["n_words"].to_numpy(np.int64)
+        top = r["top_word_count"].to_numpy(np.int64)
+        dw = r["n_distinct_words"].to_numpy(np.int64)
+        f_short = (n < 20).astype(np.int64)
+        f_top = (8 * top > n).astype(np.int64)
+        f_low_distinct = (3 * dw < n).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": r["doc_id"].to_numpy(np.int64),
+                "f_short": f_short,
+                "f_top_word": f_top,
+                "f_low_distinct": f_low_distinct,
+                "keep": ((f_short + f_top + f_low_distinct) == 0).astype(np.int64),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(verdict, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def tpch_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q17-shaped "small-quantity revenue" pattern:
+    revenue from lineitems whose quantity is below 20% of their part's
+    average, grouped by brand. The per-part averages are a combiner
+    pre-aggregate (per-batch partials, one small groupby -> one row per
+    part), broadcast once via ray.put; the fact table is then scanned
+    exactly once more with a vectorized searchsorted lookup. The gate
+    q < 0.2 * avg is cross-multiplied to 5 * q * cnt < sum so every
+    comparison is exact int64."""
+    import ray
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def part_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"].to_numpy(np.int64),
+                "q": _scaled_int(b["l_quantity"].to_numpy(np.float64), 100.0),
+            }
+        )
+        out = d.groupby("l_partkey", sort=False)["q"].agg(["sum", "size"])
+        out = out.reset_index().rename(columns={"sum": "sum_q", "size": "cnt"})
+        out["sum_q"] = out["sum_q"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    def part_total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", as_index=False)[["sum_q", "cnt"]].sum()
+        out["sum_q"] = out["sum_q"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    # only the per-block partials shuffle (<= one row per part per
+    # block); the driver receives exactly one row per part
+    totals = (
+        _lineitem(sf_dir, ["l_partkey", "l_quantity"])
+        .map_batches(part_partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .map_groups(part_total, batch_format="pandas")
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    brand = (
+        read_parquet_clean(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    lut = pd.DataFrame(
+        {
+            "pk": totals["l_partkey"].to_numpy(np.int64),
+            "sum_q": totals["sum_q"].to_numpy(np.int64),
+            "cnt": totals["cnt"].to_numpy(np.int64),
+        }
+    ).merge(
+        pd.DataFrame(
+            {
+                "pk": brand["p_partkey"].to_numpy(np.int64),
+                "brand": brand["p_brand"].to_numpy(),
+            }
+        ),
+        on="pk",
+        how="inner",
+    )
+    lut_ref = ray.put(
+        (
+            lut["pk"].to_numpy(np.int64),
+            lut["sum_q"].to_numpy(np.int64),
+            lut["cnt"].to_numpy(np.int64),
+            lut["brand"].to_numpy(),
+        )
+    )
+
+    def brand_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pk_s, sum_s, cnt_s, brand_s = ray.get(lut_ref)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(pk_s, pk)
+        pos = np.clip(pos, 0, len(pk_s) - 1)
+        hit = pk_s[pos] == pk
+        q = _scaled_int(b["l_quantity"].to_numpy(np.float64), 100.0)
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        small = hit & (5 * q * cnt_s[pos] < sum_s[pos])
+        if not small.any():
+            return pd.DataFrame(columns=["p_brand", "n_small", "revenue_e2"])
+        d = pd.DataFrame({"p_brand": brand_s[pos[small]], "price": price[small]})
+        out = d.groupby("p_brand", sort=False)["price"].agg(["size", "sum"])
+        out = out.reset_index().rename(
+            columns={"size": "n_small", "sum": "revenue_e2"}
+        )
+        return out
+
+    parts = (
+        _lineitem(sf_dir, cols)
+        .map_batches(brand_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("p_brand", as_index=False)[["n_small", "revenue_e2"]].sum()
+    out["n_small"] = out["n_small"].astype(np.int64)
+    out["revenue_e2"] = out["revenue_e2"].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)

@@ -163,3 +163,52 @@ def test_trimmed_kernel_tie_split():
     out = _trimmed_param_kernel(g)
     assert int(out["trimmed_n"].iloc[0]) == 36
     assert int(out["trimmed_sum_e6"].iloc[0]) == 1 + int(np.arange(2, 37).sum())
+
+
+def _oracle_multi(name: str) -> pd.DataFrame:
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(e.oracle_sql()[name]).fetchdf()
+
+
+def test_mann_kendall_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import mann_kendall_s
+
+    got = mann_kendall_s(SF)
+    _assert_frames_equal(got, _oracle("mann_kendall_s"))
+    # |S| is bounded by the pair count
+    assert (got["mk_s"].abs() <= got["n_pairs"]).all()
+
+
+def test_mann_kendall_kernel_monotone():
+    from ctas_ray.pipelines.queries import _mann_kendall_partition
+
+    up = _mann_kendall_partition(_series_frame(np.arange(8), np.arange(8.0)))
+    assert int(up["mk_s"].iloc[0]) == 8 * 7 // 2  # all concordant
+    flat = _mann_kendall_partition(_series_frame(np.arange(8), np.ones(8)))
+    assert int(flat["mk_s"].iloc[0]) == 0
+
+
+def test_doc_quality_verdict_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import doc_quality_verdict
+
+    got = doc_quality_verdict(SF)
+    _assert_frames_equal(got, _oracle_multi("doc_quality_verdict"))
+    # verdict is consistent with the flags, and the gates actually fire
+    flagged = got[["f_short", "f_top_word", "f_low_distinct"]].sum(axis=1)
+    assert ((got["keep"] == 1) == (flagged == 0)).all()
+    assert got["keep"].sum() < len(got)
+
+
+def test_tpch_q17_matches_oracle(ray_session):
+    from ctas_ray.pipelines.queries import tpch_small_quantity_revenue
+
+    got = tpch_small_quantity_revenue(SF)
+    _assert_frames_equal(got, _oracle_multi("tpch_small_quantity_revenue"))
+    assert len(got) > 0
+    assert (got["revenue_e2"] > 0).all()
