@@ -180,6 +180,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_verdict": q.doc_quality_verdict,
         # TPC-H Q17-shaped small-quantity revenue by brand — hash-verified
         "tpch_small_quantity_revenue": q.tpch_small_quantity_revenue,
+        # Spearman rank-dependence between transcript channels — hash-verified
+        "spearman_channel_ranks": q.spearman_channel_ranks,
+        # per-series sampling-gap QA profile — hash-verified
+        "sampling_gap_profile": q.sampling_gap_profile,
+        # Benford first-digit data-integrity screen — hash-verified
+        "benford_first_digit": q.benford_first_digit,
+        # peak/trough/median-crossing oscillation screen — hash-verified
+        "series_shape_stats": q.series_shape_stats,
+        # SAX symbolization over global-quartile breakpoints — hash-verified
+        "sax_symbols": q.sax_symbols,
+        # GROUPING SETS hierarchy totals from one fact scan — hash-verified
+        "regional_rollup_totals": q.regional_rollup_totals,
+        # top-10 subject concentration per parameter — hash-verified
+        "pareto_topk_share": q.pareto_topk_share,
+        # site x parameter contingency with margins — hash-verified
+        "site_parameter_contingency": q.site_parameter_contingency,
     }
 
 
@@ -2152,4 +2168,219 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON p_partkey = l_partkey
     WHERE 5 * q_e2 * cnt < sum_q
     GROUP BY 1 ORDER BY 1""",
+        # Spearman partials: doubled midranks (2*RANK + ties - 1 =
+        # first_rank + last_rank) of both channels at turns 2..n; the
+        # emitted rank-product sums are exact int64 on both sides
+        "spearman_channel_ranks": """
+    WITH t AS (
+      SELECT user_id,
+             CAST(COALESCE(LENGTH(props), 0) AS BIGINT) AS text_len,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS lat
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (SELECT user_id, text_len, lat FROM t WHERE rn > 1),
+    r AS (
+      SELECT user_id,
+             2 * RANK() OVER (PARTITION BY user_id ORDER BY text_len)
+               + COUNT(*) OVER (PARTITION BY user_id, text_len) - 1 AS d2x,
+             2 * RANK() OVER (PARTITION BY user_id ORDER BY lat)
+               + COUNT(*) OVER (PARTITION BY user_id, lat) - 1 AS d2y
+      FROM p
+    )
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(d2x * d2y) AS BIGINT) AS sxy2,
+           CAST(SUM(d2x * d2x) AS BIGINT) AS sxx2,
+           CAST(SUM(d2y * d2y) AS BIGINT) AS syy2
+    FROM r GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        # gap profile: LEAD gaps within each (parameter, subject) series;
+        # SUM(gap) telescopes to the span, MEDIAN(2*gap) is the exact
+        # doubled-integer median (avg of two ints stays integral)
+        "sampling_gap_profile": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, user_id,
+             LEAD(tus) OVER w - tus AS gap
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(gap) AS BIGINT) AS span_us,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(MEDIAN(2 * gap) AS BIGINT) AS med2_gap_us
+    FROM p GROUP BY 1, 2 HAVING COUNT(gap) >= 1 ORDER BY 1, 2""",
+        # Benford: first decimal digit of the e6-quantized absolute
+        # value by exact integer string math; zeros have no first
+        # significant digit and are excluded on both sides
+        "benford_first_digit": """
+    WITH v AS (
+      SELECT event_type,
+             ABS(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS av
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id,
+           CAST(substr(CAST(av AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           COUNT(*) AS n
+    FROM v WHERE av > 0 GROUP BY 1, 2 ORDER BY 1, 2""",
+        # shape stats: strict LAG/LEAD peak tests; crossings = sign
+        # changes of 2*vq - med2 over nonzero signs only (points on the
+        # median neither cross nor break a run)
+        "series_shape_stats": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, user_id, CAST(MEDIAN(2 * vq) AS BIGINT) AS med2,
+             COUNT(*) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT v.*, LAG(vq) OVER w AS pv, LEAD(vq) OVER w AS nv
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    ),
+    pk AS (
+      SELECT event_type, user_id,
+             SUM(CASE WHEN vq > pv AND vq > nv THEN 1 ELSE 0 END) AS n_peaks,
+             SUM(CASE WHEN vq < pv AND vq < nv THEN 1 ELSE 0 END) AS n_troughs
+      FROM l GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT v.event_type, v.user_id, v.tus, v.event_id,
+             CASE WHEN 2 * vq > med2 THEN 1 ELSE -1 END AS sgn
+      FROM v JOIN m USING (event_type, user_id)
+      WHERE 2 * vq != med2
+    ),
+    c AS (
+      SELECT event_type, user_id, sgn,
+             LAG(sgn) OVER (PARTITION BY event_type, user_id
+                            ORDER BY tus, event_id) AS ps
+      FROM s
+    ),
+    x AS (
+      SELECT event_type, user_id,
+             SUM(CASE WHEN ps IS NOT NULL AND sgn != ps THEN 1 ELSE 0 END)
+                 AS n_crossings
+      FROM c GROUP BY 1, 2
+    )
+    SELECT m.event_type AS parameter_id,
+           CAST(m.user_id AS VARCHAR) AS subject_id,
+           m.n AS n_points,
+           CAST(COALESCE(pk.n_peaks, 0) AS BIGINT) AS n_peaks,
+           CAST(COALESCE(pk.n_troughs, 0) AS BIGINT) AS n_troughs,
+           CAST(COALESCE(x.n_crossings, 0) AS BIGINT) AS n_crossings
+    FROM m
+    LEFT JOIN pk ON m.event_type = pk.event_type AND m.user_id = pk.user_id
+    LEFT JOIN x ON m.event_type = x.event_type AND m.user_id = x.user_id
+    WHERE m.n >= 3
+    ORDER BY 1, 2""",
+        # SAX: quadrupled type-7 quartiles by rank selection (f4 =
+        # (p*(n-1)) % 4 makes 4*Q integral), then PAA segments labeled
+        # by the cross-multiplied comparison 4*sum > q4 * n
+        "sax_symbols": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id, ts,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_type, vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ks AS (
+      SELECT d.event_type, d.n, t.p,
+             (t.p * (d.n - 1)) // 4 AS lo,
+             ((t.p * (d.n - 1)) + 3) // 4 AS hi,
+             (t.p * (d.n - 1)) % 4 AS f4
+      FROM (SELECT DISTINCT event_type, n FROM o) d
+      CROSS JOIN (VALUES (1), (2), (3)) t(p)
+    ),
+    qq AS (
+      SELECT k.event_type, k.p, 4 * a.vq + k.f4 * (b.vq - a.vq) AS q4
+      FROM ks k
+      JOIN o a ON a.event_type = k.event_type AND a.rn = k.lo + 1
+      JOIN o b ON b.event_type = k.event_type AND b.rn = k.hi + 1
+    ),
+    seg AS (
+      SELECT event_type, user_id,
+             (ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY ts, event_id) - 1) // 8 AS seg,
+             vq
+      FROM v
+    ),
+    ss AS (
+      SELECT event_type, user_id, seg, COUNT(*) AS n,
+             CAST(SUM(vq) AS BIGINT) AS s
+      FROM seg GROUP BY 1, 2, 3
+    )
+    SELECT ss.event_type AS parameter_id,
+           CAST(ss.user_id AS VARCHAR) AS subject_id,
+           CAST(ss.seg AS BIGINT) AS seg, ss.n AS n,
+           CAST(SUM(CASE WHEN 4 * ss.s > qq.q4 * ss.n THEN 1 ELSE 0 END)
+                AS BIGINT) AS symbol
+    FROM ss JOIN qq ON ss.event_type = qq.event_type
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""",
+        # GROUPING SETS hierarchy: nation / region / grand total
+        "regional_rollup_totals": """
+    WITH o AS (
+      SELECT n_name, r_name,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS p_e2
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT CASE WHEN GROUPING(n_name) = 0 THEN 'nation'
+                WHEN GROUPING(r_name) = 0 THEN 'region'
+                ELSE 'all' END AS lvl,
+           COALESCE(CASE WHEN GROUPING(n_name) = 0 THEN n_name
+                         ELSE r_name END, '*') AS grp_key,
+           COUNT(*) AS n_orders,
+           CAST(SUM(p_e2) AS BIGINT) AS revenue_e2
+    FROM o GROUP BY GROUPING SETS ((n_name), (r_name), ())
+    ORDER BY 1, 2""",
+        # Pareto concentration: top-10 subjects by total quantized
+        # value per parameter (ties by user_id asc) plus the total
+        "pareto_topk_share": """
+    WITH s AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS us
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY us DESC, user_id) AS rnk,
+             SUM(us) OVER (PARTITION BY event_type) AS tot
+      FROM s
+    )
+    SELECT event_type AS parameter_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(user_id AS VARCHAR) AS subject_id,
+           us AS user_sum_e6, CAST(tot AS BIGINT) AS total_e6
+    FROM r WHERE rnk <= 10 ORDER BY 1, 2""",
+        # contingency with margins; expected counts are the consumer's
+        # one multiply away (site_n * param_n / grand_n)
+        "site_parameter_contingency": """
+    WITH c AS (
+      SELECT user_id % 12 AS site, event_type AS parameter_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT site, parameter_id, n,
+           CAST(SUM(n) OVER (PARTITION BY site) AS BIGINT) AS site_n,
+           CAST(SUM(n) OVER (PARTITION BY parameter_id) AS BIGINT) AS param_n,
+           CAST(SUM(n) OVER () AS BIGINT) AS grand_n
+    FROM c ORDER BY 1, 2""",
     }

@@ -3920,3 +3920,507 @@ def tpch_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
     out["n_small"] = out["n_small"].astype(np.int64)
     out["revenue_e2"] = out["revenue_e2"].astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def _spearman_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Spearman partials per conversation: doubled midranks of the two
+    transcript channels (text_len, turn_latency_us) at turns 2..n, and
+    the exact int64 sums the consumer needs for rho
+    (sxy2 / sqrt(sxx2 * syy2) after centering). Doubled midranks
+    (first_rank + last_rank of the tie group) are exact integers, so
+    every emitted column is immune to float summation order."""
+    g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": np.empty(0, object),
+                "n_pairs": np.empty(0, np.int64),
+                "sxy2": np.empty(0, np.int64),
+                "sxx2": np.empty(0, np.int64),
+                "syy2": np.empty(0, np.int64),
+            }
+        )
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    ts_us = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    text_len = g["props"].fillna("").astype(str).str.len().to_numpy(dtype=np.int64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    rows = []
+    for s, e in zip(starts, ends):
+        if e - s < 3:
+            continue
+        x = text_len[s + 1 : e]
+        y = ts_us[s + 1 : e] - ts_us[s : e - 1]
+        # doubled midrank = 2 * average rank; average ranks are k/2 with
+        # k an exact small integer, so the float detour is lossless
+        d2x = (pd.Series(x).rank(method="average").to_numpy() * 2).astype(np.int64)
+        d2y = (pd.Series(y).rank(method="average").to_numpy() * 2).astype(np.int64)
+        rows.append(
+            (
+                "u" + str(uid[s]),
+                np.int64(len(x)),
+                int((d2x * d2y).sum()),
+                int((d2x * d2x).sum()),
+                int((d2y * d2y).sum()),
+            )
+        )
+    return pd.DataFrame(
+        rows or None, columns=["conv_id", "n_pairs", "sxy2", "sxx2", "syy2"]
+    ).astype(
+        {"n_pairs": np.int64, "sxy2": np.int64, "sxx2": np.int64, "syy2": np.int64}
+    )
+
+
+def spearman_channel_ranks(sf_dir: str) -> pd.DataFrame:
+    """[graft] Rank (Spearman) dependence between the two transcript
+    channels per conversation — the robust sibling of
+    channel_correlation (Pearson), insensitive to latency outliers.
+    Emits exact integer rank-product partials; rho is one float divide
+    away for the consumer and both sides of the oracle agree on every
+    int64 column bit-for-bit."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "user_id", "props"]))
+        .groupby("part")
+        .map_groups(_spearman_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _gap_profile_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-series sampling-gap profile: n_points, span, max gap and the
+    doubled-integer median gap over consecutive (ts, event_id)-ordered
+    non-null points. Series with < 2 points emit nothing."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "n_points": np.empty(0, np.int64),
+                "span_us": np.empty(0, np.int64),
+                "max_gap_us": np.empty(0, np.int64),
+                "med2_gap_us": np.empty(0, np.int64),
+            }
+        )
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    rows = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        gaps = np.sort(tus[s + 1 : e] - tus[s : e - 1])
+        m = len(gaps)
+        med2 = 2 * gaps[m // 2] if m % 2 else gaps[m // 2 - 1] + gaps[m // 2]
+        rows.append(
+            (
+                et[s],
+                str(uid[s]),
+                np.int64(e - s),
+                int(tus[e - 1] - tus[s]),
+                int(gaps[-1]),
+                int(med2),
+            )
+        )
+    return pd.DataFrame(
+        rows or None,
+        columns=[
+            "parameter_id",
+            "subject_id",
+            "n_points",
+            "span_us",
+            "max_gap_us",
+            "med2_gap_us",
+        ],
+    ).astype(
+        {
+            "n_points": np.int64,
+            "span_us": np.int64,
+            "max_gap_us": np.int64,
+            "med2_gap_us": np.int64,
+        }
+    )
+
+
+def sampling_gap_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Irregular-sampling QA per series: observation count,
+    covered span, worst gap and median gap between consecutive
+    measurements — the input-side screen that tells gap-fill (F10) and
+    the time-weighted average which series need them. All columns exact
+    int64 (doubled-integer median)."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_gap_profile_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def benford_first_digit(sf_dir: str) -> pd.DataFrame:
+    """[graft] First-significant-digit counts per parameter (Benford's
+    law screen for fabricated or batch-entered values — a classic
+    data-integrity check in the reference's domain). The digit is taken
+    from the decimal string of the e6-quantized absolute value, so both
+    engines derive it by exact integer string math. Pure combiner: no
+    row re-shuffles."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["parameter_id", "digit", "n"])
+        av = np.abs(_scaled_int(b["value"].to_numpy()))
+        keep = av > 0
+        if not keep.any():
+            return pd.DataFrame(columns=["parameter_id", "digit", "n"])
+        digit = (
+            pd.Series(av[keep]).astype(str).str[0].to_numpy(dtype=np.int64)
+        )
+        d = pd.DataFrame(
+            {"parameter_id": b["event_type"].to_numpy()[keep], "digit": digit}
+        )
+        out = d.groupby(["parameter_id", "digit"], sort=False).size().rename("n")
+        return out.reset_index()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby(["parameter_id", "digit"], as_index=False)["n"].sum()
+    out["digit"] = out["digit"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["parameter_id", "digit"]).reset_index(drop=True)
+
+
+def _shape_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-series oscillation shape: strict local peaks/troughs and
+    median-crossing counts. Crossings are sign changes of
+    2*vq - med2 over the NONZERO signs only (points exactly on the
+    median neither cross nor break a run) — the tie rule both engines
+    implement identically in integers."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "n_points": np.empty(0, np.int64),
+                "n_peaks": np.empty(0, np.int64),
+                "n_troughs": np.empty(0, np.int64),
+                "n_crossings": np.empty(0, np.int64),
+            }
+        )
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    vq = _scaled_int(g["value"].to_numpy(dtype=np.float64))
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    rows = []
+    for s, e in zip(starts, ends):
+        if e - s < 3:
+            continue
+        v = vq[s:e]
+        sv = np.sort(v)
+        m = len(sv)
+        med2 = 2 * sv[m // 2] if m % 2 else sv[m // 2 - 1] + sv[m // 2]
+        peaks = int(np.count_nonzero((v[1:-1] > v[:-2]) & (v[1:-1] > v[2:])))
+        troughs = int(np.count_nonzero((v[1:-1] < v[:-2]) & (v[1:-1] < v[2:])))
+        sgn = np.sign(2 * v - med2)
+        sgn = sgn[sgn != 0]
+        crossings = int(np.count_nonzero(sgn[1:] != sgn[:-1]))
+        rows.append((et[s], str(uid[s]), np.int64(e - s), peaks, troughs, crossings))
+    return pd.DataFrame(
+        rows or None,
+        columns=[
+            "parameter_id",
+            "subject_id",
+            "n_points",
+            "n_peaks",
+            "n_troughs",
+            "n_crossings",
+        ],
+    ).astype(
+        {
+            "n_points": np.int64,
+            "n_peaks": np.int64,
+            "n_troughs": np.int64,
+            "n_crossings": np.int64,
+        }
+    )
+
+
+def series_shape_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Oscillation-shape screen per series: strict local
+    peak/trough counts and median-crossing counts — separates noisy
+    oscillating series (many crossings, many peaks) from drifting ones
+    (few crossings) far more cheaply than spectral methods, and the
+    whole statistic is exact integer comparisons on e6-quantized
+    values."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_shape_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _quartiles_q4(g: pd.DataFrame) -> pd.DataFrame:
+    """Quadrupled type-7 quartiles (p = 1/4, 2/4, 3/4) of a weighted
+    integer distribution. h = p*(n-1)/4 has fractional part in
+    {0, 1/4, 1/2, 3/4}, so 4*Q = 4*v[lo] + f4*(v[hi] - v[lo]) with
+    f4 = (p*(n-1)) % 4 is always an exact int64."""
+    et = g["event_type"].iloc[0]
+    d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+    v = d["vq"].to_numpy(dtype=np.int64)
+    c = d["cnt"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def at(rank0: int) -> int:  # 0-indexed order statistic
+        return int(v[np.searchsorted(cum, rank0 + 1)])
+
+    rows = []
+    for p in (1, 2, 3):
+        t = p * (n - 1)
+        lo, hi, f4 = t // 4, -(-t // 4), t % 4
+        a, b = at(lo), at(hi)
+        rows.append((et, p, 4 * a + f4 * (b - a)))
+    return pd.DataFrame(rows, columns=["event_type", "p", "q4"]).astype(
+        {"p": np.int64, "q4": np.int64}
+    )
+
+
+def sax_symbols(sf_dir: str) -> pd.DataFrame:
+    """[graft] SAX symbolization (Lin et al. 2003) completing the
+    downsample family: PAA segments (8 turns) mapped to a 4-letter
+    alphabet by the parameter's GLOBAL quartiles. Two streaming passes:
+    (1) a (parameter, vq, count) frequency-map exchange yields exact
+    quadrupled type-7 quartile breakpoints per parameter; (2) the PAA
+    segment partials are labeled by a broadcast lookup — symbol =
+    #{j : segment mean > Q_j}, cross-multiplied to 4*sum > q4_j * n so
+    the whole operator is exact int64 end to end."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    qs = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_quartiles_q4, batch_format="pandas")
+        .to_pandas()
+    )
+    q4_by_param: dict[str, np.ndarray] = {
+        et: g.sort_values("p")["q4"].to_numpy(np.int64)
+        for et, g in qs.groupby("event_type")
+    }
+
+    def symbolize(seg: pd.DataFrame) -> pd.DataFrame:
+        if len(seg) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "subject_id", "seg", "n", "symbol"]
+            )
+        s = seg["sum_e6"].to_numpy(np.int64)
+        n = seg["n"].to_numpy(np.int64)
+        sym = np.zeros(len(seg), dtype=np.int64)
+        for j in range(3):
+            q4j = (
+                seg["parameter_id"]
+                .map({k: v[j] for k, v in q4_by_param.items()})
+                .to_numpy(dtype=np.int64)
+            )
+            sym += (4 * s > q4j * n).astype(np.int64)
+        out = seg[["parameter_id", "subject_id", "seg", "n"]].copy()
+        out["symbol"] = sym
+        return out
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(_paa_partition, batch_format="pandas")
+        .map_batches(symbolize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id", "seg"]).reset_index(
+        drop=True
+    )
+
+
+def regional_rollup_totals(sf_dir: str) -> pd.DataFrame:
+    """[graft] Hierarchical (GROUPING SETS) order-revenue totals at the
+    nation, region and grand-total levels in ONE fact scan: the
+    dimension chain customer -> nation -> region broadcasts as lookup
+    arrays, the scan emits per-batch nation partials, and the coarser
+    levels are derived from the tiny nation table — never by
+    re-scanning the fact. The exact pattern a 100-TB cube build uses."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust_nat = np.full(int(cust["c_custkey"].max()) + 1, -1, dtype=np.int64)
+    cust_nat[cust["c_custkey"].to_numpy(np.int64)] = cust["c_nationkey"].to_numpy(
+        np.int64
+    )
+    cn_ref = ray.put(cust_nat)
+
+    def nation_partials(b: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cn_ref)
+        natk = cn[b["o_custkey"].to_numpy(np.int64)]
+        d = pd.DataFrame(
+            {
+                "natk": natk,
+                "p_e2": _scaled_int(b["o_totalprice"].to_numpy(np.float64), 100.0),
+            }
+        )
+        out = d.groupby("natk", sort=False)["p_e2"].agg(["size", "sum"])
+        return out.reset_index().rename(columns={"size": "n", "sum": "rev"})
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(nation_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    nat = parts.groupby("natk", as_index=False)[["n", "rev"]].sum()
+    nat = nat.merge(
+        nation[["n_nationkey", "n_name", "n_regionkey"]],
+        left_on="natk",
+        right_on="n_nationkey",
+    ).merge(region[["r_regionkey", "r_name"]], left_on="n_regionkey",
+            right_on="r_regionkey")
+    reg = nat.groupby("r_name", as_index=False)[["n", "rev"]].sum()
+    rows = [("nation", nm, n, r) for nm, n, r in
+            zip(nat["n_name"], nat["n"], nat["rev"])]
+    rows += [("region", nm, n, r) for nm, n, r in
+             zip(reg["r_name"], reg["n"], reg["rev"])]
+    rows += [("all", "*", int(nat["n"].sum()), int(nat["rev"].sum()))]
+    out = pd.DataFrame(rows, columns=["lvl", "grp_key", "n_orders", "revenue_e2"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue_e2"] = out["revenue_e2"].astype(np.int64)
+    return out.sort_values(["lvl", "grp_key"]).reset_index(drop=True)
+
+
+def _pareto_param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge per-batch (user, sum) partials of one parameter, rank by
+    (sum desc, user asc) and keep the top 10 with the parameter total."""
+    et = g["event_type"].iloc[0]
+    m = g.groupby("uid", as_index=False)["s"].sum()
+    uid = m["uid"].to_numpy(np.int64)
+    s = m["s"].to_numpy(np.int64)
+    total = int(s.sum())
+    order = np.lexsort((uid, -s))[:10]
+    return pd.DataFrame(
+        {
+            "parameter_id": et,
+            "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
+            "subject_id": uid[order].astype(str),
+            "user_sum_e6": s[order],
+            "total_e6": np.int64(total),
+        }
+    )
+
+
+def pareto_topk_share(sf_dir: str) -> pd.DataFrame:
+    """[graft] Concentration screen: the 10 subjects contributing the
+    most total (e6-quantized) value per parameter, with the parameter
+    total — the Pareto/Gini-style input for "does one site/subject
+    dominate this signal?". Only per-batch (parameter, user, sum)
+    partials shuffle; the per-parameter kernel ranks the merged sums
+    and the driver receives 10 rows per parameter."""
+    ev = _events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "uid", "s"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "uid": b["user_id"].to_numpy(np.int64),
+                "s": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return (
+            d.groupby(["event_type", "uid"], sort=False)["s"].sum().reset_index()
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_pareto_param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "rnk"]).reset_index(drop=True)
+
+
+def site_parameter_contingency(sf_dir: str) -> pd.DataFrame:
+    """[graft] Site x parameter contingency table with margins — the
+    exact-integer input to a chi-square "does this site have an unusual
+    measurement mix?" screen (the consumer computes expected counts
+    from the margins; emitting counts keeps the table hash-exact).
+    Pure combiner: per-batch (site, parameter) partials, tiny merge."""
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "site": b["user_id"].to_numpy(np.int64) % 12,
+                "parameter_id": b["event_type"].to_numpy(),
+            }
+        )
+        return (
+            d.groupby(["site", "parameter_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    cell = parts.groupby(["site", "parameter_id"], as_index=False)["n"].sum()
+    site_n = cell.groupby("site")["n"].sum()
+    param_n = cell.groupby("parameter_id")["n"].sum()
+    grand = int(cell["n"].sum())
+    out = pd.DataFrame(
+        {
+            "site": cell["site"].astype(np.int64),
+            "parameter_id": cell["parameter_id"],
+            "n": cell["n"].astype(np.int64),
+            "site_n": cell["site"].map(site_n).astype(np.int64),
+            "param_n": cell["parameter_id"].map(param_n).astype(np.int64),
+            "grand_n": np.int64(grand),
+        }
+    )
+    return out.sort_values(["site", "parameter_id"]).reset_index(drop=True)
