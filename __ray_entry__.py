@@ -196,6 +196,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_topk_share": q.pareto_topk_share,
         # site x parameter contingency with margins — hash-verified
         "site_parameter_contingency": q.site_parameter_contingency,
+        # consecutive-pair slope extrema (velocity screen) — hash-verified
+        "slope_extrema": q.slope_extrema,
+        # per-(parameter, day) accrual curve with running totals — hash-verified
+        "daily_cumulative_totals": q.daily_cumulative_totals,
+        # winsorized (P5/P95-clamped) robust totals — hash-verified
+        "winsorized_totals": q.winsorized_totals,
+        # lineage time-travel: pre-ingest snapshot recovery — hash-verified
+        "rollup_1m_timetravel": q.rollup_1m_timetravel,
     }
 
 
@@ -2383,4 +2391,109 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(n) OVER (PARTITION BY parameter_id) AS BIGINT) AS param_n,
            CAST(SUM(n) OVER () AS BIGINT) AS grand_n
     FROM c ORDER BY 1, 2""",
+        # consecutive-pair slope extrema; the quantized-slope chain is
+        # IEEE-identical to the engine (exact int -> double, one
+        # correctly-rounded divide, FLOOR(+0.5)); zero-dt pairs dropped
+        "slope_extrema": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, user_id, vq, tus,
+             LEAD(vq) OVER w AS vq2, LEAD(tus) OVER w AS tus2
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    ),
+    s AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(CAST((vq2 - vq) * 1000000 AS DOUBLE)
+                        / (tus2 - tus) + 0.5) AS BIGINT) AS sq
+      FROM p WHERE tus2 > tus
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_steps,
+           CAST(MAX(sq) AS BIGINT) AS max_slope_q,
+           CAST(MIN(sq) AS BIGINT) AS min_slope_q
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        # accrual curve: per-(parameter, day) totals + running sums
+        "daily_cumulative_totals": """
+    WITH v AS (
+      SELECT event_type,
+             (CAST(epoch_us(ts) AS BIGINT) // 86400000000) * 86400000000
+                 AS day_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type AS parameter_id, day_us, COUNT(*) AS n,
+             CAST(SUM(vq) AS BIGINT) AS sum_e6
+      FROM v GROUP BY 1, 2
+    )
+    SELECT parameter_id, day_us, n, sum_e6,
+           CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+           CAST(SUM(sum_e6) OVER w AS BIGINT) AS cum_sum_e6
+    FROM d WINDOW w AS (PARTITION BY parameter_id ORDER BY day_us)
+    ORDER BY 1, 2""",
+        # winsorized totals: 20-fold type-7 P5/P95 by rank selection
+        # (f20 = (p*(n-1)) % 20 makes 20*Q integral), clamp in the
+        # 20-scaled integer domain
+        "winsorized_totals": """
+    WITH v AS (
+      SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_type, vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ks AS (
+      SELECT d.event_type, d.n, t.p,
+             (t.p * (d.n - 1)) // 20 AS lo,
+             ((t.p * (d.n - 1)) + 19) // 20 AS hi,
+             (t.p * (d.n - 1)) % 20 AS f20
+      FROM (SELECT DISTINCT event_type, n FROM o) d
+      CROSS JOIN (VALUES (1), (19)) t(p)
+    ),
+    qq AS (
+      SELECT k.event_type, k.p, 20 * a.vq + k.f20 * (b.vq - a.vq) AS w20
+      FROM ks k
+      JOIN o a ON a.event_type = k.event_type AND a.rn = k.lo + 1
+      JOIN o b ON b.event_type = k.event_type AND b.rn = k.hi + 1
+    ),
+    w AS (
+      SELECT event_type,
+             MAX(CASE WHEN p = 1 THEN w20 END) AS w_lo,
+             MAX(CASE WHEN p = 19 THEN w20 END) AS w_hi
+      FROM qq GROUP BY 1
+    )
+    SELECT v.event_type AS parameter_id, COUNT(*) AS n,
+           CAST(MAX(w.w_lo) AS BIGINT) AS winsor_lo_e6_x20,
+           CAST(MAX(w.w_hi) AS BIGINT) AS winsor_hi_e6_x20,
+           CAST(SUM(CASE WHEN 20 * v.vq < w.w_lo THEN w.w_lo
+                         WHEN 20 * v.vq > w.w_hi THEN w.w_hi
+                         ELSE 20 * v.vq END) AS BIGINT) AS winsor_sum_e6_x20
+    FROM v JOIN w ON v.event_type = w.event_type
+    GROUP BY 1 ORDER BY 1""",
+        # time-travel: the pre-ingest snapshot equals the rollup of the
+        # early half (exact doubled-median timestamp cut; 2*epoch_us
+        # stays under 2^52 so the MEDIAN detour through DOUBLE is exact)
+        "rollup_1m_timetravel": f"""
+    WITH early AS (
+      SELECT * FROM events
+      WHERE 2 * epoch_us(ts) <=
+            (SELECT CAST(MEDIAN(2 * epoch_us(ts)) AS BIGINT) FROM events)
+    ),{turns_cte.replace("FROM events", "FROM early")}
+    SELECT conv_id, channel, (ts_us // 60000000) * 60000000 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val,
+           CAST(arg_min(v, turn_ix) AS BIGINT) AS first_val,
+           CAST(arg_max(v, turn_ix) AS BIGINT) AS last_val
+    FROM chan GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     }

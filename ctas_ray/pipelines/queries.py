@@ -4424,3 +4424,245 @@ def site_parameter_contingency(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["site", "parameter_id"]).reset_index(drop=True)
+
+
+def _slope_extrema_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Max/min consecutive-pair slope per series, e6-per-second
+    quantized through the same IEEE-identical chain as theil_sen
+    (exact int -> double, one correctly-rounded divide, FLOOR(+0.5)).
+    Zero-dt pairs (equal timestamps) are excluded on both sides."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "n_steps": np.empty(0, np.int64),
+                "max_slope_q": np.empty(0, np.int64),
+                "min_slope_q": np.empty(0, np.int64),
+            }
+        )
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(dtype=np.int64)
+    vq = _scaled_int(g["value"].to_numpy(dtype=np.float64))
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    n = len(g)
+    same = np.zeros(n - 1, dtype=bool) if n > 1 else np.empty(0, bool)
+    if n > 1:
+        same = (et[1:] == et[:-1]) & (uid[1:] == uid[:-1])
+    dt = tus[1:] - tus[:-1]
+    keep = same & (dt > 0)
+    if not keep.any():
+        return _slope_extrema_partition(g.iloc[:0])
+    dv = (vq[1:] - vq[:-1])[keep].astype(np.float64) * 1e6
+    sq = np.floor(dv / dt[keep].astype(np.float64) + 0.5).astype(np.int64)
+    d = pd.DataFrame(
+        {"parameter_id": et[1:][keep], "subject_id": uid[1:][keep].astype(str),
+         "sq": sq}
+    )
+    out = d.groupby(["parameter_id", "subject_id"], sort=False)["sq"].agg(
+        n_steps="size", max_slope_q="max", min_slope_q="min"
+    )
+    out = out.reset_index()
+    out["n_steps"] = out["n_steps"].astype(np.int64)
+    return out
+
+
+def slope_extrema(sf_dir: str) -> pd.DataFrame:
+    """[graft] Rate-of-change extrema per series: the steepest rise and
+    fall between consecutive measurements — the velocity screen that
+    catches physically-impossible jumps (sensor glitches, unit errors)
+    that level-based fences miss. One salted exchange, vectorized
+    consecutive-pair kernel."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_slope_extrema_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def daily_cumulative_totals(sf_dir: str) -> pd.DataFrame:
+    """[graft] Per-(parameter, day) totals with running (cumulative)
+    counts and sums over days — the accrual/enrollment-curve query.
+    Scale shape: per-batch (parameter, day) partials are the only
+    exchange (days x parameters is tiny for any horizon); the running
+    sums are a driver-side cumsum over that tiny frame."""
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["parameter_id", "day_us", "n", "sum_e6"])
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy(),
+                "day_us": (tus // day_us) * day_us,
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        out = d.groupby(["parameter_id", "day_us"], sort=False)["vq"].agg(
+            n="size", sum_e6="sum"
+        )
+        return out.reset_index()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby(["parameter_id", "day_us"], as_index=False)[
+        ["n", "sum_e6"]
+    ].sum()
+    out = out.sort_values(["parameter_id", "day_us"]).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_e6"] = out["sum_e6"].astype(np.int64)
+    out["cum_n"] = out.groupby("parameter_id")["n"].cumsum().astype(np.int64)
+    out["cum_sum_e6"] = (
+        out.groupby("parameter_id")["sum_e6"].cumsum().astype(np.int64)
+    )
+    return out
+
+
+def _winsor_param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Winsorized totals from the value-frequency map: clamp at the
+    exact type-7 P5/P95. h = p*(n-1) has denominator 20, so the
+    20-fold quantiles w20 = 20*v[lo] + f20*(v[hi]-v[lo]) are exact
+    int64 and the clamped total x20 is
+    20*sum(inside) + n_low*w20_lo + n_high*w20_hi."""
+    et = g["event_type"].iloc[0]
+    d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+    v = d["vq"].to_numpy(dtype=np.int64)
+    c = d["cnt"].to_numpy(dtype=np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def at(rank0: int) -> int:
+        return int(v[np.searchsorted(cum, rank0 + 1)])
+
+    def q20(p_num: int) -> int:  # p = p_num / 20
+        t = p_num * (n - 1)
+        lo, hi, f20 = t // 20, -(-t // 20), t % 20
+        a, b = at(lo), at(hi)
+        return 20 * a + f20 * (b - a)
+
+    w_lo, w_hi = q20(1), q20(19)
+    below = 20 * v < w_lo
+    above = 20 * v > w_hi
+    inside = ~below & ~above
+    total_x20 = (
+        int((20 * v[inside] * c[inside]).sum())
+        + int(c[below].sum()) * w_lo
+        + int(c[above].sum()) * w_hi
+    )
+    return pd.DataFrame(
+        {
+            "parameter_id": [et],
+            "n": [n],
+            "winsor_lo_e6_x20": [w_lo],
+            "winsor_hi_e6_x20": [w_hi],
+            "winsor_sum_e6_x20": [total_x20],
+        }
+    ).astype(
+        {
+            "n": np.int64,
+            "winsor_lo_e6_x20": np.int64,
+            "winsor_hi_e6_x20": np.int64,
+            "winsor_sum_e6_x20": np.int64,
+        }
+    )
+
+
+def winsorized_totals(sf_dir: str) -> pd.DataFrame:
+    """[graft] Winsorized (P5/P95-clamped) totals per parameter — the
+    robust-location sibling of trimmed_mean_by_parameter that keeps n
+    constant. Same 100-TB shape as the MAD fences: the exchange
+    carries only the (parameter, value, count) frequency map; the
+    kernel computes exact 20-fold type-7 quantile bounds and the
+    clamped total in pure int64."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    out = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_winsor_param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def rollup_1m_timetravel(sf_dir: str) -> pd.DataFrame:
+    """[graft] Snapshot-isolation check as an external oracle row:
+    roll up the early half of the events (split at the exact doubled
+    median timestamp), fold the late half in with merge-on-read
+    ingest, then TIME-TRAVEL back one snapshot via the lineage chain
+    (pipelines/rollup.py:read_tier_asof) and return that 1m tier. The
+    oracle recomputes the early half direct from raw with the same
+    integer median cut — equality proves the pre-ingest snapshot is
+    still byte-recoverable after ingest (nothing was rewritten)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from .rollup import (
+        ingest_events_increment,
+        read_tier_asof,
+        run_rollup_events,
+    )
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet")
+    ts = (
+        ev["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    st = np.sort(ts)
+    m = len(st)
+    med2 = 2 * st[m // 2] if m % 2 else st[m // 2 - 1] + st[m // 2]
+    early = 2 * ts <= med2
+
+    root = tempfile.mkdtemp(prefix="ctas_tt_")
+    d_old, d_full = os.path.join(root, "old"), os.path.join(root, "full")
+    os.makedirs(d_old)
+    os.makedirs(d_full)
+    pq_.write_table(ev.filter(pa_.array(early)), f"{d_old}/events.parquet")
+    pq_.write_table(ev, f"{d_full}/events.parquet")
+    inc = os.path.join(root, "increment.parquet")
+    pq_.write_table(ev.filter(pa_.array(~early)), inc)
+
+    cfg = RollupConfig()
+    prior = run_rollup_events(d_old, os.path.join(root, "prior"), cfg)
+    merged = ingest_events_increment(
+        d_full, inc, prior, os.path.join(root, "merged"), cfg
+    )
+    t = read_tier_asof(merged, "tier_1m", back=1).to_pandas()
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)

@@ -750,3 +750,26 @@ def read_increment_tier(paths: dict, tier: str) -> rd.Dataset:
 
 def read_increment_blobs(paths: dict) -> rd.Dataset:
     return _resolve_increment(paths["blobs"], BLOB_COLUMNS)
+
+
+def read_tier_asof(paths: dict, tier: str, *, back: int = 0) -> rd.Dataset:
+    """[graft] Time-travel read: resolve a tier as of ``back`` ingests
+    ago (``back=0`` is the current view). Merge-on-read ingest never
+    rewrites the prior store, so the increment chain doubles as a
+    snapshot log — walking ``back`` prior-links recovers any earlier
+    version with zero data copied. A reader can therefore pin a
+    version while ingest keeps appending (snapshot isolation); walking
+    past the chain's origin raises."""
+    import json
+
+    spec = paths[tier]
+    for _ in range(back):
+        if not (isinstance(spec, dict) and "increment_view" in spec):
+            raise ValueError(
+                f"lineage chain for {tier} has fewer than {back} snapshots"
+            )
+        with open(os.path.join(spec["increment_view"], "increment.json")) as f:
+            view = json.load(f)
+        spec = view["prior"][spec["key"]]
+    ds = _resolve_increment(spec, TIER_PARTIAL_COLUMNS)
+    return ds.map_batches(_coerce_partial_types, batch_format="pyarrow")
