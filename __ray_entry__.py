@@ -204,6 +204,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_totals": q.winsorized_totals,
         # lineage time-travel: pre-ingest snapshot recovery — hash-verified
         "rollup_1m_timetravel": q.rollup_1m_timetravel,
+        # per-(parameter, day) P10/P50/P90 bands — hash-verified
+        "daily_value_bands": q.daily_value_bands,
+        # MAD-fence outlier counts per day (alert bursts) — hash-verified
+        "mad_outlier_daily_counts": q.mad_outlier_daily_counts,
+        # Misra-Gries heavy-hitter tokens — rows-only (pytest pins the
+        # sketch guarantee vs exact counts)
+        "heavy_tokens_mg": q.heavy_tokens_mg,
+        # int8-quantized ANN recall vs exact float brute force —
+        # rows-only (pytest pins mean recall)
+        "int8_recall": q.int8_recall,
     }
 
 
@@ -2496,4 +2506,67 @@ def oracle_sql() -> dict[str, str]:
            CAST(arg_min(v, turn_ix) AS BIGINT) AS first_val,
            CAST(arg_max(v, turn_ix) AS BIGINT) AS last_val
     FROM chan GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # daily bands: 10-fold type-7 P10/P50/P90 per (parameter, day)
+        # by rank selection (f10 = (p*(n-1)) % 10 makes 10*Q integral)
+        "daily_value_bands": """
+    WITH v AS (
+      SELECT event_type,
+             (CAST(epoch_us(ts) AS BIGINT) // 86400000000) * 86400000000
+                 AS day_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_type, day_us, vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day_us
+                                ORDER BY vq) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, day_us) AS n
+      FROM v
+    ),
+    ks AS (
+      SELECT d.event_type, d.day_us, d.n, t.p,
+             (t.p * (d.n - 1)) // 10 AS lo,
+             ((t.p * (d.n - 1)) + 9) // 10 AS hi,
+             (t.p * (d.n - 1)) % 10 AS f10
+      FROM (SELECT DISTINCT event_type, day_us, n FROM o) d
+      CROSS JOIN (VALUES (1), (5), (9)) t(p)
+    ),
+    qq AS (
+      SELECT k.event_type, k.day_us, k.n, k.p,
+             10 * a.vq + k.f10 * (b.vq - a.vq) AS q10
+      FROM ks k
+      JOIN o a ON a.event_type = k.event_type AND a.day_us = k.day_us
+              AND a.rn = k.lo + 1
+      JOIN o b ON b.event_type = k.event_type AND b.day_us = k.day_us
+              AND b.rn = k.hi + 1
+    )
+    SELECT event_type AS parameter_id, day_us, MAX(n) AS n,
+           CAST(MAX(CASE WHEN p = 1 THEN q10 END) AS BIGINT) AS p10_x10,
+           CAST(MAX(CASE WHEN p = 5 THEN q10 END) AS BIGINT) AS p50_x10,
+           CAST(MAX(CASE WHEN p = 9 THEN q10 END) AS BIGINT) AS p90_x10
+    FROM qq GROUP BY 1, 2 ORDER BY 1, 2""",
+        # MAD fences (parameter-global) counted per day
+        "mad_outlier_daily_counts": """
+    WITH v AS (
+      SELECT event_type,
+             (CAST(epoch_us(ts) AS BIGINT) // 86400000000) * 86400000000
+                 AS day_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(MEDIAN(2 * vq) AS BIGINT) AS med2
+      FROM v GROUP BY 1
+    ),
+    d AS (
+      SELECT v.event_type,
+             CAST(MEDIAN(2 * ABS(2 * vq - med2)) AS BIGINT) AS mad4
+      FROM v JOIN m USING (event_type) GROUP BY 1
+    )
+    SELECT v.event_type AS parameter_id, v.day_us,
+           CAST(SUM(CASE WHEN 2 * ABS(2 * vq - med2) > 3 * mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+           COUNT(*) AS n_total
+    FROM v JOIN m USING (event_type) JOIN d USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1, 2""",
     }

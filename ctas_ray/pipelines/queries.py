@@ -4666,3 +4666,180 @@ def rollup_1m_timetravel(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
+def _bands_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-(parameter, day) 10-fold type-7 P10/P50/P90 from merged
+    frequency partials; rank selection per group inside the salted
+    partition."""
+    rows = []
+    for (et, day), d in g.groupby(["event_type", "day_us"], sort=False):
+        dd = d.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+        v = dd["vq"].to_numpy(np.int64)
+        c = dd["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def at(rank0: int) -> int:
+            return int(v[np.searchsorted(cum, rank0 + 1)])
+
+        qs = []
+        for p in (1, 5, 9):
+            t = p * (n - 1)
+            lo, hi, f10 = t // 10, -(-t // 10), t % 10
+            a, b = at(lo), at(hi)
+            qs.append(10 * a + f10 * (b - a))
+        rows.append((et, int(day), n, qs[0], qs[1], qs[2]))
+    return pd.DataFrame(
+        rows or None,
+        columns=["parameter_id", "day_us", "n", "p10_x10", "p50_x10", "p90_x10"],
+    ).astype(
+        {"day_us": np.int64, "n": np.int64, "p10_x10": np.int64,
+         "p50_x10": np.int64, "p90_x10": np.int64}
+    )
+
+
+def daily_value_bands(sf_dir: str) -> pd.DataFrame:
+    """[graft] Percentile bands over time: exact 10-fold type-7
+    P10/P50/P90 per (parameter, day) — the dashboard band query and the
+    input to band-breakout alerting. Scale shape: per-batch (parameter,
+    day, value, count) frequency partials are the only exchange; the
+    rank-selection kernel runs per group inside salted partitions."""
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["event_type", "day_us", "vq", "cnt", "part"]
+            )
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "day_us": (tus // day_us) * day_us,
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        out = d.groupby(
+            ["event_type", "day_us", "vq"], sort=False
+        ).size().reset_index(name="cnt")
+        out["part"] = (
+            pd.util.hash_pandas_object(
+                out[["event_type", "day_us"]], index=False
+            ).to_numpy(np.uint64)
+            % np.uint64(32)
+        ).astype(np.int64)
+        return out
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_bands_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "day_us"]).reset_index(drop=True)
+
+
+def mad_outlier_daily_counts(sf_dir: str) -> pd.DataFrame:
+    """[graft] Alert-burst screen composing two proven pieces: the
+    parameter-global MAD fences (frequency-map exchange, exact
+    doubled/quadrupled integer medians) broadcast into a per-batch
+    (parameter, day) outlier/total counter — "which days spiked" for
+    two streaming passes and one tiny exchange."""
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    th = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_mad_thresholds, batch_format="pandas")
+        .to_pandas()
+    )
+    med2 = dict(zip(th["event_type"], th["med2"].astype(np.int64)))
+    mad4 = dict(zip(th["event_type"], th["mad4"].astype(np.int64)))
+
+    def daily(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "day_us", "n_out", "n_total"]
+            )
+        vq = _scaled_int(b["value"].to_numpy())
+        m2 = b["event_type"].map(med2).to_numpy(dtype=np.int64)
+        m4 = b["event_type"].map(mad4).to_numpy(dtype=np.int64)
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy(),
+                "day_us": (tus // day_us) * day_us,
+                "out": (2 * np.abs(2 * vq - m2) > 3 * m4).astype(np.int64),
+            }
+        )
+        g = d.groupby(["parameter_id", "day_us"], sort=False)["out"].agg(
+            n_out="sum", n_total="size"
+        )
+        return g.reset_index()
+
+    parts = ev.map_batches(daily, batch_format="pandas").to_pandas()
+    out = parts.groupby(["parameter_id", "day_us"], as_index=False)[
+        ["n_out", "n_total"]
+    ].sum()
+    out["day_us"] = out["day_us"].astype(np.int64)
+    out["n_out"] = out["n_out"].astype(np.int64)
+    out["n_total"] = out["n_total"].astype(np.int64)
+    return out.sort_values(["parameter_id", "day_us"]).reset_index(drop=True)
+
+
+def heavy_tokens_mg(sf_dir: str) -> pd.DataFrame:
+    """[graft] Misra-Gries heavy-hitter tokens over the document corpus
+    (rows-only driver check: the sketch's guarantee — not its exact
+    kept set — is the contract; pytest pins every true heavy token
+    present and all counts within the two-level-merge error bound)."""
+    from ..stages.sketches import heavy_hitters_mg
+
+    return heavy_hitters_mg(_docs(sf_dir), "text", k=50, tokenize=True)
+
+
+def int8_recall(sf_dir: str) -> pd.DataFrame:
+    """[graft] Recall@k of int8-quantized dot-product search against
+    the exact float brute force (rows-only; pytest pins mean recall).
+    The quantized path is the memory-bandwidth lever: int8 x int8
+    integer scoring moves 4x less data than f64 and is order-identical
+    up to ~1e-2 cosine error."""
+    from ..stages.similarity import int8_topk_cosine, topk_cosine
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    brute = topk_cosine(emb, qids, qvecs, k=TOPK_K, concurrency=2)
+    quant = int8_topk_cosine(emb, qids, qvecs, k=TOPK_K)
+    rows = []
+    for qid in qids:
+        want = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+        got = set(quant.loc[quant["query_id"] == qid, "vec_id"])
+        rows.append(
+            {
+                "query_id": int(qid),
+                "recall_e6": int(
+                    _scaled_int(len(want & got) / max(len(want), 1))
+                ),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)

@@ -16,7 +16,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["topk_cosine", "ivf_topk_cosine", "fit_centroids"]
+__all__ = ["topk_cosine", "ivf_topk_cosine", "fit_centroids", "int8_topk_cosine"]
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -74,6 +74,73 @@ def topk_cosine(
     # global merge: candidates per query = k * n_blocks (small)
     candidates = candidates.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    out = candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
+def _quantize_int8(mat: np.ndarray) -> np.ndarray:
+    """Symmetric int8 quantization of L2-normalized rows: x8 =
+    round(127 * x). Deterministic, per-row error bounded by 1/254 per
+    coordinate."""
+    return np.clip(np.rint(127.0 * _normalize(mat.astype(np.float64))), -127, 127
+                   ).astype(np.int8)
+
+
+def _int8_topk_batch(
+    batch: pd.DataFrame, *, queries_ref, k: int, id_col: str, vec_col: str
+) -> pd.DataFrame:
+    """int8 scoring stage: corpus rows are quantized per batch, the
+    pre-quantized query matrix is broadcast; the score is an integer
+    dot product (int32 accumulate) — 4x less memory traffic than f64
+    and SIMD-friendly, the memory-bound regime's lever at 10^9
+    vectors. Scores are exact integers, so ranking is deterministic."""
+    query_ids, q8 = ray.get(queries_ref)  # q8: (n_q, dim) int8
+    c8 = _quantize_int8(np.stack(batch[vec_col].to_numpy()))
+    scores = c8.astype(np.int32) @ q8.T.astype(np.int32)  # (n_batch, n_q)
+    k = min(k, scores.shape[0])
+    idx = np.argpartition(-scores, kth=k - 1, axis=0)[:k]
+    ids = batch[id_col].to_numpy()
+    out_q, out_id, out_s = [], [], []
+    for qi, qid in enumerate(query_ids):
+        rows = idx[:, qi]
+        out_q.extend([qid] * len(rows))
+        out_id.extend(ids[rows])
+        out_s.extend(scores[rows, qi])
+    return pd.DataFrame({"query_id": out_q, id_col: out_id, "score_i": out_s})
+
+
+def int8_topk_cosine(
+    embeddings: rd.Dataset,
+    query_ids: np.ndarray,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """[graft] Quantized ANN baseline: top-k by int8 x int8 dot product
+    over per-row symmetrically quantized normalized vectors. The
+    integer score preserves cosine order up to quantization error
+    (~1e-2 absolute on the cosine), trading exactness for 4x memory /
+    bandwidth — the standard first rung of a 100-TB embedding-search
+    ladder before PQ/IVF. Deterministic tie-break by ascending id;
+    recall vs the exact float path is pinned by pytest and surfaced by
+    the int8_recall driver row."""
+    import functools
+
+    q8 = _quantize_int8(np.asarray(query_vectors))
+    queries_ref = ray.put((np.asarray(query_ids), q8))
+    candidates = embeddings.map_batches(
+        functools.partial(
+            _int8_topk_batch,
+            queries_ref=queries_ref, k=k, id_col=id_col, vec_col=vec_col,
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    candidates = candidates.sort_values(
+        ["query_id", "score_i", id_col], ascending=[True, False, True],
+        kind="mergesort",
     )
     out = candidates.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount() + 1

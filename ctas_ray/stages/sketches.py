@@ -277,3 +277,69 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 14) -> float:
     for r in parts["regs"]:
         regs = np.maximum(regs, np.asarray(r, dtype=np.int64))
     return hll_estimate(regs)
+
+
+def _mg_summarize(items: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression of an exact (item, count) frequency
+    table to at most k counters: subtract the (k+1)-th largest count
+    from everything, drop non-positive. The classic guarantee follows:
+    every kept counter underestimates the true count by at most
+    total/(k+1), and every item with true count > total/(k+1)
+    survives."""
+    if len(items) <= k:
+        return items, counts
+    order = np.argsort(-counts, kind="mergesort")
+    thresh = counts[order[k]]
+    dec = counts - thresh
+    keep = dec > 0
+    return items[keep], dec[keep]
+
+
+def heavy_hitters_mg(
+    ds: rd.Dataset, col: str, *, k: int = 50, tokenize: bool = False
+) -> "pd.DataFrame":  # noqa: F821
+    """[graft] Misra-Gries heavy hitters over ``ds[col]`` (optionally
+    whitespace-tokenized): per-block MG sketches of k counters merge by
+    summation followed by one more MG compression — a mergeable,
+    bounded-memory alternative to the exact top-k exchange when the
+    vocabulary doesn't fit anywhere. Returns (item, mg_count) with the
+    standard guarantee: mg_count in [true - 2*N/(k+1), true] after a
+    two-level merge, and every item with true count > 2*N/(k+1) is
+    present (pytest pins both).
+
+    Deterministic: per-block tables are exact before compression, and
+    merge order only affects which sub-threshold items drop — the kept
+    counts are order-invariant because summation happens before the
+    final compression."""
+    import pandas as pd
+
+    def sketch(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False)
+        if tokenize:
+            toks: list[str] = []
+            for s in x:
+                if s is not None:
+                    toks.extend(str(s).split())
+            x = np.asarray(toks, dtype=object)
+        if len(x) == 0:
+            return pa.table(
+                {"item": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        items, counts = np.unique(x.astype(str), return_counts=True)
+        items, counts = _mg_summarize(items, counts.astype(np.int64), k)
+        return pa.table(
+            {"item": pa.array(items.astype(str)),
+             "cnt": pa.array(counts, type=pa.int64())}
+        )
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby("item", as_index=False)["cnt"].sum()
+    items, counts = _mg_summarize(
+        merged["item"].to_numpy(object), merged["cnt"].to_numpy(np.int64), k
+    )
+    out = pd.DataFrame({"item": items.astype(str), "mg_count": counts})
+    out["mg_count"] = out["mg_count"].astype(np.int64)
+    return out.sort_values(
+        ["mg_count", "item"], ascending=[False, True]
+    ).reset_index(drop=True)
