@@ -214,6 +214,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8-quantized ANN recall vs exact float brute force —
         # rows-only (pytest pins mean recall)
         "int8_recall": q.int8_recall,
+        # product-quantization codes, integer-exact per subspace — hash-verified
+        "pq_codebook_assignments": q.pq_codebook_assignments,
+        # per-series liveness (last report vs feed head) — hash-verified
+        "stale_series_flags": q.stale_series_flags,
+        # latest value's exact rank within its own history — hash-verified
+        "latest_percentile_rank": q.latest_percentile_rank,
     }
 
 
@@ -570,6 +576,75 @@ def _kmeans_sql(k: int, iters: int) -> str:
     SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
     FROM aF WHERE rk = 1 ORDER BY vec_id""")
     return "WITH " + "".join(parts)
+
+
+def _pq_sql(k: int, iters: int) -> str:
+    """Unrolled product-quantization oracle: the _kmeans_sql chain run
+    independently per contiguous half-subspace (same seeding — the k
+    smallest vec_ids — same exact-integer arithmetic), joined on
+    vec_id. Mirrors stages/clustering.py:pq_assignments exactly."""
+
+    def chain(sfx: str) -> str:
+        parts = [f"""
+    ids{sfx} AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    cent0{sfx} AS (SELECT i.cluster, q.dim, q.qv AS cv
+                   FROM ids{sfx} i JOIN q{sfx} q USING (vec_id))"""]
+        for it in range(iters):
+            parts.append(f""",
+    d{it}{sfx} AS (
+      SELECT q.vec_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM q{sfx} q JOIN cent{it}{sfx} c USING (dim) GROUP BY 1, 2
+    ),
+    a{it}{sfx} AS (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM d{it}{sfx}
+    ),
+    asg{it}{sfx} AS (SELECT vec_id, cluster FROM a{it}{sfx} WHERE rk = 1),
+    cent{it + 1}{sfx} AS (
+      SELECT c.cluster, c.dim,
+             CASE WHEN u.cnt IS NULL THEN c.cv
+                  ELSE (u.s - (((u.s % u.cnt) + u.cnt) % u.cnt)) // u.cnt
+             END AS cv
+      FROM cent{it}{sfx} c LEFT JOIN (
+        SELECT a.cluster, q.dim, SUM(q.qv) AS s, COUNT(*) AS cnt
+        FROM asg{it}{sfx} a JOIN q{sfx} q USING (vec_id) GROUP BY 1, 2
+      ) u ON u.cluster = c.cluster AND u.dim = c.dim
+    )""")
+        parts.append(f""",
+    dF{sfx} AS (
+      SELECT q.vec_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM q{sfx} q JOIN cent{iters}{sfx} c USING (dim) GROUP BY 1, 2
+    ),
+    aF{sfx} AS (
+      SELECT vec_id, cluster, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+      FROM dF{sfx}
+    )""")
+        return "".join(parts)
+
+    return f"""WITH qall AS (
+      SELECT vec_id,
+             UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+                 AS qv
+      FROM embeddings
+    ),
+    h AS (SELECT len(embedding) // 2 AS half FROM embeddings LIMIT 1),
+    qA AS (SELECT vec_id, dim, qv FROM qall, h WHERE dim < half),
+    qB AS (SELECT vec_id, dim - half AS dim, qv FROM qall, h
+           WHERE dim >= half),{chain("A")},{chain("B")}
+    SELECT a.vec_id,
+           CAST(a.cluster AS BIGINT) AS code0,
+           CAST(a.d2 AS BIGINT) AS dist2_0,
+           CAST(b.cluster AS BIGINT) AS code1,
+           CAST(b.d2 AS BIGINT) AS dist2_1
+    FROM aFA a JOIN aFB b USING (vec_id)
+    WHERE a.rk = 1 AND b.rk = 1 ORDER BY a.vec_id"""
 
 
 def _closure_sql() -> str:
@@ -2568,5 +2643,46 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
            COUNT(*) AS n_total
     FROM v JOIN m USING (event_type) JOIN d USING (event_type)
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        "pq_codebook_assignments": _pq_sql(4, 2),
+        # liveness: per-series MAX ts vs the global feed head
+        "stale_series_flags": """
+    WITH v AS (
+      SELECT event_type, user_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+             CAST(MAX(tus) AS BIGINT) AS last_ts_us
+      FROM v GROUP BY 1, 2
+    ),
+    g AS (SELECT CAST(MAX(tus) AS BIGINT) AS gmax FROM v)
+    SELECT parameter_id, subject_id, last_ts_us,
+           g.gmax AS global_max_us,
+           CAST(last_ts_us < g.gmax - 86400000000 AS BIGINT) AS is_stale
+    FROM s, g ORDER BY 1, 2""",
+        # latest value's exact strictly-less / equal counts within the
+        # series' own history (latest by ts desc, event_id desc)
+        "latest_percentile_rank": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, user_id, vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY tus DESC, event_id DESC) AS rn
+      FROM v
+    ),
+    latest AS (SELECT event_type, user_id, vq AS lv FROM r WHERE rn = 1)
+    SELECT v.event_type AS parameter_id,
+           CAST(v.user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_points,
+           CAST(MAX(lv) AS BIGINT) AS latest_e6,
+           CAST(SUM(CASE WHEN vq < lv THEN 1 ELSE 0 END) AS BIGINT) AS n_less,
+           CAST(SUM(CASE WHEN vq = lv THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+    FROM v JOIN latest USING (event_type, user_id)
     GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -4843,3 +4843,137 @@ def int8_recall(sf_dir: str) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
+def pq_codebook_assignments(sf_dir: str) -> pd.DataFrame:
+    """[graft] Product-quantization codes over the embeddings table:
+    two contiguous subspaces, integer-exact k=4 / 2-iteration Lloyd's
+    per subspace (stages/clustering.py:pq_assignments). Hash-verified
+    against the kmeans-style UNROLLED SQL oracle run per subspace —
+    codes AND exact int64 residual distances match bit-for-bit."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.clustering import pq_assignments
+
+    dim = len(
+        pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+    )
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_assignments(emb, dim=dim, k=4, iters=2)
+
+
+def _stale_partition(part: pd.DataFrame) -> pd.DataFrame:
+    g = part[part["value"].notna()]
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "last_ts_us": np.empty(0, np.int64),
+            }
+        )
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    d = pd.DataFrame(
+        {
+            "parameter_id": g["event_type"].to_numpy(),
+            "subject_id": g["user_id"].to_numpy(np.int64).astype(str),
+            "last_ts_us": tus,
+        }
+    )
+    out = d.groupby(["parameter_id", "subject_id"], as_index=False)[
+        "last_ts_us"
+    ].max()
+    out["last_ts_us"] = out["last_ts_us"].astype(np.int64)
+    return out
+
+
+def stale_series_flags(sf_dir: str) -> pd.DataFrame:
+    """[graft] Liveness screen: per series the last observation time,
+    the global maximum observation time, and a staleness flag
+    (last report more than a day behind the feed) — the monitoring
+    query every continuously-ingested store needs. Per-batch max
+    partials only; the global max is a driver-side max of the tiny
+    merged frame."""
+    day_us = np.int64(86_400_000_000)
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_stale_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby(["parameter_id", "subject_id"], as_index=False)[
+        "last_ts_us"
+    ].max()
+    gmax = np.int64(out["last_ts_us"].max())
+    out["last_ts_us"] = out["last_ts_us"].astype(np.int64)
+    out["global_max_us"] = gmax
+    out["is_stale"] = (out["last_ts_us"] < gmax - day_us).astype(np.int64)
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _latest_rank_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Per series: the latest value (by ts, event_id) and its exact
+    position in the series' own history (strictly-less / equal
+    counts) — all integer selections and counts."""
+    g = part[part["value"].notna()].sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "n_points": np.empty(0, np.int64),
+                "latest_e6": np.empty(0, np.int64),
+                "n_less": np.empty(0, np.int64),
+                "n_eq": np.empty(0, np.int64),
+            }
+        )
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(np.int64)
+    vq = _scaled_int(g["value"].to_numpy(np.float64))
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    rows = []
+    for s, e in zip(starts, ends):
+        v = vq[s:e]
+        latest = v[-1]
+        rows.append(
+            (
+                et[s],
+                str(uid[s]),
+                np.int64(e - s),
+                int(latest),
+                int(np.count_nonzero(v < latest)),
+                int(np.count_nonzero(v == latest)),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["parameter_id", "subject_id", "n_points", "latest_e6",
+                 "n_less", "n_eq"],
+    ).astype(
+        {"n_points": np.int64, "latest_e6": np.int64, "n_less": np.int64,
+         "n_eq": np.int64}
+    )
+
+
+def latest_percentile_rank(sf_dir: str) -> pd.DataFrame:
+    """[graft] Where does each series' CURRENT value sit in its own
+    history? Emits the latest value plus exact strictly-less / equal
+    counts — the integer percentile-rank the drift dashboards divide
+    out. One salted exchange, per-segment selections."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_latest_rank_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)

@@ -31,7 +31,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["kmeans_quantized"]
+__all__ = ["kmeans_quantized", "pq_assignments"]
 
 
 def _quantize(col: pd.Series) -> np.ndarray:
@@ -142,4 +142,46 @@ def kmeans_quantized(
         )
 
     out = ds.map_batches(final, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def _slice_vec(ds: rd.Dataset, lo: int, hi: int, vec_col: str) -> rd.Dataset:
+    """Project the embedding column to coordinates [lo, hi) — a
+    stateless per-batch slice, zero shuffle."""
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[vec_col] = [np.asarray(e, dtype=np.float32)[lo:hi] for e in b[vec_col]]
+        return b
+
+    return ds.map_batches(cut, batch_format="pandas")
+
+
+def pq_assignments(
+    ds: rd.Dataset,
+    dim: int,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """[graft] Product-quantization codebook fit + assignment: split the
+    embedding into two contiguous subspaces and run the integer-exact
+    Lloyd's k-means (same discipline as :func:`kmeans_quantized` — e6
+    quantization, exact int64 squared-L2, smallest-index tie-break,
+    floor-divided centroid means) independently in each. The code pair
+    (code0, code1) compresses a vector to 2 * log2(k) bits plus shared
+    codebooks — the standard memory rung below int8 for 10^9-vector ANN.
+    Every step is integer-exact, so the result is VALUE-EXACT against
+    an unrolled SQL oracle. k*iters passes stream; no shuffle."""
+    half = dim // 2
+    a = kmeans_quantized(
+        _slice_vec(ds, 0, half, vec_col), k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    ).rename(columns={"cluster": "code0", "dist2": "dist2_0"})
+    b = kmeans_quantized(
+        _slice_vec(ds, half, dim, vec_col), k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    ).rename(columns={"cluster": "code1", "dist2": "dist2_1"})
+    out = a.merge(b, on=id_col, how="inner")
     return out.sort_values(id_col).reset_index(drop=True)
