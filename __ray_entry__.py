@@ -220,6 +220,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stale_series_flags": q.stale_series_flags,
         # latest value's exact rank within its own history — hash-verified
         "latest_percentile_rank": q.latest_percentile_rank,
+        # CDC last-writer-wins state with delete tombstones — hash-verified
+        "cdc_latest_state": q.cdc_latest_state,
+        # z-order (Morton) multi-dimensional layout keys — hash-verified
+        "morton_layout_keys": q.morton_layout_keys,
+        # top-50 token collocation (document co-occurrence) — hash-verified
+        "token_pair_counts": q.token_pair_counts,
+        # parameter-pair subject-overlap (exact Jaccard partials) — hash-verified
+        "subject_overlap_jaccard": q.subject_overlap_jaccard,
     }
 
 
@@ -2685,4 +2693,61 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(CASE WHEN vq = lv THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
     FROM v JOIN latest USING (event_type, user_id)
     GROUP BY 1, 2 ORDER BY 1, 2""",
+        # CDC: newest op per key wins; null value = DELETE tombstone
+        "cdc_latest_state": """
+    WITH r AS (
+      SELECT event_type, user_id, value,
+             CAST(epoch_us(ts) AS BIGINT) AS tus,
+             ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6,
+           tus AS ts_us
+    FROM r WHERE rn = 1 AND value IS NOT NULL ORDER BY 1, 2""",
+        # Morton interleave of (user_id low16, minute-bucket low16),
+        # unrolled bit ops; bits are disjoint so + composes them
+        "morton_layout_keys": f"""
+    WITH b AS (
+      SELECT event_id,
+             user_id & 65535 AS u,
+             (CAST(epoch_us(ts) AS BIGINT) // 60000000) & 65535 AS m
+      FROM events
+    )
+    SELECT event_id,
+           CAST({" + ".join(f"(((u >> {i}) & 1) << {2 * i}) + (((m >> {i}) & 1) << {2 * i + 1})" for i in range(16))} AS BIGINT) AS zkey
+    FROM b ORDER BY event_id""",
+        # collocations: document co-occurrence over the exact top-50
+        # vocabulary (ties by token asc, same as the engine combiner)
+        "token_pair_counts": """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+    top AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 50),
+    p AS (SELECT DISTINCT doc_id, token FROM toks JOIN top USING (token))
+    SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_docs
+    FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # panel overlap: subject-set intersection + sizes per
+        # parameter pair (pairs with empty intersections omitted)
+        "subject_overlap_jaccard": """
+    WITH pu AS (SELECT DISTINCT event_type, user_id FROM events),
+    pairs AS (
+      SELECT a.event_type AS param_a, b.event_type AS param_b,
+             COUNT(*) AS n_both
+      FROM pu a JOIN pu b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM pu GROUP BY 1)
+    SELECT param_a, param_b, n_both, sa.n AS n_a, sb.n AS n_b
+    FROM pairs
+    JOIN sz sa ON sa.event_type = param_a
+    JOIN sz sb ON sb.event_type = param_b
+    ORDER BY 1, 2""",
     }

@@ -4977,3 +4977,193 @@ def latest_percentile_rank(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _cdc_latest_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Last-writer-wins per (parameter, subject) INCLUDING null ops:
+    the newest op (ts, event_id) decides, and a null value is a DELETE
+    tombstone — the key disappears from the state table."""
+    g = part.sort_values(
+        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    )
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "parameter_id": np.empty(0, object),
+                "subject_id": np.empty(0, object),
+                "value_e6": np.empty(0, np.int64),
+                "ts_us": np.empty(0, np.int64),
+            }
+        )
+    et = g["event_type"].to_numpy()
+    uid = g["user_id"].to_numpy(np.int64)
+    n = len(g)
+    change = np.empty(n, dtype=bool)
+    change[:-1] = (et[1:] != et[:-1]) | (uid[1:] != uid[:-1])
+    change[-1] = True
+    last = np.flatnonzero(change)  # last row of each series
+    val = g["value"].to_numpy(np.float64)[last]
+    keep = ~np.isnan(val)
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)[last]
+    return pd.DataFrame(
+        {
+            "parameter_id": et[last][keep],
+            "subject_id": uid[last][keep].astype(str),
+            "value_e6": _scaled_int(val[keep]),
+            "ts_us": tus[keep],
+        }
+    )
+
+
+def cdc_latest_state(sf_dir: str) -> pd.DataFrame:
+    """[graft] CDC / upsert merge: materialize the last-writer-wins
+    state table from an append-only op log — newest (ts, event_id) op
+    per (parameter, subject) wins, a null value is a DELETE tombstone
+    (the key leaves the state). The semantics every keyed mirror of a
+    mutable source needs; one salted exchange, per-segment last-row
+    selection."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
+        .groupby("part")
+        .map_groups(_cdc_latest_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def morton_layout_keys(sf_dir: str) -> pd.DataFrame:
+    """[graft] Z-order (Morton) layout keys: interleave the low 16 bits
+    of user_id with the low 16 bits of the minute bucket — the
+    multi-dimensional clustering key that lets ONE sorted layout serve
+    range pruning on both user and time (the Delta/Iceberg OPTIMIZE
+    ZORDER story). Stateless per-batch bit math, no shuffle; the
+    oracle recomputes the interleave with unrolled SQL bit ops."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id"])
+    minute_us = np.int64(60_000_000)
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"event_id": np.empty(0, np.int64), "zkey": np.empty(0, np.int64)}
+            )
+        u = b["user_id"].to_numpy(np.int64) & np.int64(0xFFFF)
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        mn = (tus // minute_us) & np.int64(0xFFFF)
+        z = np.zeros(len(b), dtype=np.int64)
+        for i in range(16):
+            z |= ((u >> i) & 1) << (2 * i)
+            z |= ((mn >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame(
+            {"event_id": b["event_id"].to_numpy(np.int64), "zkey": z}
+        )
+
+    out = ev.map_batches(keys, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def token_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """[graft] Collocation mining: document co-occurrence counts for
+    every pair of the corpus' top-50 tokens. Two streaming passes: the
+    exact top-50 vocabulary (token-partitioned combiner, ties by token
+    asc), broadcast as a sorted array; then per-document set
+    intersection -> per-batch pair-count partials (<= 1225 cells) ->
+    tiny driver merge. Token pairs never shuffle."""
+    top = token_vocabulary_topk(sf_dir, k=50)
+    vocab = np.sort(top["token"].to_numpy(object).astype(str))
+    vset = {t: i for i, t in enumerate(vocab)}
+
+    def pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.zeros((len(vocab), len(vocab)), dtype=np.int64)
+        for s in b["text"]:
+            idx = sorted({vset[t] for t in str(s).split() if t in vset})
+            for ai in range(len(idx)):
+                for bi in range(ai + 1, len(idx)):
+                    cnt[idx[ai], idx[bi]] += 1
+        a, bb = np.nonzero(cnt)
+        return pd.DataFrame(
+            {
+                "token_a": vocab[a],
+                "token_b": vocab[bb],
+                "n_docs": cnt[a, bb],
+            }
+        )
+
+    parts = _docs(sf_dir).map_batches(pair_partials, batch_format="pandas").to_pandas()
+    out = parts.groupby(["token_a", "token_b"], as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["token_a", "token_b"]).reset_index(drop=True)
+
+
+def subject_overlap_jaccard(sf_dir: str) -> pd.DataFrame:
+    """[graft] Panel-overlap profile: for every parameter pair, the
+    subject-set intersection size plus both set sizes (the exact
+    integer numerator/denominators of the Jaccard overlap). Scale
+    shape: per-batch (user, parameter-bitmask) partials OR-merge per
+    user inside the exchange, the kernel histograms the 2^p mask
+    combos, and the driver turns the tiny combo histogram into pair
+    counts — subject sets never materialize anywhere."""
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    # the (tiny) parameter list via a combiner pass
+    def uniq(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].unique()})
+
+    params = sorted(
+        ev.map_batches(uniq, batch_format="pandas").to_pandas()["event_type"].unique()
+    )
+    bit = {p: i for i, p in enumerate(params)}
+
+    def mask_partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "m": b["event_type"].map(bit).to_numpy(np.int64),
+            }
+        )
+        d["m"] = np.int64(1) << d["m"]
+        out = d.groupby("user_id", sort=False)["m"].agg(
+            lambda x: int(np.bitwise_or.reduce(x.to_numpy(np.int64)))
+        )
+        return out.rename("mask").reset_index()
+
+    def combo_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id")["mask"].agg(
+            lambda x: int(np.bitwise_or.reduce(x.to_numpy(np.int64)))
+        )
+        h = m.value_counts()
+        return pd.DataFrame(
+            {"mask": h.index.to_numpy(np.int64), "n": h.to_numpy(np.int64)}
+        )
+
+    hist = (
+        ev.map_batches(mask_partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(combo_hist, batch_format="pandas")
+        .to_pandas()
+        .groupby("mask", as_index=False)["n"]
+        .sum()
+    )
+    masks = hist["mask"].to_numpy(np.int64)
+    ns = hist["n"].to_numpy(np.int64)
+    rows = []
+    for ai in range(len(params)):
+        for bi in range(ai + 1, len(params)):
+            in_a = (masks >> ai) & 1 == 1
+            in_b = (masks >> bi) & 1 == 1
+            n_both = int(ns[in_a & in_b].sum())
+            if n_both == 0:
+                continue
+            rows.append(
+                (
+                    params[ai],
+                    params[bi],
+                    n_both,
+                    int(ns[in_a].sum()),
+                    int(ns[in_b].sum()),
+                )
+            )
+    out = pd.DataFrame(
+        rows or None,
+        columns=["param_a", "param_b", "n_both", "n_a", "n_b"],
+    ).astype({"n_both": np.int64, "n_a": np.int64, "n_b": np.int64})
+    return out.sort_values(["param_a", "param_b"]).reset_index(drop=True)
