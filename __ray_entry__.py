@@ -228,6 +228,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pair_counts": q.token_pair_counts,
         # parameter-pair subject-overlap (exact Jaccard partials) — hash-verified
         "subject_overlap_jaccard": q.subject_overlap_jaccard,
+        # top values WITH ties (DENSE_RANK <= 2 semantics) — hash-verified
+        "dense_rank_top_values": q.dense_rank_top_values,
+        # ingestion null-profile per column — hash-verified
+        "events_null_profile": q.events_null_profile,
+        # weekday-vs-weekend MWU shift per parameter — hash-verified
+        "weekday_value_shift": q.weekday_value_shift,
     }
 
 
@@ -2750,4 +2756,47 @@ def oracle_sql() -> dict[str, str]:
     JOIN sz sa ON sa.event_type = param_a
     JOIN sz sb ON sb.event_type = param_b
     ORDER BY 1, 2""",
+        # tie-correct top values: DENSE_RANK over distinct values
+        "dense_rank_top_values": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *, DENSE_RANK() OVER (PARTITION BY event_type
+                                   ORDER BY vq DESC) AS vrank
+      FROM v
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           event_id, vq AS value_e6, CAST(vrank AS BIGINT) AS vrank
+    FROM r WHERE vrank <= 2 ORDER BY 1, 2, 3""",
+        # null profile per nullable column
+        "events_null_profile": """
+    SELECT col_name, CAST(SUM(nn) AS BIGINT) AS n_null, COUNT(*) AS n_total
+    FROM (
+      SELECT 'props' AS col_name,
+             CASE WHEN props IS NULL THEN 1 ELSE 0 END AS nn FROM events
+      UNION ALL
+      SELECT 'value', CASE WHEN value IS NULL THEN 1 ELSE 0 END FROM events
+    ) GROUP BY 1 ORDER BY 1""",
+        # weekday-vs-weekend MWU (doubled midranks, same identity as
+        # mannwhitney_u_by_site with is_weekend in the site role)
+        "weekday_value_shift": """
+    WITH v AS (
+      SELECT event_type,
+             CAST(EXTRACT(isodow FROM ts) >= 6 AS BIGINT) AS is_weekend,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, is_weekend,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY vq)
+               + COUNT(*) OVER (PARTITION BY event_type, vq) - 1 AS mr2
+      FROM v
+    )
+    SELECT event_type AS parameter_id, is_weekend,
+           COUNT(*) AS n_group,
+           CAST(SUM(mr2) - COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS u2
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -5167,3 +5167,135 @@ def subject_overlap_jaccard(sf_dir: str) -> pd.DataFrame:
         columns=["param_a", "param_b", "n_both", "n_a", "n_b"],
     ).astype({"n_both": np.int64, "n_a": np.int64, "n_b": np.int64})
     return out.sort_values(["param_a", "param_b"]).reset_index(drop=True)
+
+
+def dense_rank_top_values(sf_dir: str) -> pd.DataFrame:
+    """[graft] Top-values-WITH-TIES selection (DENSE_RANK <= 2): every
+    row holding one of the two largest distinct values per parameter —
+    the tie-correct alternative to row-limited top-k when "the maximum"
+    is shared by many rows. Two streaming passes: per-batch top-2
+    distinct values -> tiny driver merge -> broadcast filter; rows
+    never shuffle."""
+    ev = _events(sf_dir, ["event_id", "event_type", "user_id", "value"])
+
+    def top2_partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        ).drop_duplicates()
+        return (
+            d.sort_values("vq", ascending=False)
+            .groupby("event_type", sort=False)
+            .head(2)
+        )
+
+    tops = (
+        ev.map_batches(top2_partials, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values("vq", ascending=False)
+        .groupby("event_type", sort=False)
+        .head(2)
+    )
+    top_map: dict[str, np.ndarray] = {
+        et: np.sort(g["vq"].to_numpy(np.int64))[::-1]
+        for et, g in tops.groupby("event_type")
+    }
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "subject_id", "event_id", "value_e6",
+                         "vrank"]
+            )
+        vq = _scaled_int(b["value"].to_numpy())
+        et = b["event_type"].to_numpy()
+        t1 = np.array([top_map[e][0] for e in et], dtype=np.int64)
+        t2 = np.array(
+            [top_map[e][1] if len(top_map[e]) > 1 else top_map[e][0] for e in et],
+            dtype=np.int64,
+        )
+        keep = vq >= t2
+        vrank = np.where(vq == t1, 1, 2).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "parameter_id": et[keep],
+                "subject_id": b["user_id"].to_numpy(np.int64)[keep].astype(str),
+                "event_id": b["event_id"].to_numpy(np.int64)[keep],
+                "value_e6": vq[keep],
+                "vrank": vrank[keep],
+            }
+        )
+
+    out = ev.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values(
+        ["parameter_id", "subject_id", "event_id"]
+    ).reset_index(drop=True)
+
+
+def events_null_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Data-quality profiler: null counts per nullable column
+    of the events table — the ingestion health check that runs before
+    anything else trusts the feed. Pure combiner (per-batch counter
+    rows, driver sum); one scan, two columns, no shuffle."""
+    ev = _events(sf_dir, ["value", "props"])
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col_name": ["props", "value"],
+                "n_null": [
+                    int(b["props"].isna().sum()),
+                    int(b["value"].isna().sum()),
+                ],
+                "n_total": [len(b), len(b)],
+            }
+        )
+
+    parts = ev.map_batches(counts, batch_format="pandas").to_pandas()
+    out = parts.groupby("col_name", as_index=False)[["n_null", "n_total"]].sum()
+    out["n_null"] = out["n_null"].astype(np.int64)
+    out["n_total"] = out["n_total"].astype(np.int64)
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def weekday_value_shift(sf_dir: str) -> pd.DataFrame:
+    """[graft] Weekday-vs-weekend Mann-Whitney shift per parameter —
+    the cyclic-pattern sibling of drift_split_ks (chronological) and
+    mannwhitney_u_by_site (spatial): does the value distribution move
+    on weekends? Same frequency-map exchange and doubled-midrank
+    integer kernel; is_weekend plays the site role."""
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "site", "vq", "cnt"])
+        dow = b["ts"].astype("datetime64[us]").dt.dayofweek.to_numpy()
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "site": (dow >= 5).astype(np.int64),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return (
+            d.groupby(["event_type", "site", "vq"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(_mwu_param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.rename(columns={"site": "is_weekend", "n_site": "n_group"})
+    return out.sort_values(["parameter_id", "is_weekend"]).reset_index(drop=True)
