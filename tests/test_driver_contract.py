@@ -20,6 +20,10 @@ ROWS_ONLY_ALLOWED = {
     "study_screen_features",    # float lof/own-site features
     "study_screen_pca",         # SVD sign conventions
     "approx_distinct_counts",   # HLL sketch (pytest pins error bound)
+    "heavy_tokens_mg",          # Misra-Gries sketch (pytest pins the
+                                # guarantee vs exact counts)
+    "int8_recall",              # quantized-ANN recall vs exact float
+                                # brute force (pytest pins the mean)
 }
 
 
