@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_null_profile": q.events_null_profile,
         # weekday-vs-weekend MWU shift per parameter — hash-verified
         "weekday_value_shift": q.weekday_value_shift,
+        # resolution-routed tier read (2h from the 1h tier) — hash-verified
+        "rollup_routed_range": q.rollup_routed_range,
+        # distributed sweep-line peak concurrency — hash-verified
+        "session_concurrency_peak": q.session_concurrency_peak,
     }
 
 
@@ -2799,4 +2803,25 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_group,
            CAST(SUM(mr2) - COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS u2
     FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+        # routed 2h read == direct-from-raw 2h rollup (routing +
+        # re-aggregation exactness, one level above the A10 cascade)
+        "rollup_routed_range": rollup_sql(7_200_000_000),
+        # sweep-line peak: running SUM over endpoint deltas ordered
+        # (t, delta) — -1 before +1 at equal t, the half-open [s, e)
+        # convention; first instant attaining the max
+        "session_concurrency_peak": """
+    WITH ep AS (
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT CAST(epoch_us(ts) AS BIGINT) + 1800000000, -1 FROM events
+    ),
+    w AS (
+      SELECT t, d,
+             SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+      FROM ep
+    ),
+    m AS (SELECT MAX(c) AS peak FROM w)
+    SELECT CAST(m.peak AS BIGINT) AS peak_concurrency,
+           CAST(MIN(w.t) AS BIGINT) AS at_ts_us
+    FROM w, m WHERE w.c = m.peak GROUP BY m.peak""",
     }

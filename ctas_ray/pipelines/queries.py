@@ -5299,3 +5299,95 @@ def weekday_value_shift(sf_dir: str) -> pd.DataFrame:
     )
     out = out.rename(columns={"site": "is_weekend", "n_site": "n_group"})
     return out.sort_values(["parameter_id", "is_weekend"]).reset_index(drop=True)
+
+
+def rollup_routed_range(sf_dir: str) -> pd.DataFrame:
+    """[graft] Resolution-routed tier read: a 2h-resolution query
+    answered from the persisted 1h tier (pipelines/rollup.py:
+    route_tier picks the coarsest dividing tier; read_rollup_at_
+    resolution re-buckets its partials — sums/counts/min/max merge
+    associatively, first/last take the earliest/latest contributing
+    bucket's already-resolved winners). The oracle computes the same
+    2h buckets DIRECT FROM RAW, so equality proves routing +
+    re-aggregation exactness on top of the cascade (A10 one level
+    further)."""
+    from .rollup import read_rollup_at_resolution
+
+    out_dir = _tier_dirs(sf_dir)
+    t = read_rollup_at_resolution(out_dir, 7200).to_pandas()
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
+SESSION_SWEEP_US = 1_800_000_000  # 30min interval per event
+
+
+def _sweep_day_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-day sweep partials: endpoints sorted by (t, delta) — delta
+    -1 before +1 at equal t, the half-open [s, e) convention — then
+    net change, max running prefix and the first time attaining it."""
+    g = g.sort_values(["t", "d"], kind="mergesort")
+    t = g["t"].to_numpy(np.int64)
+    d = g["d"].to_numpy(np.int64)
+    pref = np.cumsum(d)
+    mx = int(pref.max())
+    att = int(t[int(np.argmax(pref == mx))])
+    day = int(g["day"].iloc[0])
+    return pd.DataFrame(
+        {
+            "day": [day],
+            "net": [int(d.sum())],
+            "maxp": [mx],
+            "att": [att],
+        }
+    ).astype({"day": np.int64, "net": np.int64, "maxp": np.int64, "att": np.int64})
+
+
+def session_concurrency_peak(sf_dir: str) -> pd.DataFrame:
+    """[graft] Peak concurrency (max overlapping 30-minute activity
+    intervals) and the first instant it is attained — the capacity
+    question, answered as a DISTRIBUTED SWEEP-LINE: endpoint deltas
+    partition by day, each day reduces to a 4-number partial (net, max
+    prefix, first-attain time), and the driver chains the carries —
+    the classic two-pass parallel prefix, O(days) driver work. The
+    oracle is the full ordered window-SUM walk."""
+    ev = _events(sf_dir, ["ts"])
+    day_us = np.int64(86_400_000_000)
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        t = np.concatenate([tus, tus + SESSION_SWEEP_US])
+        d = np.concatenate(
+            [np.ones(len(tus), np.int64), -np.ones(len(tus), np.int64)]
+        )
+        return pd.DataFrame({"t": t, "d": d, "day": (t // day_us).astype(np.int64)})
+
+    parts = (
+        ev.map_batches(endpoints, batch_format="pandas")
+        .groupby("day")
+        .map_groups(_sweep_day_partition, batch_format="pandas")
+        .to_pandas()
+        .sort_values("day")
+    )
+    carry = np.concatenate(([0], np.cumsum(parts["net"].to_numpy(np.int64))[:-1]))
+    cand = carry + parts["maxp"].to_numpy(np.int64)
+    peak = int(cand.max())
+    first = int(np.argmax(cand == peak))
+    return pd.DataFrame(
+        {
+            "peak_concurrency": [peak],
+            "at_ts_us": [int(parts["att"].iloc[first])],
+        }
+    ).astype({"peak_concurrency": np.int64, "at_ts_us": np.int64})
