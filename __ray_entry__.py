@@ -238,6 +238,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_routed_range": q.rollup_routed_range,
         # distributed sweep-line peak concurrency — hash-verified
         "session_concurrency_peak": q.session_concurrency_peak,
+        # cohort retention matrix — hash-verified
+        "retention_cohorts": q.retention_cohorts,
+        # new-user accrual curve — hash-verified
+        "new_users_by_day": q.new_users_by_day,
+        # digit-preference (round-number) bias screen — hash-verified
+        "round_number_bias": q.round_number_bias,
+        # boilerplate 8-gram mining (doc frequency >= 3) — hash-verified
+        "boilerplate_ngrams": q.boilerplate_ngrams,
     }
 
 
@@ -2824,4 +2832,57 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(m.peak AS BIGINT) AS peak_concurrency,
            CAST(MIN(w.t) AS BIGINT) AS at_ts_us
     FROM w, m WHERE w.c = m.peak GROUP BY m.peak""",
+        # cohort retention: first-active week x activity-week offset
+        "retention_cohorts": """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS wk
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY 1)
+    SELECT CAST(cw * 604800000000 AS BIGINT) AS cohort_week_us,
+           CAST(wk - cw AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM uw JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
+        # new-user accrual with running totals
+        "new_users_by_day": """
+    WITH f AS (
+      SELECT user_id,
+             MIN((CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                 * 86400000000) AS day_us
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT day_us, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT day_us, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day_us
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM d ORDER BY 1""",
+        # digit preference: integers / halves / tenths in original units
+        "round_number_bias": """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN vq % 1000000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_int,
+           CAST(SUM(CASE WHEN vq % 500000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_half,
+           CAST(SUM(CASE WHEN vq % 100000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tenth
+    FROM v GROUP BY 1 ORDER BY 1""",
+        # boilerplate: 8-token grams in >= 3 distinct documents
+        "boilerplate_ngrams": """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 7, 0))) AS s(i)
+    )
+    SELECT g, COUNT(*) AS df FROM grams
+    GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""",
     }

@@ -5391,3 +5391,174 @@ def session_concurrency_peak(sf_dir: str) -> pd.DataFrame:
             "at_ts_us": [int(parts["att"].iloc[first])],
         }
     ).astype({"peak_concurrency": np.int64, "at_ts_us": np.int64})
+
+
+WEEK_US = 604_800_000_000
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """[graft] Cohort retention matrix: users grouped by first-active
+    week, counted in every later week they appear — the
+    growth-analytics staple. Scale shape: per-batch distinct
+    (user, week) partials -> one user-keyed exchange -> per-user
+    kernel emits (cohort, offset) pairs -> tiny (weeks x weeks)
+    combiner merge."""
+    ev = _events(sf_dir, ["ts", "user_id"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64), "wk": tus // WEEK_US}
+        ).drop_duplicates()
+        return d
+
+    def user_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["user_id", "wk"])
+        cw = m.groupby("user_id")["wk"].transform("min")
+        d = pd.DataFrame(
+            {"cohort_wk": cw.to_numpy(np.int64),
+             "off": (m["wk"].to_numpy(np.int64) - cw.to_numpy(np.int64))}
+        )
+        return d.groupby(["cohort_wk", "off"], as_index=False).size().rename(
+            columns={"size": "n_users"}
+        )
+
+    parts = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(user_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_wk", "off"], as_index=False)["n_users"].sum()
+    return pd.DataFrame(
+        {
+            "cohort_week_us": (out["cohort_wk"] * WEEK_US).astype(np.int64),
+            "week_offset": out["off"].astype(np.int64),
+            "n_users": out["n_users"].astype(np.int64),
+        }
+    ).sort_values(["cohort_week_us", "week_offset"]).reset_index(drop=True)
+
+
+def new_users_by_day(sf_dir: str) -> pd.DataFrame:
+    """[graft] New-user accrual: per day the count of users first seen
+    that day plus the running total — the growth curve. Per-batch
+    (user, min-day) partials, user-keyed min-merge, then a tiny
+    histogram + cumsum."""
+    ev = _events(sf_dir, ["ts", "user_id"])
+    day_us = np.int64(86_400_000_000)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64),
+             "day": (tus // day_us) * day_us}
+        )
+        return d.groupby("user_id", as_index=False)["day"].min()
+
+    def first_day(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False)["day"].min()
+        return m.groupby("day", as_index=False).size().rename(
+            columns={"size": "n_new"}
+        )
+
+    parts = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(first_day, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("day", as_index=False)["n_new"].sum().sort_values("day")
+    out = out.rename(columns={"day": "day_us"}).reset_index(drop=True)
+    out["day_us"] = out["day_us"].astype(np.int64)
+    out["n_new"] = out["n_new"].astype(np.int64)
+    out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
+    return out
+
+
+def round_number_bias(sf_dir: str) -> pd.DataFrame:
+    """[graft] Digit-preference screen: how many of a parameter's
+    values are exact integers / halves / tenths in original units —
+    the rounding-bias check (terminal-digit preference) that flags
+    manually entered or fabricated measurements, Benford's sibling.
+    Pure combiner on the e6-quantized values (multiples of 1e6 / 5e5 /
+    1e5 respectively)."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "n_total", "n_int", "n_half", "n_tenth"]
+            )
+        vq = _scaled_int(b["value"].to_numpy())
+        d = pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy(),
+                "n_total": np.ones(len(b), np.int64),
+                "n_int": (vq % 1_000_000 == 0).astype(np.int64),
+                "n_half": (vq % 500_000 == 0).astype(np.int64),
+                "n_tenth": (vq % 100_000 == 0).astype(np.int64),
+            }
+        )
+        return d.groupby("parameter_id", as_index=False).sum()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("parameter_id", as_index=False)[
+        ["n_total", "n_int", "n_half", "n_tenth"]
+    ].sum()
+    for c in ("n_total", "n_int", "n_half", "n_tenth"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+BOILERPLATE_NGRAM = 8
+BOILERPLATE_MIN_DF = 3
+
+
+def boilerplate_ngrams(sf_dir: str) -> pd.DataFrame:
+    """[graft] Boilerplate mining: 8-token n-grams appearing in >= 3
+    distinct documents — the repeated-template detector that curation
+    runs before near-dup (headers, footers, license blocks). Per-doc
+    distinct grams -> gram-keyed exchange -> distinct-doc counts. At
+    100 TB the exchange would carry (hash, doc) with a survivor text
+    gather; at oracle scale the gram string itself is the key so the
+    SQL comparison stays exact."""
+    def doc_grams(b: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_d = [], []
+        for doc_id, s in zip(b["doc_id"], b["text"]):
+            t = str(s).split()
+            if len(t) < BOILERPLATE_NGRAM:
+                continue
+            seen = {
+                " ".join(t[i : i + BOILERPLATE_NGRAM])
+                for i in range(len(t) - BOILERPLATE_NGRAM + 1)
+            }
+            rows_g.extend(seen)
+            rows_d.extend([int(doc_id)] * len(seen))
+        return pd.DataFrame({"g": rows_g, "doc_id": rows_d})
+
+    def count_df(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["g", "doc_id"]).groupby("g", as_index=False).size()
+        m = m.rename(columns={"size": "df"})
+        return m[m["df"] >= BOILERPLATE_MIN_DF]
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (
+            pd.util.hash_pandas_object(b["g"], index=False).to_numpy(np.uint64)
+            % np.uint64(32)
+        ).astype(np.int64)
+        return b
+
+    out = (
+        _docs(sf_dir)
+        .map_batches(doc_grams, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: count_df(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values(["g"]).reset_index(drop=True)
