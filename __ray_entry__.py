@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "round_number_bias": q.round_number_bias,
         # boilerplate 8-gram mining (doc frequency >= 3) — hash-verified
         "boilerplate_ngrams": q.boilerplate_ngrams,
+        # global rank-based normalization (doubled midranks) — hash-verified
+        "global_midrank_values": q.global_midrank_values,
+        # k-anonymity small-cell suppression list — hash-verified
+        "k_anonymity_suppression": q.k_anonymity_suppression,
+        # log2 token-count histogram (exact bit length) — hash-verified
+        "doc_token_histogram": q.doc_token_histogram,
     }
 
 
@@ -2885,4 +2891,35 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT g, COUNT(*) AS df FROM grams
     GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY 1""",
+        # rank normalization: doubled midrank = 2*RANK + ties - 1
+        "global_midrank_values": """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_id, event_type AS parameter_id, vq AS value_e6,
+           2 * RANK() OVER (PARTITION BY event_type ORDER BY vq)
+             + COUNT(*) OVER (PARTITION BY event_type, vq) - 1 AS midrank2
+    FROM v ORDER BY event_id""",
+        # small-cell suppression: (site, parameter) cells below k=13
+        "k_anonymity_suppression": """
+    WITH pu AS (
+      SELECT DISTINCT user_id % 12 AS site, event_type AS parameter_id,
+             user_id
+      FROM events
+    )
+    SELECT site, parameter_id, COUNT(*) AS n_subjects
+    FROM pu GROUP BY 1, 2 HAVING COUNT(*) < 13 ORDER BY 1, 2""",
+        # token-count histogram bucketed by exact bit length
+        "doc_token_histogram": """
+    WITH n AS (
+      SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(LENGTH(printf('%b', n_tokens)) AS BIGINT) AS bucket_bits,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM n WHERE n_tokens > 0 GROUP BY 1 ORDER BY 1""",
     }

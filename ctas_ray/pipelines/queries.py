@@ -5562,3 +5562,140 @@ def boilerplate_ngrams(sf_dir: str) -> pd.DataFrame:
     )
     out["df"] = out["df"].astype(np.int64)
     return out.sort_values(["g"]).reset_index(drop=True)
+
+
+def global_midrank_values(sf_dir: str) -> pd.DataFrame:
+    """[graft] Rank-based normalization as a distributed stage: every
+    measurement mapped to its doubled midrank within the parameter's
+    GLOBAL distribution — the quantile-transform feature every
+    rank-based model wants, exact under ties. Two passes: the
+    (parameter, value, count) frequency map builds the midrank table,
+    broadcast; the second scan assigns ranks by searchsorted. Rows
+    never shuffle."""
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    freq = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "vq"], as_index=False)["cnt"]
+        .sum()
+        .sort_values(["event_type", "vq"])
+    )
+    tables: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for et, g in freq.groupby("event_type"):
+        v = g["vq"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        tables[et] = (v, 2 * cum_before + c + 1)  # doubled midranks
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "parameter_id", "value_e6", "midrank2"]
+            )
+        vq = _scaled_int(b["value"].to_numpy())
+        et = b["event_type"].to_numpy()
+        mr = np.empty(len(b), dtype=np.int64)
+        for e in np.unique(et):
+            v, m = tables[e]
+            sel = et == e
+            mr[sel] = m[np.searchsorted(v, vq[sel])]
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "parameter_id": et,
+                "value_e6": vq,
+                "midrank2": mr,
+            }
+        )
+
+    out = ev.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+K_ANON_THRESHOLD = 13  # parameterizable small-cell rule (k-anonymity)
+
+
+def k_anonymity_suppression(sf_dir: str) -> pd.DataFrame:
+    """[graft] Privacy/governance screen: (site, parameter) cells whose
+    distinct-subject count falls below k — the suppression list a
+    disclosure-control release pipeline must withhold (same shape as
+    the CMS small-cell rule; k is a config knob, set here so the
+    synthetic fixture exercises both suppressed and released cells).
+    Per-batch distinct (site, parameter, user) partials, site-keyed
+    distinct-count exchange; only suppression candidates reach the
+    driver."""
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "site": b["user_id"].to_numpy(np.int64) % 12,
+                "parameter_id": b["event_type"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+        return d
+
+    def cell_counts(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["site", "parameter_id", "user_id"])
+        cnt = m.groupby(["site", "parameter_id"], as_index=False)[
+            "user_id"
+        ].nunique()
+        cnt = cnt.rename(columns={"user_id": "n_subjects"})
+        return cnt[cnt["n_subjects"] < K_ANON_THRESHOLD]
+
+    # distinct partials exchange on site (cells never split across
+    # partitions), so the driver only ever sees suppression candidates
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("site")
+        .map_groups(cell_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    out["site"] = out["site"].astype(np.int64)
+    out["n_subjects"] = out["n_subjects"].astype(np.int64)
+    return out.sort_values(["site", "parameter_id"]).reset_index(drop=True)
+
+
+def doc_token_histogram(sf_dir: str) -> pd.DataFrame:
+    """[graft] Log2-bucketed token-count histogram over documents —
+    the length-distribution input that sizes sequence-packing bins and
+    batch shapes. The bucket is the exact BIT LENGTH of the token
+    count (engine: int.bit_length; oracle: LENGTH(printf('%b', n)) —
+    both pure integer, no float log2 hazard). Pure combiner."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        n = np.array(
+            [len(str(s).split()) for s in b["text"]], dtype=np.int64
+        )
+        n = n[n > 0]
+        bits = np.array([int(x).bit_length() for x in n], dtype=np.int64)
+        d = pd.DataFrame({"bucket_bits": bits, "n_tokens": n})
+        g = d.groupby("bucket_bits", as_index=False).agg(
+            n_docs=("n_tokens", "size"), sum_tokens=("n_tokens", "sum")
+        )
+        return g
+
+    parts = _docs(sf_dir).map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("bucket_bits", as_index=False)[
+        ["n_docs", "sum_tokens"]
+    ].sum()
+    out["bucket_bits"] = out["bucket_bits"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_tokens"] = out["sum_tokens"].astype(np.int64)
+    return out.sort_values("bucket_bits").reset_index(drop=True)
