@@ -196,6 +196,13 @@ def main() -> None:
         timed("lttb_downsample", lambda: q.lttb_downsample(sf_dir))
         timed("paa_downsample", lambda: q.paa_downsample(sf_dir))
         timed("mad_outlier_flags", lambda: q.mad_outlier_flags(sf_dir))
+        # round-2 continuation surface (representative slice)
+        timed("sax_symbols", lambda: q.sax_symbols(sf_dir))
+        timed("daily_value_bands", lambda: q.daily_value_bands(sf_dir))
+        timed("cdc_latest_state", lambda: q.cdc_latest_state(sf_dir))
+        timed("pq_codes", lambda: q.pq_codebook_assignments(sf_dir))
+        timed("concurrency_peak", lambda: q.session_concurrency_peak(sf_dir))
+        timed("global_midranks", lambda: q.global_midrank_values(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(
