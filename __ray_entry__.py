@@ -252,6 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_suppression": q.k_anonymity_suppression,
         # log2 token-count histogram (exact bit length) — hash-verified
         "doc_token_histogram": q.doc_token_histogram,
+        # dropout/churn flags per series — hash-verified
+        "subject_churn_flags": q.subject_churn_flags,
+        # modal visit-count compliance roll-up — hash-verified
+        "visit_compliance_mode": q.visit_compliance_mode,
+        # same-minute duplicate-entry screen — hash-verified
+        "duplicate_minute_stats": q.duplicate_minute_stats,
     }
 
 
@@ -2922,4 +2928,57 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
     FROM n WHERE n_tokens > 0 GROUP BY 1 ORDER BY 1""",
+        # churn: active-day span per series vs the feed's final day
+        "subject_churn_flags": """
+    WITH ud AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      FROM events
+    ),
+    g AS (SELECT MAX(day) AS gd FROM ud),
+    s AS (
+      SELECT event_type, user_id, MIN(day) AS fd, MAX(day) AS ld,
+             COUNT(*) AS nd
+      FROM ud GROUP BY 1, 2
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           CAST(fd * 86400000000 AS BIGINT) AS first_day_us,
+           CAST(ld * 86400000000 AS BIGINT) AS last_day_us,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(ld < g.gd AS BIGINT) AS churned
+    FROM s, g ORDER BY 1, 2""",
+        # compliance: modal per-subject count (ties -> smallest)
+        "visit_compliance_mode": """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    h AS (SELECT event_type, n, COUNT(*) AS f FROM c GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, n AS modal_n FROM (
+        SELECT event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY f DESC, n) AS rk
+        FROM h) WHERE rk = 1
+    )
+    SELECT c.event_type AS parameter_id, CAST(m.modal_n AS BIGINT) AS modal_n,
+           CAST(SUM(CASE WHEN c.n < m.modal_n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below,
+           CAST(SUM(CASE WHEN c.n = m.modal_n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_at,
+           CAST(SUM(CASE WHEN c.n > m.modal_n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above
+    FROM c JOIN m ON c.event_type = m.event_type
+    GROUP BY 1, 2 ORDER BY 1""",
+        # duplicate minutes: point count vs distinct minutes per series
+        "duplicate_minute_stats": """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(epoch_us(ts) AS BIGINT) // 60000000 AS mn
+      FROM events
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_points,
+           CAST(COUNT(DISTINCT mn) AS BIGINT) AS n_minutes,
+           CAST(COUNT(*) - COUNT(DISTINCT mn) AS BIGINT) AS n_dup
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
     }

@@ -5718,3 +5718,138 @@ def doc_token_histogram(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["sum_tokens"] = out["sum_tokens"].astype(np.int64)
     return out.sort_values("bucket_bits").reset_index(drop=True)
+
+
+def subject_churn_flags(sf_dir: str) -> pd.DataFrame:
+    """[graft] Dropout/churn screen per series: first/last active day,
+    active-day count, and a churned flag (absent on the feed's final
+    day) — the panel-attrition monitor the reference's domain watches
+    as "missed visits". Distinct (param, subject, day) partials, one
+    keyed exchange, driver-side global max over the tiny merged
+    frame."""
+    ev = _events(sf_dir, ["ts", "event_type", "user_id"])
+    day_us = np.int64(86_400_000_000)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "day": tus // day_us,
+            }
+        ).drop_duplicates()
+
+    def series_days(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["event_type", "user_id", "day"])
+        out = m.groupby(["event_type", "user_id"], as_index=False)["day"].agg(
+            ["min", "max", "nunique"]
+        )
+        out.columns = ["event_type", "user_id", "fd", "ld", "nd"]
+        return out
+
+    s = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(series_days, batch_format="pandas")
+        .to_pandas()
+    )
+    gmax = np.int64(s["ld"].max())
+    return pd.DataFrame(
+        {
+            "parameter_id": s["event_type"],
+            "subject_id": s["user_id"].astype(np.int64).astype(str),
+            "first_day_us": (s["fd"].astype(np.int64) * day_us),
+            "last_day_us": (s["ld"].astype(np.int64) * day_us),
+            "n_days": s["nd"].astype(np.int64),
+            "churned": (s["ld"].astype(np.int64) < gmax).astype(np.int64),
+        }
+    ).sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def visit_compliance_mode(sf_dir: str) -> pd.DataFrame:
+    """[graft] Expected-visit compliance: the modal measurement count
+    per parameter (ties -> smallest) and how many subjects fall below
+    / at / above it — the "who missed visits" roll-up. Per-(param,
+    subject) count partials, per-parameter kernel on the tiny count
+    histogram."""
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        c = g.groupby("user_id", as_index=False)["n"].sum()
+        h = c.groupby("n").size().reset_index(name="f")
+        h = h.sort_values(["f", "n"], ascending=[False, True])
+        modal = int(h["n"].iloc[0])
+        n = c["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "parameter_id": [et],
+                "modal_n": [modal],
+                "n_below": [int((n < modal).sum())],
+                "n_at": [int((n == modal).sum())],
+                "n_above": [int((n > modal).sum())],
+            }
+        ).astype(
+            {"modal_n": np.int64, "n_below": np.int64, "n_at": np.int64,
+             "n_above": np.int64}
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def duplicate_minute_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Burst/duplicate-entry screen: per series the point count
+    vs distinct-minute count — multiple entries in the same minute flag
+    batch pastes or double-submissions. Per-batch distinct partials
+    carry (series, minute) plus raw counts; one keyed exchange."""
+    ev = _events(sf_dir, ["ts", "event_type", "user_id"])
+    minute_us = np.int64(60_000_000)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "mn": tus // minute_us,
+            }
+        )
+        return d.groupby(["event_type", "user_id", "mn"], sort=False).size(
+        ).reset_index(name="c")
+
+    def series_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "user_id", "mn"], as_index=False)["c"].sum()
+        out = m.groupby(["event_type", "user_id"], as_index=False).agg(
+            n_points=("c", "sum"), n_minutes=("mn", "nunique")
+        )
+        return out
+
+    s = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(series_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "parameter_id": s["event_type"],
+            "subject_id": s["user_id"].astype(np.int64).astype(str),
+            "n_points": s["n_points"].astype(np.int64),
+            "n_minutes": s["n_minutes"].astype(np.int64),
+            "n_dup": (s["n_points"] - s["n_minutes"]).astype(np.int64),
+        }
+    ).sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
