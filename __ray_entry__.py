@@ -258,6 +258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "visit_compliance_mode": q.visit_compliance_mode,
         # same-minute duplicate-entry screen — hash-verified
         "duplicate_minute_stats": q.duplicate_minute_stats,
+        # agent cold-start latency profile — hash-verified
+        "coldstart_latency_profile": q.coldstart_latency_profile,
+        # per-tool P50/P95/P99 tail-latency SLO report — hash-verified
+        "tail_latency_by_tool": q.tail_latency_by_tool,
     }
 
 
@@ -1912,7 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminated_corpus": """
     WITH toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
       FROM documents
     ),
     grams AS (
@@ -2981,4 +2985,56 @@ def oracle_sql() -> dict[str, str]:
            CAST(COUNT(DISTINCT mn) AS BIGINT) AS n_minutes,
            CAST(COUNT(*) - COUNT(DISTINCT mn) AS BIGINT) AS n_dup
     FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+        # cold start: first latency vs doubled median of the rest
+        "coldstart_latency_profile": """
+    WITH t AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS lat
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    l AS (SELECT user_id, rn - 1 AS li, lat FROM t WHERE rn > 1)
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(MAX(CASE WHEN li = 1 THEN lat END) AS BIGINT)
+               AS first_latency_us,
+           CAST(MEDIAN(CASE WHEN li > 1 THEN 2 * lat END) AS BIGINT)
+               AS med2_rest_us,
+           COUNT(*) AS n_lat
+    FROM l GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        # tail latency per tool: 100-fold type-7 P50/P95/P99 by rank
+        # selection over the latency of the wait PRECEDING each event
+        "tail_latency_by_tool": """
+    WITH t AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS lat
+      FROM events
+    ),
+    v AS (SELECT event_type, lat FROM t WHERE lat IS NOT NULL),
+    o AS (
+      SELECT event_type, lat,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY lat) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ks AS (
+      SELECT d.event_type, d.n, t.p,
+             (t.p * (d.n - 1)) // 100 AS lo,
+             ((t.p * (d.n - 1)) + 99) // 100 AS hi,
+             (t.p * (d.n - 1)) % 100 AS f100
+      FROM (SELECT DISTINCT event_type, n FROM o) d
+      CROSS JOIN (VALUES (50), (95), (99)) t(p)
+    ),
+    qq AS (
+      SELECT k.event_type, k.n, k.p,
+             100 * a.lat + k.f100 * (b.lat - a.lat) AS q100
+      FROM ks k
+      JOIN o a ON a.event_type = k.event_type AND a.rn = k.lo + 1
+      JOIN o b ON b.event_type = k.event_type AND b.rn = k.hi + 1
+    )
+    SELECT event_type AS parameter_id, MAX(n) AS n_lat,
+           CAST(MAX(CASE WHEN p = 50 THEN q100 END) AS BIGINT) AS p50_x100,
+           CAST(MAX(CASE WHEN p = 95 THEN q100 END) AS BIGINT) AS p95_x100,
+           CAST(MAX(CASE WHEN p = 99 THEN q100 END) AS BIGINT) AS p99_x100
+    FROM qq GROUP BY 1 ORDER BY 1""",
     }

@@ -5853,3 +5853,124 @@ def duplicate_minute_stats(sf_dir: str) -> pd.DataFrame:
             "n_dup": (s["n_points"] - s["n_minutes"]).astype(np.int64),
         }
     ).sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def _coldstart_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Per conversation: the first inter-turn latency vs the doubled
+    median of the remaining latencies — is the agent's first response
+    systematically slower than its steady state?"""
+    g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": np.empty(0, object),
+                "first_latency_us": np.empty(0, np.int64),
+                "med2_rest_us": np.empty(0, np.int64),
+                "n_lat": np.empty(0, np.int64),
+            }
+        )
+    uid = g["user_id"].to_numpy(np.int64)
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    rows = []
+    for s, e in zip(starts, ends):
+        if e - s < 3:  # need >= 2 latencies
+            continue
+        lat = tus[s + 1 : e] - tus[s : e - 1]
+        rest = np.sort(lat[1:])
+        m = len(rest)
+        med2 = 2 * rest[m // 2] if m % 2 else rest[m // 2 - 1] + rest[m // 2]
+        rows.append(("u" + str(uid[s]), int(lat[0]), int(med2), len(lat)))
+    return pd.DataFrame(
+        rows or None,
+        columns=["conv_id", "first_latency_us", "med2_rest_us", "n_lat"],
+    ).astype(
+        {"first_latency_us": np.int64, "med2_rest_us": np.int64,
+         "n_lat": np.int64}
+    )
+
+
+def coldstart_latency_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Agent cold-start screen: first inter-turn latency per
+    conversation against the doubled-integer median of the rest — the
+    warm-up-cost monitor for agent transcripts. One salted exchange."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "user_id"]))
+        .groupby("part")
+        .map_groups(_coldstart_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _tail_latency_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Per event_type 100-fold type-7 P50/P95/P99 from the latency
+    frequency map ((p*(n-1)) % 100 makes 100*Q integral)."""
+    et = g["event_type"].iloc[0]
+    d = g.groupby("lat", as_index=False)["cnt"].sum().sort_values("lat")
+    v = d["lat"].to_numpy(np.int64)
+    c = d["cnt"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def at(rank0: int) -> int:
+        return int(v[np.searchsorted(cum, rank0 + 1)])
+
+    qs = []
+    for p in (50, 95, 99):
+        t = p * (n - 1)
+        lo, hi, f100 = t // 100, -(-t // 100), t % 100
+        a, b = at(lo), at(hi)
+        qs.append(100 * a + f100 * (b - a))
+    return pd.DataFrame(
+        {
+            "parameter_id": [et],
+            "n_lat": [n],
+            "p50_x100": [qs[0]],
+            "p95_x100": [qs[1]],
+            "p99_x100": [qs[2]],
+        }
+    ).astype(
+        {"n_lat": np.int64, "p50_x100": np.int64, "p95_x100": np.int64,
+         "p99_x100": np.int64}
+    )
+
+
+def tail_latency_by_tool(sf_dir: str) -> pd.DataFrame:
+    """[graft] Tail-latency SLO report per tool/event type: the
+    inter-turn wait preceding each event, attributed to that event's
+    type, reduced to exact 100-fold type-7 P50/P95/P99. Latencies are
+    derived per conversation inside salted partitions; only the
+    (event_type, latency, count) frequency map shuffles."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def lat_partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame(columns=["event_type", "lat", "cnt"])
+        uid = g["user_id"].to_numpy(np.int64)
+        tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        lat = (tus[1:] - tus[:-1])[same]
+        et = g["event_type"].to_numpy()[1:][same]
+        d = pd.DataFrame({"event_type": et, "lat": lat})
+        return d.groupby(["event_type", "lat"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: lat_partials(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .groupby("event_type")
+        .map_groups(_tail_latency_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
