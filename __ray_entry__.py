@@ -262,6 +262,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coldstart_latency_profile": q.coldstart_latency_profile,
         # per-tool P50/P95/P99 tail-latency SLO report — hash-verified
         "tail_latency_by_tool": q.tail_latency_by_tool,
+        # latency vs preceding-text-length binned profile — hash-verified
+        "latency_length_bins": q.latency_length_bins,
+        # clock-skew / out-of-order inversion screen — hash-verified
+        "ts_order_inversions": q.ts_order_inversions,
+        # foreign-key orphan audit over the TPC-H chains — hash-verified
+        "referential_integrity": q.referential_integrity,
     }
 
 
@@ -3037,4 +3043,48 @@ def oracle_sql() -> dict[str, str]:
            CAST(MAX(CASE WHEN p = 95 THEN q100 END) AS BIGINT) AS p95_x100,
            CAST(MAX(CASE WHEN p = 99 THEN q100 END) AS BIGINT) AS p99_x100
     FROM qq GROUP BY 1 ORDER BY 1""",
+        # latency vs preceding text length: doubled median per
+        # previous turn's COALESCE(LENGTH(props), 0)
+        "latency_length_bins": """
+    WITH t AS (
+      SELECT user_id,
+             LAG(CAST(COALESCE(LENGTH(props), 0) AS BIGINT)) OVER w
+                 AS prev_len,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS lat
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_len, COUNT(*) AS n_lat,
+           CAST(MEDIAN(2 * lat) AS BIGINT) AS med2_latency_us
+    FROM t WHERE lat IS NOT NULL GROUP BY 1 ORDER BY 1""",
+        # inversions: pairs where event_id order contradicts ts order
+        "ts_order_inversions": """
+    WITH v AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events
+    )
+    SELECT 'u' || CAST(a.user_id AS VARCHAR) AS conv_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN b.tus < a.tus THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inversions
+    FROM v a JOIN v b ON a.user_id = b.user_id AND b.event_id > a.event_id
+    GROUP BY 1 ORDER BY 1""",
+        # FK orphan audit: anti-join counts per relation
+        "referential_integrity": """
+    SELECT relation, n_child, n_orphans FROM (
+      SELECT 'orders.o_custkey->customer' AS relation,
+             (SELECT COUNT(*) FROM orders) AS n_child,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                 AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+              WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    ) ORDER BY relation""",
     }

@@ -5974,3 +5974,160 @@ def tail_latency_by_tool(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def latency_length_bins(sf_dir: str) -> pd.DataFrame:
+    """[graft] Binned relationship profile between the two transcript
+    channels: doubled-median inter-turn latency per PRECEDING-turn
+    text length — the nonparametric "does long text predict long
+    waits" curve (channel_correlation's rho compressed to one number;
+    this keeps the shape). Binned by exact previous length here (the
+    fixture's lengths are narrow); a production corpus would log2-
+    bucket first — the frequency-map exchange keyed by (bin, latency)
+    and the doubled-median kernel are identical either way."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "props"])
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame(columns=["prev_len", "lat", "cnt"])
+        uid = g["user_id"].to_numpy(np.int64)
+        tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        tl = g["props"].fillna("").astype(str).str.len().to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        lat = (tus[1:] - tus[:-1])[same]
+        prev_len = tl[:-1][same]
+        d = pd.DataFrame({"prev_len": prev_len, "lat": lat})
+        return d.groupby(["prev_len", "lat"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["prev_len"].iloc[0])
+        d = g.groupby("lat", as_index=False)["cnt"].sum().sort_values("lat")
+        med2 = _weighted_med2(
+            d["lat"].to_numpy(np.int64), d["cnt"].to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "prev_len": [b],
+                "n_lat": [int(d["cnt"].sum())],
+                "med2_latency_us": [med2],
+            }
+        ).astype(
+            {"prev_len": np.int64, "n_lat": np.int64,
+             "med2_latency_us": np.int64}
+        )
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: partials(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .groupby("prev_len")
+        .map_groups(bucket_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("prev_len").reset_index(drop=True)
+
+
+def _inversion_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Per conversation: pairs where event_id order and ts order
+    disagree (emission-order inversions) — pure sign counting over
+    (ts, event_id)-ordered pairs, O(n^2) inside bounded
+    conversations."""
+    g = part.sort_values(["user_id", "event_id"], kind="mergesort")
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "conv_id": np.empty(0, object),
+                "n_pairs": np.empty(0, np.int64),
+                "n_inversions": np.empty(0, np.int64),
+            }
+        )
+    uid = g["user_id"].to_numpy(np.int64)
+    tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    change = np.empty(len(g), dtype=bool)
+    change[0] = True
+    change[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(g)]
+    rows = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:  # no pairs -> no row (matches the join oracle)
+            continue
+        t = tus[s:e]
+        i, j = np.triu_indices(e - s, k=1)
+        inv = int(np.count_nonzero(t[j] < t[i]))
+        rows.append(("u" + str(uid[s]), len(i), inv))
+    return pd.DataFrame(
+        rows or None, columns=["conv_id", "n_pairs", "n_inversions"]
+    ).astype({"n_pairs": np.int64, "n_inversions": np.int64})
+
+
+def ts_order_inversions(sf_dir: str) -> pd.DataFrame:
+    """[graft] Clock-skew / out-of-order-delivery screen: per
+    conversation, the number of event pairs whose event_id order
+    contradicts their timestamp order — 0 for a well-behaved feed,
+    large for skewed producers. One salted exchange; the Kendall-style
+    pair count stays inside bounded conversations."""
+    out = (
+        _salted(_events(sf_dir, ["event_id", "ts", "user_id"]))
+        .groupby("part")
+        .map_groups(_inversion_partition, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def referential_integrity(sf_dir: str) -> pd.DataFrame:
+    """[graft] Relational integrity audit: orphan counts for the three
+    TPC-H foreign-key chains — the load-validation gate. Key sets of
+    the parent tables broadcast once; each child scans once with a
+    vectorized membership check; output is one row per relation."""
+    import ray
+
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ordk = pq_.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    natk = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    )["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    refs = {
+        "orders.o_custkey->customer": (np.sort(cust), "orders", "o_custkey"),
+        "lineitem.l_orderkey->orders": (np.sort(ordk), "lineitem", "l_orderkey"),
+        "customer.c_nationkey->nation": (np.sort(natk), "customer",
+                                         "c_nationkey"),
+    }
+    rows = []
+    for rel, (keys, table, col) in refs.items():
+        kref = ray.put(keys)
+
+        def check(b: pd.DataFrame, kref=kref, col=col) -> pd.DataFrame:
+            k = ray.get(kref)
+            x = b[col].to_numpy(np.int64)
+            pos = np.clip(np.searchsorted(k, x), 0, len(k) - 1)
+            miss = k[pos] != x
+            return pd.DataFrame(
+                {"n_child": [len(b)], "n_orphans": [int(miss.sum())]}
+            )
+
+        parts = (
+            read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=[col])
+            .map_batches(check, batch_format="pandas")
+            .to_pandas()
+        )
+        rows.append(
+            (rel, int(parts["n_child"].sum()), int(parts["n_orphans"].sum()))
+        )
+    return pd.DataFrame(
+        rows, columns=["relation", "n_child", "n_orphans"]
+    ).astype({"n_child": np.int64, "n_orphans": np.int64}).sort_values(
+        "relation"
+    ).reset_index(drop=True)
