@@ -268,6 +268,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_order_inversions": q.ts_order_inversions,
         # foreign-key orphan audit over the TPC-H chains — hash-verified
         "referential_integrity": q.referential_integrity,
+        # weekly min/max range-drift envelope — hash-verified
+        "weekly_range_envelope": q.weekly_range_envelope,
+        # embedding squared-norm health stats — hash-verified
+        "embedding_sqnorm_stats": q.embedding_sqnorm_stats,
+        # near-dup cluster-size histogram — hash-verified
+        "neardup_cluster_size_histogram": q.neardup_cluster_size_histogram,
     }
 
 
@@ -889,7 +895,7 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL SELECT param, subj, t, vq FROM lastp)
     ORDER BY 1, 2, 3"""
 
-    return {
+    sqls = {
         "eligibility_counts": """
     SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
            COUNT(value) AS n_measurements
@@ -3087,4 +3093,44 @@ def oracle_sql() -> dict[str, str]:
              (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
               WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
     ) ORDER BY relation""",
+        # weekly min/max envelope per parameter (range drift over time)
+        "weekly_range_envelope": """
+    WITH v AS (
+      SELECT event_type,
+             (CAST(epoch_us(ts) AS BIGINT) // 604800000000) * 604800000000
+                 AS week_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type AS parameter_id, week_us, COUNT(*) AS n,
+           CAST(MIN(vq) AS BIGINT) AS min_e6,
+           CAST(MAX(vq) AS BIGINT) AS max_e6
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+        # embedding health: exact integer squared-norm totals per label
+        "embedding_sqnorm_stats": """
+    WITH q AS (
+      SELECT vec_id, label,
+             UNNEST(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT))) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, ANY_VALUE(label) AS label,
+             CAST(SUM(qv * qv) AS BIGINT) AS sq
+      FROM q GROUP BY 1
+    )
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+           CAST(SUM(sq) AS BIGINT) AS sum_sqnorm_e12,
+           CAST(MIN(sq) AS BIGINT) AS min_sqnorm_e12,
+           CAST(MAX(sq) AS BIGINT) AS max_sqnorm_e12
+    FROM n GROUP BY 1 ORDER BY 1""",
     }
+    # derived entry: cluster-size histogram over the hash-verified
+    # near-dup clusters (the same recursive closure, re-aggregated)
+    sqls["neardup_cluster_size_histogram"] = f"""
+    SELECT size, COUNT(*) AS n_clusters FROM (
+      SELECT cluster_id, COUNT(*) AS size
+      FROM ({sqls["jaccard_neardup_clusters"]}) GROUP BY 1)
+    GROUP BY 1 ORDER BY 1"""
+    return sqls

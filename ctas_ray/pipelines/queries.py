@@ -6131,3 +6131,93 @@ def referential_integrity(sf_dir: str) -> pd.DataFrame:
     ).astype({"n_child": np.int64, "n_orphans": np.int64}).sort_values(
         "relation"
     ).reset_index(drop=True)
+
+
+def weekly_range_envelope(sf_dir: str) -> pd.DataFrame:
+    """[graft] Range-drift envelope: per (parameter, week) the exact
+    min/max/count — does a parameter's physical range migrate over
+    time (unit changes, sensor recalibration)? Pure combiner."""
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "week_us", "n", "min_e6", "max_e6"]
+            )
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy(),
+                "week_us": (tus // WEEK_US) * WEEK_US,
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        g = d.groupby(["parameter_id", "week_us"], sort=False)["vq"].agg(
+            n="size", min_e6="min", max_e6="max"
+        )
+        return g.reset_index()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby(["parameter_id", "week_us"], as_index=False).agg(
+        n=("n", "sum"), min_e6=("min_e6", "min"), max_e6=("max_e6", "max")
+    )
+    for c in ("week_us", "n", "min_e6", "max_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["parameter_id", "week_us"]).reset_index(drop=True)
+
+
+def embedding_sqnorm_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Embedding health check: exact integer squared-norm
+    totals per label — collapsed or exploded embeddings (a training
+    failure mode) show up as outlying norm masses. e6-quantized
+    coordinates keep SUM(qv^2) exact int64; per-batch label partials
+    only."""
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in b["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        sq = (q * q).sum(axis=1)
+        d = pd.DataFrame(
+            {"label": b["label"].to_numpy(np.int64), "sq": sq}
+        )
+        g = d.groupby("label", sort=False)["sq"].agg(
+            n_vecs="size", sum_sqnorm_e12="sum", min_sqnorm_e12="min",
+            max_sqnorm_e12="max",
+        )
+        return g.reset_index()
+
+    parts = emb.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("label", as_index=False).agg(
+        n_vecs=("n_vecs", "sum"),
+        sum_sqnorm_e12=("sum_sqnorm_e12", "sum"),
+        min_sqnorm_e12=("min_sqnorm_e12", "min"),
+        max_sqnorm_e12=("max_sqnorm_e12", "max"),
+    )
+    for c in ("label", "n_vecs", "sum_sqnorm_e12", "min_sqnorm_e12",
+              "max_sqnorm_e12"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def neardup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """[graft] Cluster-size distribution of the exact near-dup
+    components — the dedup-impact report (how much mass sits in
+    size-2 pairs vs big templates). Derived from the hash-verified
+    cluster assignment; the oracle re-aggregates the same recursive
+    closure."""
+    cc = jaccard_neardup_clusters(sf_dir)
+    if len(cc) == 0:
+        return pd.DataFrame(
+            {"size": np.empty(0, np.int64), "n_clusters": np.empty(0, np.int64)}
+        )
+    sizes = cc.groupby("cluster_id").size()
+    h = sizes.value_counts().sort_index()
+    return pd.DataFrame(
+        {"size": h.index.to_numpy(np.int64), "n_clusters": h.to_numpy(np.int64)}
+    )
