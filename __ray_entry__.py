@@ -274,6 +274,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_sqnorm_stats": q.embedding_sqnorm_stats,
         # near-dup cluster-size histogram — hash-verified
         "neardup_cluster_size_histogram": q.neardup_cluster_size_histogram,
+        # Heaps'-law vocabulary growth curve — hash-verified
+        "vocab_growth_curve": q.vocab_growth_curve,
+        # character-class composition per document — hash-verified
+        "text_charclass_profile": q.text_charclass_profile,
     }
 
 
@@ -3125,6 +3129,31 @@ def oracle_sql() -> dict[str, str]:
            CAST(MIN(sq) AS BIGINT) AS min_sqnorm_e12,
            CAST(MAX(sq) AS BIGINT) AS max_sqnorm_e12
     FROM n GROUP BY 1 ORDER BY 1""",
+        # Heaps' law: tokens attributed to their first document
+        "vocab_growth_curve": """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    f AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+    d AS (SELECT fd AS doc_id, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT doc_id, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+    FROM d ORDER BY 1""",
+        # char-class composition by regexp-class counting
+        "text_charclass_profile": """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g'))
+                AS BIGINT) AS n_upper,
+           CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[ ]', '', 'g'))
+                AS BIGINT) AS n_spaces
+    FROM documents ORDER BY doc_id""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

@@ -6221,3 +6221,85 @@ def neardup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"size": h.index.to_numpy(np.int64), "n_clusters": h.to_numpy(np.int64)}
     )
+
+
+def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
+    """[graft] Heaps'-law vocabulary growth: per document (in doc_id
+    order) the number of NEVER-SEEN-BEFORE tokens it introduces and
+    the running vocabulary size — the corpus-diversity curve that
+    tells a curation pipeline when more data stops adding new
+    language. Scale shape: per-batch distinct (token, min doc)
+    partials -> token-keyed min-merge exchange -> tiny first-doc
+    histogram -> driver cumsum. The vocabulary itself never
+    collects anywhere."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tok: dict[str, int] = {}
+        for doc_id, s in zip(b["doc_id"], b["text"]):
+            d = int(doc_id)
+            for t in str(s).split():
+                p = tok.get(t)
+                if p is None or d < p:
+                    tok[t] = d
+        return pd.DataFrame(
+            {"token": list(tok.keys()),
+             "fd": np.fromiter(tok.values(), dtype=np.int64, count=len(tok))}
+        )
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (
+            pd.util.hash_pandas_object(b["token"], index=False).to_numpy(
+                np.uint64
+            )
+            % np.uint64(32)
+        ).astype(np.int64)
+        return b
+
+    def first_doc_hist(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["fd"].min()
+        h = m.groupby("fd").size().reset_index(name="n_new")
+        return h
+
+    hist = (
+        _docs(sf_dir)
+        .map_batches(partials, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: first_doc_hist(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("fd", as_index=False)["n_new"]
+        .sum()
+        .sort_values("fd")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": hist["fd"].astype(np.int64),
+            "n_new": hist["n_new"].astype(np.int64),
+            "cum_vocab": hist["n_new"].cumsum().astype(np.int64),
+        }
+    )
+
+
+def text_charclass_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Character-class composition per document: total /
+    digit / uppercase / space counts — cheap quality features (code
+    vs prose vs tables separate cleanly on these). One stateless
+    vectorized pass, no shuffle."""
+    def profile(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_chars": s.str.len().to_numpy(np.int64),
+                "n_digits": s.str.count(r"[0-9]").to_numpy(np.int64),
+                "n_upper": s.str.count(r"[A-Z]").to_numpy(np.int64),
+                "n_spaces": s.str.count(r" ").to_numpy(np.int64),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(profile, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
