@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth_curve": q.vocab_growth_curve,
         # character-class composition per document — hash-verified
         "text_charclass_profile": q.text_charclass_profile,
+        # TPC-H Q19-shaped disjunctive-bracket revenue — hash-verified
+        "tpch_disjunctive_revenue": q.tpch_disjunctive_revenue,
     }
 
 
@@ -3154,6 +3156,26 @@ def oracle_sql() -> dict[str, str]:
            CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[ ]', '', 'g'))
                 AS BIGINT) AS n_spaces
     FROM documents ORDER BY doc_id""",
+        # Q19 shape: three OR'd (brand, size, quantity) brackets
+        "tpch_disjunctive_revenue": """
+    WITH l AS (
+      SELECT l_partkey,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price
+      FROM lineitem
+    ),
+    j AS (
+      SELECT price,
+             CAST(REPLACE(p_brand, 'Brand#', '') AS BIGINT) AS kb,
+             CAST(p_size AS BIGINT) AS ks, q
+      FROM l JOIN part ON p_partkey = l_partkey
+    )
+    SELECT COUNT(*) AS n_items, CAST(SUM(price) AS BIGINT) AS revenue_e2
+    FROM j
+    WHERE (kb <= 10 AND ks BETWEEN 1 AND 15 AND q BETWEEN 100 AND 1100)
+       OR (kb > 10 AND kb <= 20 AND ks BETWEEN 16 AND 30
+           AND q BETWEEN 1000 AND 2000)
+       OR (kb > 20 AND ks BETWEEN 31 AND 50 AND q BETWEEN 2000 AND 3000)""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

@@ -6303,3 +6303,56 @@ def text_charclass_profile(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(profile, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def tpch_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q19-shaped disjunctive-bracket revenue: three OR'd
+    (brand, size-range, quantity-range) brackets evaluated in one fact
+    scan — the predicate shape that defeats naive single-column
+    pushdown. The part attributes broadcast once as partkey-indexed
+    arrays; the disjunction is vectorized numpy; quantize-then-sum
+    integer money keeps the single-row total exact."""
+    import ray
+
+    import pyarrow.parquet as pq_
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    npk = int(part["p_partkey"].max()) + 1
+    brand = np.zeros(npk, dtype=np.int64)
+    size = np.zeros(npk, dtype=np.int64)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    brand[pk] = (
+        part["p_brand"].str.removeprefix("Brand#").astype(np.int64).to_numpy()
+    )
+    size[pk] = part["p_size"].to_numpy(np.int64)
+    ref = ray.put((brand, size))
+
+    def bracket(b: pd.DataFrame) -> pd.DataFrame:
+        br, sz = ray.get(ref)
+        k = b["l_partkey"].to_numpy(np.int64)
+        q = _scaled_int(b["l_quantity"].to_numpy(np.float64), 100.0)
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        kb, ks = br[k], sz[k]
+        m = (
+            ((kb <= 10) & (ks >= 1) & (ks <= 15) & (q >= 100) & (q <= 1100))
+            | ((kb > 10) & (kb <= 20) & (ks >= 16) & (ks <= 30)
+               & (q >= 1000) & (q <= 2000))
+            | ((kb > 20) & (ks >= 31) & (ks <= 50) & (q >= 2000) & (q <= 3000))
+        )
+        return pd.DataFrame(
+            {"n": [int(m.sum())], "rev": [int(price[m].sum())]}
+        )
+
+    parts = (
+        _lineitem(sf_dir, ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(bracket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_items": [np.int64(parts["n"].sum())],
+            "revenue_e2": [np.int64(parts["rev"].sum())],
+        }
+    ).astype({"n_items": np.int64, "revenue_e2": np.int64})
