@@ -280,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_charclass_profile": q.text_charclass_profile,
         # TPC-H Q19-shaped disjunctive-bracket revenue — hash-verified
         "tpch_disjunctive_revenue": q.tpch_disjunctive_revenue,
+        # hourly event-rate spike alarm (trailing-window rule) — hash-verified
+        "rate_spike_flags": q.rate_spike_flags,
+        # exact integer Gini concentration of activity — hash-verified
+        "activity_gini_partials": q.activity_gini_partials,
     }
 
 
@@ -3176,6 +3180,43 @@ def oracle_sql() -> dict[str, str]:
        OR (kb > 10 AND kb <= 20 AND ks BETWEEN 16 AND 30
            AND q BETWEEN 1000 AND 2000)
        OR (kb > 20 AND ks BETWEEN 31 AND 50 AND q BETWEEN 2000 AND 3000)""",
+        # rate spikes: 3*n > 2*trailing-3h total over CONTIGUOUS hours
+        "rate_spike_flags": """
+    WITH h AS (
+      SELECT event_type AS parameter_id,
+             (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600000000
+                 AS hour_us,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *, LAG(n, 1) OVER win AS n1, LAG(n, 2) OVER win AS n2,
+             LAG(n, 3) OVER win AS n3, LAG(hour_us, 3) OVER win AS h3
+      FROM h WINDOW win AS (PARTITION BY parameter_id ORDER BY hour_us)
+    )
+    SELECT parameter_id, hour_us, CAST(n AS BIGINT) AS n,
+           CAST(n1 + n2 + n3 AS BIGINT) AS trail3_n,
+           CAST(3 * n > 2 * (n1 + n2 + n3) AS BIGINT) AS spike
+    FROM w WHERE h3 = hour_us - 3 * 3600000000
+    ORDER BY 1, 2""",
+        # Gini numerator: 2*SUM(rank*n) - (k+1)*total over counts
+        # sorted (n, user) — tie-invariant because tied values are
+        # interchangeable across adjacent ranks
+        "activity_gini_partials": """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n, user_id) AS rk
+      FROM c
+    )
+    SELECT event_type AS parameter_id, COUNT(*) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           CAST(2 * SUM(rk * n) - (COUNT(*) + 1) * SUM(n) AS BIGINT)
+               AS gini_num
+    FROM r GROUP BY 1 ORDER BY 1""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

@@ -6356,3 +6356,103 @@ def tpch_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
             "revenue_e2": [np.int64(parts["rev"].sum())],
         }
     ).astype({"n_items": np.int64, "revenue_e2": np.int64})
+
+
+def rate_spike_flags(sf_dir: str) -> pd.DataFrame:
+    """[graft] Event-RATE spike alarm: hourly event counts per
+    parameter flagged when more than double the trailing 3-hour
+    average — monitoring on arrival rates rather than values
+    (complementing the value screens). Cross-multiplied integers
+    (3 * n_t > 2 * (n_{t-1} + n_{t-2} + n_{t-3})) keep the flag
+    exact; only (parameter, hour) count partials shuffle and the
+    per-parameter hourly series is tiny for any horizon."""
+    ev = _events(sf_dir, ["ts", "event_type"])
+    hour_us = np.int64(3_600_000_000)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tus = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy(),
+                "hour_us": (tus // hour_us) * hour_us,
+            }
+        )
+        return d.groupby(["parameter_id", "hour_us"], sort=False).size(
+        ).reset_index(name="n")
+
+    h = (
+        ev.map_batches(partials, batch_format="pandas")
+        .to_pandas()
+        .groupby(["parameter_id", "hour_us"], as_index=False)["n"]
+        .sum()
+        .sort_values(["parameter_id", "hour_us"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for et, g in h.groupby("parameter_id", sort=True):
+        hu = g["hour_us"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        for i in range(3, len(g)):
+            # flag only over a contiguous trailing window (gaps in the
+            # hourly series break the comparison, same rule as SQL)
+            if hu[i - 3] != hu[i] - 3 * hour_us:
+                continue
+            trail = int(n[i - 1] + n[i - 2] + n[i - 3])
+            rows.append(
+                (et, int(hu[i]), int(n[i]), trail,
+                 int(3 * n[i] > 2 * trail))
+            )
+    return pd.DataFrame(
+        rows or None,
+        columns=["parameter_id", "hour_us", "n", "trail3_n", "spike"],
+    ).astype(
+        {"hour_us": np.int64, "n": np.int64, "trail3_n": np.int64,
+         "spike": np.int64}
+    ).sort_values(["parameter_id", "hour_us"]).reset_index(drop=True)
+
+
+def activity_gini_partials(sf_dir: str) -> pd.DataFrame:
+    """[graft] Exact integer Gini concentration of per-subject activity
+    per parameter: with counts sorted ascending (ties by subject id),
+    gini_num = 2 * sum(rank * count) - (n + 1) * total is the exact
+    integer numerator of the Gini coefficient (denominator n * total)
+    — the inequality measure behind "is this parameter's data entered
+    by a handful of users?". Only (parameter, user, count) partials
+    shuffle; the rank sum runs on the tiny merged frame per
+    parameter."""
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+
+    def param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        c = g.groupby("user_id", as_index=False)["n"].sum()
+        c = c.sort_values(["n", "user_id"], kind="mergesort")
+        n = c["n"].to_numpy(np.int64)
+        k = len(n)
+        total = int(n.sum())
+        rk = np.arange(1, k + 1, dtype=np.int64)
+        gini_num = int(2 * (rk * n).sum() - (k + 1) * total)
+        return pd.DataFrame(
+            {
+                "parameter_id": [et],
+                "n_users": [k],
+                "total_n": [total],
+                "gini_num": [gini_num],
+            }
+        ).astype(
+            {"n_users": np.int64, "total_n": np.int64, "gini_num": np.int64}
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
