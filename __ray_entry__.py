@@ -284,6 +284,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_spike_flags": q.rate_spike_flags,
         # exact integer Gini concentration of activity — hash-verified
         "activity_gini_partials": q.activity_gini_partials,
+        # hour-of-day count/sum/sumsq moment profile — hash-verified
+        "hourly_moment_profile": q.hourly_moment_profile,
+        # same-hour cross-parameter paired values — hash-verified
+        "paired_hour_values": q.paired_hour_values,
+        # Simpson/HHI value-diversity index — hash-verified
+        "value_simpson_index": q.value_simpson_index,
     }
 
 
@@ -3217,6 +3223,49 @@ def oracle_sql() -> dict[str, str]:
            CAST(2 * SUM(rk * n) - (COUNT(*) + 1) * SUM(n) AS BIGINT)
                AS gini_num
     FROM r GROUP BY 1 ORDER BY 1""",
+        # hourly moments: exact e3-integer sum and sum of squares
+        "hourly_moment_profile": """
+    WITH v AS (
+      SELECT event_type AS parameter_id,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT parameter_id, hour, COUNT(*) AS n,
+           CAST(SUM(vq) AS BIGINT) AS sum_e3,
+           CAST(SUM(vq * vq) AS BIGINT) AS sumsq_e6
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2""",
+        # paired same-hour values of ('click', 'view') per subject;
+        # duplicate buckets resolve to the earliest (ts, event_id)
+        "paired_hour_values": """
+    WITH v AS (
+      SELECT user_id, event_type,
+             (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600000000 AS mn,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                 (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                 ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    f AS (SELECT user_id, event_type, mn, vq FROM v WHERE rn = 1)
+    SELECT CAST(a.user_id AS VARCHAR) AS subject_id, a.mn AS hour_us,
+           a.vq AS va_e6, b.vq AS vb_e6
+    FROM f a JOIN f b ON a.user_id = b.user_id AND a.mn = b.mn
+    WHERE a.event_type = 'click' AND b.event_type = 'view'
+    ORDER BY 1, 2""",
+        # Simpson/HHI diversity: exact collision mass per parameter
+        "value_simpson_index": """
+    WITH c AS (
+      SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type AS parameter_id,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
+    FROM c GROUP BY 1 ORDER BY 1""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

@@ -6456,3 +6456,153 @@ def activity_gini_partials(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def hourly_moment_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Hour-of-day moment profile per parameter: count, exact
+    e3-integer sum and sum of squares — the integer-exact inputs to a
+    between-hour ANOVA / seasonality-strength ratio (the consumer
+    divides; the engine never touches floats). e3 quantization keeps
+    sum(vq^2) far inside int64. Pure combiner."""
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(
+                columns=["parameter_id", "hour", "n", "sum_e3", "sumsq_e6"]
+            )
+        vq = _scaled_int(b["value"].to_numpy(), 1e3)
+        d = pd.DataFrame(
+            {
+                "parameter_id": b["event_type"].to_numpy(),
+                "hour": b["ts"].astype("datetime64[us]").dt.hour.to_numpy(
+                    np.int64
+                ),
+                "s": vq,
+                "ss": vq * vq,
+            }
+        )
+        g = d.groupby(["parameter_id", "hour"], sort=False).agg(
+            n=("s", "size"), sum_e3=("s", "sum"), sumsq_e6=("ss", "sum")
+        )
+        return g.reset_index()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby(["parameter_id", "hour"], as_index=False)[
+        ["n", "sum_e3", "sumsq_e6"]
+    ].sum()
+    for c in ("hour", "n", "sum_e3", "sumsq_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["parameter_id", "hour"]).reset_index(drop=True)
+
+
+PAIRED_PARAMS = ("click", "view")
+
+
+def paired_hour_values(sf_dir: str) -> pd.DataFrame:
+    """[graft] Temporal alignment join: for each subject, the pairs of
+    two parameters' values recorded in the SAME hour — the paired-
+    sample extraction feeding paired tests and cross-parameter
+    calibration. One subject-salted exchange; the bucket join runs
+    vectorized inside each partition; duplicate buckets resolve to the
+    earliest (ts, event_id) observation per side, deterministically."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+    minute_us = np.int64(3_600_000_000)
+    pa, pb = PAIRED_PARAMS
+
+    def pair_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[part["value"].notna()]
+        g = g[g["event_type"].isin(PAIRED_PARAMS)].sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "subject_id": np.empty(0, object),
+                    "hour_us": np.empty(0, np.int64),
+                    "va_e6": np.empty(0, np.int64),
+                    "vb_e6": np.empty(0, np.int64),
+                }
+            )
+        tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "mn": (tus // minute_us) * minute_us,
+                "et": g["event_type"].to_numpy(),
+                "vq": _scaled_int(g["value"].to_numpy()),
+            }
+        )
+        # earliest observation per (user, minute, param): rows are
+        # already (ts, event_id)-sorted, so first() is deterministic
+        first = d.groupby(["user_id", "mn", "et"], sort=False, as_index=False)[
+            "vq"
+        ].first()
+        a = first[first["et"] == pa]
+        b = first[first["et"] == pb]
+        m = a.merge(b, on=["user_id", "mn"], suffixes=("_a", "_b"))
+        return pd.DataFrame(
+            {
+                "subject_id": m["user_id"].astype(np.int64).astype(str),
+                "hour_us": m["mn"].astype(np.int64),
+                "va_e6": m["vq_a"].astype(np.int64),
+                "vb_e6": m["vq_b"].astype(np.int64),
+            }
+        )
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: pair_partition(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["subject_id", "hour_us"]).reset_index(drop=True)
+
+
+def value_simpson_index(sf_dir: str) -> pd.DataFrame:
+    """[graft] Simpson / Herfindahl diversity of the value distribution
+    per parameter: n, distinct count and the exact collision mass
+    sum(c^2) over the value-frequency map — the log-free diversity
+    index (collision probability = sum_c2 / n^2) that flags
+    quantized/degenerate feeds without any float entropy. Frequency
+    partials only."""
+    ev = _events(sf_dir, ["event_type", "value"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    def param_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        d = g.groupby("vq", as_index=False)["cnt"].sum()
+        c = d["cnt"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "parameter_id": [et],
+                "n": [int(c.sum())],
+                "n_distinct": [len(c)],
+                "sum_c2": [int((c * c).sum())],
+            }
+        ).astype({"n": np.int64, "n_distinct": np.int64, "sum_c2": np.int64})
+
+    out = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(param_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("parameter_id").reset_index(drop=True)
