@@ -290,6 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paired_hour_values": q.paired_hour_values,
         # Simpson/HHI value-diversity index — hash-verified
         "value_simpson_index": q.value_simpson_index,
+        # position-in-conversation length curve — hash-verified
+        "turn_position_profile": q.turn_position_profile,
+        # burstiness (interarrival CV) integer partials — hash-verified
+        "burstiness_partials": q.burstiness_partials,
     }
 
 
@@ -3266,6 +3270,36 @@ def oracle_sql() -> dict[str, str]:
            COUNT(*) AS n_distinct,
            CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
     FROM c GROUP BY 1 ORDER BY 1""",
+        # length by turn position
+        "turn_position_profile": """
+    WITH t AS (
+      SELECT CAST(COALESCE(LENGTH(props), 0) AS BIGINT) AS tl,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS turn_ix
+      FROM events
+    )
+    SELECT CAST(turn_ix AS BIGINT) AS turn_ix, COUNT(*) AS n,
+           CAST(SUM(tl) AS BIGINT) AS sum_len
+    FROM t GROUP BY 1 ORDER BY 1""",
+        # burstiness: gap count / ms sum / ms sum-of-squares per series
+        "burstiness_partials": """
+    WITH v AS (
+      SELECT event_type, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS tus, event_id
+      FROM events
+    ),
+    p AS (
+      SELECT event_type, user_id,
+             (tus - LAG(tus) OVER w) // 1000 AS gap_ms
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap_ms) AS BIGINT) AS sum_gap_ms,
+           CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS sumsq_gap_ms
+    FROM p WHERE gap_ms IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

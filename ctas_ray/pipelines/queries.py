@@ -6606,3 +6606,84 @@ def value_simpson_index(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def turn_position_profile(sf_dir: str) -> pd.DataFrame:
+    """[graft] Position-in-conversation curve: per turn index (1-based
+    rank within the conversation) the turn count and exact total text
+    length — do conversations get terser or chattier as they run?
+    Turn ranks derive per conversation inside salted partitions; only
+    (turn_ix, n, sum_len) partials merge."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "props"])
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame(columns=["turn_ix", "n", "sum_len"])
+        tl = g["props"].fillna("").astype(str).str.len().to_numpy(np.int64)
+        ix = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        d = pd.DataFrame({"turn_ix": ix.astype(np.int64), "len": tl})
+        out = d.groupby("turn_ix", sort=False)["len"].agg(n="size", sum_len="sum")
+        return out.reset_index()
+
+    parts = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: partials(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = parts.groupby("turn_ix", as_index=False)[["n", "sum_len"]].sum()
+    for c in ("turn_ix", "n", "sum_len"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("turn_ix").reset_index(drop=True)
+
+
+def burstiness_partials(sf_dir: str) -> pd.DataFrame:
+    """[graft] Burstiness (interarrival CV) inputs per series: gap
+    count, exact millisecond gap sum and sum of squares — CV >> 1
+    separates bursty feeds from Poisson-like ones; the consumer does
+    the one float divide. Gaps floor to ms on both sides so the
+    squared sums stay deep inside int64."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id"])
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+        )
+        if len(g) < 2:
+            return pd.DataFrame(
+                columns=["parameter_id", "subject_id", "n_gaps", "sum_gap_ms",
+                         "sumsq_gap_ms"]
+            )
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        tus = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        same = (et[1:] == et[:-1]) & (uid[1:] == uid[:-1])
+        gap_ms = (tus[1:] - tus[:-1])[same] // 1000
+        d = pd.DataFrame(
+            {
+                "parameter_id": et[1:][same],
+                "subject_id": uid[1:][same].astype(str),
+                "g": gap_ms,
+                "gg": gap_ms * gap_ms,
+            }
+        )
+        out = d.groupby(["parameter_id", "subject_id"], sort=False).agg(
+            n_gaps=("g", "size"), sum_gap_ms=("g", "sum"),
+            sumsq_gap_ms=("gg", "sum"),
+        )
+        return out.reset_index()
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: partials(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    for c in ("n_gaps", "sum_gap_ms", "sumsq_gap_ms"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
