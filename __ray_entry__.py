@@ -294,6 +294,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_position_profile": q.turn_position_profile,
         # burstiness (interarrival CV) integer partials — hash-verified
         "burstiness_partials": q.burstiness_partials,
+        # global-tercile transition matrix per parameter — hash-verified
+        "tercile_transition_matrix": q.tercile_transition_matrix,
+        # per-doc top-50-vocabulary genericness counts — hash-verified
+        "doc_genericness_counts": q.doc_genericness_counts,
     }
 
 
@@ -3300,6 +3304,79 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS sumsq_gap_ms
     FROM p WHERE gap_ms IS NOT NULL
     GROUP BY 1, 2 ORDER BY 1, 2""",
+        # tercile transitions: 3-fold type-7 breakpoints by rank
+        # selection, tercile = #{q : 3*vq > q3}, LEAD pairs per series
+        "tercile_transition_matrix": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    o AS (
+      SELECT event_type, vq,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vq) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    ks AS (
+      SELECT d.event_type, d.n, t.p,
+             (t.p * (d.n - 1)) // 3 AS lo,
+             ((t.p * (d.n - 1)) + 2) // 3 AS hi,
+             (t.p * (d.n - 1)) % 3 AS f3
+      FROM (SELECT DISTINCT event_type, n FROM o) d
+      CROSS JOIN (VALUES (1), (2)) t(p)
+    ),
+    qq AS (
+      SELECT k.event_type, k.p, 3 * a.vq + k.f3 * (b.vq - a.vq) AS q3
+      FROM ks k
+      JOIN o a ON a.event_type = k.event_type AND a.rn = k.lo + 1
+      JOIN o b ON b.event_type = k.event_type AND b.rn = k.hi + 1
+    ),
+    w AS (
+      SELECT event_type, q3_1, q3_2 FROM (
+        SELECT event_type,
+               MAX(CASE WHEN p = 1 THEN q3 END) AS q3_1,
+               MAX(CASE WHEN p = 2 THEN q3 END) AS q3_2
+        FROM qq GROUP BY 1)
+    ),
+    ter AS (
+      SELECT v.event_type, v.user_id, v.tus, v.event_id,
+             CAST(3 * v.vq > w.q3_1 AS BIGINT)
+               + CAST(3 * v.vq > w.q3_2 AS BIGINT) AS t
+      FROM v JOIN w ON v.event_type = w.event_type
+    ),
+    tr AS (
+      SELECT event_type,
+             LAG(t) OVER win AS t_from, t AS t_to,
+             LAG(user_id) OVER win AS pu, user_id
+      FROM ter WINDOW win AS (PARTITION BY event_type, user_id
+                              ORDER BY tus, event_id)
+    )
+    SELECT event_type AS parameter_id, t_from, t_to, COUNT(*) AS n
+    FROM tr WHERE t_from IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        # genericness: tokens in the exact top-50 vocabulary per doc
+        "doc_genericness_counts": """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+    top AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT 50),
+    per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN p.token IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_top50
+      FROM toks t LEFT JOIN top p ON t.token = p.token
+      GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_top50, 0) AS n_top50
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY 1""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

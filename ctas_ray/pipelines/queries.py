@@ -6687,3 +6687,127 @@ def burstiness_partials(sf_dir: str) -> pd.DataFrame:
     for c in ("n_gaps", "sum_gap_ms", "sumsq_gap_ms"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def tercile_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """[graft] Value-dynamics summary: per parameter the 3x3 matrix of
+    transitions between GLOBAL value terciles across consecutive
+    measurements of each series — heavy diagonal = sticky regimes,
+    heavy off-diagonal = mean-reverting noise. Tercile breakpoints are
+    exact 3-fold type-7 quantiles from the frequency map ((p*(n-1)) %
+    3 makes 3*Q integral); transitions count inside salted partitions;
+    only the tiny (parameter, from, to) matrix merges."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        if len(b) == 0:
+            return pd.DataFrame(columns=["event_type", "vq", "cnt"])
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "vq": _scaled_int(b["value"].to_numpy()),
+            }
+        )
+        return d.groupby(["event_type", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    def tercile_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].iloc[0]
+        d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+        v = d["vq"].to_numpy(np.int64)
+        c = d["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def at(rank0: int) -> int:
+            return int(v[np.searchsorted(cum, rank0 + 1)])
+
+        qs = []
+        for p in (1, 2):
+            t = p * (n - 1)
+            lo, hi, f3 = t // 3, -(-t // 3), t % 3
+            a, b_ = at(lo), at(hi)
+            qs.append(3 * a + f3 * (b_ - a))
+        return pd.DataFrame(
+            {"event_type": [et], "q3_1": [qs[0]], "q3_2": [qs[1]]}
+        ).astype({"q3_1": np.int64, "q3_2": np.int64})
+
+    th = (
+        ev.map_batches(partial_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(tercile_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    q1 = dict(zip(th["event_type"], th["q3_1"].astype(np.int64)))
+    q2 = dict(zip(th["event_type"], th["q3_2"].astype(np.int64)))
+
+    def transitions(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[part["value"].notna()].sort_values(
+            ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+        )
+        if len(g) < 2:
+            return pd.DataFrame(columns=["parameter_id", "t_from", "t_to", "n"])
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        vq = _scaled_int(g["value"].to_numpy())
+        a1 = g["event_type"].map(q1).to_numpy(np.int64)
+        a2 = g["event_type"].map(q2).to_numpy(np.int64)
+        # tercile of vq: value > Q ⟺ 3*vq > q3 (cross-multiplied)
+        ter = (3 * vq > a1).astype(np.int64) + (3 * vq > a2).astype(np.int64)
+        same = (et[1:] == et[:-1]) & (uid[1:] == uid[:-1])
+        d = pd.DataFrame(
+            {
+                "parameter_id": et[1:][same],
+                "t_from": ter[:-1][same],
+                "t_to": ter[1:][same],
+            }
+        )
+        return d.groupby(
+            ["parameter_id", "t_from", "t_to"], sort=False
+        ).size().reset_index(name="n")
+
+    parts = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: transitions(g.drop(columns=["part"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = parts.groupby(["parameter_id", "t_from", "t_to"], as_index=False)[
+        "n"
+    ].sum()
+    for c in ("t_from", "t_to", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["parameter_id", "t_from", "t_to"]).reset_index(
+        drop=True
+    )
+
+
+def doc_genericness_counts(sf_dir: str) -> pd.DataFrame:
+    """[graft] Genericness score inputs per document: total tokens and
+    how many belong to the corpus' exact top-50 vocabulary — documents
+    made mostly of the most common words contribute little signal to a
+    training mix. Broadcast top-50 set, stateless pass."""
+    top = token_vocabulary_topk(sf_dir, k=50)
+    vset = set(top["token"].astype(str))
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok, n_top = [], []
+        for s in b["text"]:
+            t = str(s).split()
+            n_tok.append(len(t))
+            n_top.append(sum(1 for x in t if x in vset))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": np.asarray(n_tok, dtype=np.int64),
+                "n_top50": np.asarray(n_top, dtype=np.int64),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(counts, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
