@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tercile_transition_matrix": q.tercile_transition_matrix,
         # per-doc top-50-vocabulary genericness counts — hash-verified
         "doc_genericness_counts": q.doc_genericness_counts,
+        # fulfilment-lag SLO per order priority — hash-verified
+        "order_fulfilment_lag": q.order_fulfilment_lag,
+        # TPC-H Q6-shaped filtered revenue scan — hash-verified
+        "tpch_q6_revenue": q.tpch_q6_revenue,
     }
 
 
@@ -3377,6 +3381,55 @@ def oracle_sql() -> dict[str, str]:
            COALESCE(per.n_top50, 0) AS n_top50
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     ORDER BY 1""",
+        # fulfilment lag: ship - order in whole days; doubled median +
+        # 20-fold type-7 P95 by rank selection per priority
+        "order_fulfilment_lag": """
+    WITH l AS (
+      SELECT o_orderpriority,
+             (CAST(epoch_us(l_shipdate) AS BIGINT)
+              - CAST(epoch_us(o_orderdate) AS BIGINT)) // 86400000000
+                 AS lag_d
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    o AS (
+      SELECT o_orderpriority, lag_d,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY lag_d) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM l
+    ),
+    ks AS (
+      SELECT d.o_orderpriority, d.n,
+             (19 * (d.n - 1)) // 20 AS lo,
+             ((19 * (d.n - 1)) + 19) // 20 AS hi,
+             (19 * (d.n - 1)) % 20 AS f20
+      FROM (SELECT DISTINCT o_orderpriority, n FROM o) d
+    ),
+    p95 AS (
+      SELECT k.o_orderpriority,
+             20 * a.lag_d + k.f20 * (b.lag_d - a.lag_d) AS p95_x20
+      FROM ks k
+      JOIN o a ON a.o_orderpriority = k.o_orderpriority AND a.rn = k.lo + 1
+      JOIN o b ON b.o_orderpriority = k.o_orderpriority AND b.rn = k.hi + 1
+    )
+    SELECT l.o_orderpriority, COUNT(*) AS n_items,
+           CAST(MEDIAN(2 * l.lag_d) AS BIGINT) AS med2_lag_d,
+           CAST(MAX(p95.p95_x20) AS BIGINT) AS p95_lag_d_x20
+    FROM l JOIN p95 ON l.o_orderpriority = p95.o_orderpriority
+    GROUP BY 1 ORDER BY 1""",
+        # Q6 shape: filtered forecast-revenue scan, e4-exact money
+        "tpch_q6_revenue": """
+    WITH l AS (
+      SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(price * disc) AS BIGINT) AS revenue_e4
+    FROM l WHERE q < 2400 AND disc BETWEEN 5 AND 7""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

@@ -6811,3 +6811,128 @@ def doc_genericness_counts(sf_dir: str) -> pd.DataFrame:
 
     out = _docs(sf_dir).map_batches(counts, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _fulfilment_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-priority doubled-median and 20-fold type-7 P95 of the
+    ship-lag-days frequency distribution."""
+    pr = g["o_orderpriority"].iloc[0]
+    d = g.groupby("lag_d", as_index=False)["cnt"].sum().sort_values("lag_d")
+    v = d["lag_d"].to_numpy(np.int64)
+    c = d["cnt"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def at(rank0: int) -> int:
+        return int(v[np.searchsorted(cum, rank0 + 1)])
+
+    med2 = _weighted_med2(v, c)
+    t = 19 * (n - 1)
+    lo, hi, f20 = t // 20, -(-t // 20), t % 20
+    a, b = at(lo), at(hi)
+    p95_x20 = 20 * a + f20 * (b - a)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pr],
+            "n_items": [n],
+            "med2_lag_d": [med2],
+            "p95_lag_d_x20": [p95_x20],
+        }
+    ).astype(
+        {"n_items": np.int64, "med2_lag_d": np.int64, "p95_lag_d_x20": np.int64}
+    )
+
+
+def order_fulfilment_lag(sf_dir: str) -> pd.DataFrame:
+    """[graft] Fulfilment-lag SLO per order priority: doubled-median
+    and exact 20-fold P95 of ship-date minus order-date in whole days
+    — the relational sibling of tail_latency_by_tool. One fact-fact
+    hash join (lineitem x orders on orderkey), then only the
+    (priority, lag-day, count) frequency map moves."""
+    def item_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(np.int64),
+                "ship_us": b["l_shipdate"].to_numpy().astype(
+                    "datetime64[us]"
+                ).astype(np.int64),
+            }
+        )
+
+    def order_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(np.int64),
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+                "ord_us": b["o_orderdate"].to_numpy().astype(
+                    "datetime64[us]"
+                ).astype(np.int64),
+            }
+        )
+
+    items = _lineitem(sf_dir, ["l_orderkey", "l_shipdate"]).map_batches(
+        item_rows, batch_format="pandas"
+    ).repartition(8)
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(order_rows, batch_format="pandas").repartition(8)
+    joined = _arrow_clean(items).join(
+        _arrow_clean(orders), join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    day_us = np.int64(86_400_000_000)
+
+    def lag_partials(b: pd.DataFrame) -> pd.DataFrame:
+        lag = (
+            b["ship_us"].to_numpy(np.int64) - b["ord_us"].to_numpy(np.int64)
+        ) // day_us
+        d = pd.DataFrame(
+            {"o_orderpriority": b["o_orderpriority"].to_numpy(), "lag_d": lag}
+        )
+        return d.groupby(
+            ["o_orderpriority", "lag_d"], sort=False
+        ).size().reset_index(name="cnt")
+
+    out = (
+        joined.map_batches(lag_partials, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(_fulfilment_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def tpch_q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q6-shaped forecast-revenue scan: one filtered SUM
+    of extendedprice * discount over quantity / discount / date
+    brackets — the pure predicate-pushdown-and-scan shape. Money
+    quantized e2 on both factors; the e4 product sums are exact
+    int64."""
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy().astype("datetime64[us]")
+        q = _scaled_int(b["l_quantity"].to_numpy(np.float64), 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64), 100.0)
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        m = (d >= lo) & (d < hi) & (q < 2400) & (disc >= 5) & (disc <= 7)
+        return pd.DataFrame(
+            {"n": [int(m.sum())], "rev": [int((price[m] * disc[m]).sum())]}
+        )
+
+    parts = (
+        _lineitem(
+            sf_dir,
+            ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_items": [np.int64(parts["n"].sum())],
+            "revenue_e4": [np.int64(parts["rev"].sum())],
+        }
+    ).astype({"n_items": np.int64, "revenue_e4": np.int64})
