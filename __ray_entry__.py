@@ -302,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfilment_lag": q.order_fulfilment_lag,
         # TPC-H Q6-shaped filtered revenue scan — hash-verified
         "tpch_q6_revenue": q.tpch_q6_revenue,
+        # customer segment mix per nation — hash-verified
+        "segment_nation_mix": q.segment_nation_mix,
+        # size-vs-price correlation integer partials per brand — hash-verified
+        "part_size_price_partials": q.part_size_price_partials,
     }
 
 
@@ -3430,6 +3434,27 @@ def oracle_sql() -> dict[str, str]:
     SELECT COUNT(*) AS n_items,
            CAST(SUM(price * disc) AS BIGINT) AS revenue_e4
     FROM l WHERE q < 2400 AND disc BETWEEN 5 AND 7""",
+        # dimension profile: segment mix per nation
+        "segment_nation_mix": """
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS acctbal_e2
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        # Pearson inputs: exact integer moment sums per brand
+        "part_size_price_partials": """
+    WITH p AS (
+      SELECT p_brand, CAST(p_size AS BIGINT) AS sz,
+             CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS pr
+      FROM part
+    )
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(sz) AS BIGINT) AS sum_size,
+           CAST(SUM(pr) AS BIGINT) AS sum_price_e2,
+           CAST(SUM(sz * pr) AS BIGINT) AS sum_sp_e2,
+           CAST(SUM(sz * sz) AS BIGINT) AS sum_size2,
+           CAST(SUM(pr * pr) AS BIGINT) AS sum_price2_e4
+    FROM p GROUP BY 1 ORDER BY 1""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

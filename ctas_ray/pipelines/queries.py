@@ -6936,3 +6936,80 @@ def tpch_q6_revenue(sf_dir: str) -> pd.DataFrame:
             "revenue_e4": [np.int64(parts["rev"].sum())],
         }
     ).astype({"n_items": np.int64, "revenue_e4": np.int64})
+
+
+def segment_nation_mix(sf_dir: str) -> pd.DataFrame:
+    """[graft] Customer market-segment mix per nation with account-
+    balance totals — the dimension-profile query a star schema answers
+    before any fact scan. Pure combiner over customer with the nation
+    names broadcast."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "n_name": b["c_nationkey"].astype(int).map(nname).to_numpy(),
+                "c_mktsegment": b["c_mktsegment"].to_numpy(),
+                "bal_e2": _scaled_int(b["c_acctbal"].to_numpy(np.float64), 100.0),
+            }
+        )
+        g = d.groupby(["n_name", "c_mktsegment"], sort=False)["bal_e2"].agg(
+            n_customers="size", acctbal_e2="sum"
+        )
+        return g.reset_index()
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["n_name", "c_mktsegment"], as_index=False)[
+        ["n_customers", "acctbal_e2"]
+    ].sum()
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    out["acctbal_e2"] = out["acctbal_e2"].astype(np.int64)
+    return out.sort_values(["n_name", "c_mktsegment"]).reset_index(drop=True)
+
+
+def part_size_price_partials(sf_dir: str) -> pd.DataFrame:
+    """[graft] Size-vs-price correlation inputs over the part table:
+    exact integer sums (n, sum_size, sum_price_e2, sum_size_price_e2,
+    sum_size2, sum_price2_e4) per brand — the consumer computes
+    Pearson; the engine never leaves int64. One stateless scan."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        sz = b["p_size"].to_numpy(np.int64)
+        pr = _scaled_int(b["p_retailprice"].to_numpy(np.float64), 100.0)
+        d = pd.DataFrame(
+            {
+                "p_brand": b["p_brand"].to_numpy(),
+                "n": np.ones(len(b), np.int64),
+                "sum_size": sz,
+                "sum_price_e2": pr,
+                "sum_sp_e2": sz * pr,
+                "sum_size2": sz * sz,
+                "sum_price2_e4": pr * pr,
+            }
+        )
+        return d.groupby("p_brand", as_index=False).sum()
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/part.parquet", columns=["p_brand", "p_size",
+                                               "p_retailprice"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("p_brand", as_index=False).sum()
+    for c in ("n", "sum_size", "sum_price_e2", "sum_sp_e2", "sum_size2",
+              "sum_price2_e4"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("p_brand").reset_index(drop=True)
