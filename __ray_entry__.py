@@ -306,6 +306,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_nation_mix": q.segment_nation_mix,
         # size-vs-price correlation integer partials per brand — hash-verified
         "part_size_price_partials": q.part_size_price_partials,
+        # lag-2 autocorrelation integer pair sums per series — hash-verified
+        "lag2_autocorr_partials": q.lag2_autocorr_partials,
+        # per-conversation tool-mix Simpson diversity — hash-verified
+        "conv_tool_diversity": q.conv_tool_diversity,
+        # supplier balance quartiles per nation — hash-verified
+        "supplier_acctbal_quantiles": q.supplier_acctbal_quantiles,
     }
 
 
@@ -3455,6 +3461,76 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(sz * sz) AS BIGINT) AS sum_size2,
            CAST(SUM(pr * pr) AS BIGINT) AS sum_price2_e4
     FROM p GROUP BY 1 ORDER BY 1""",
+        # lag-2 pairs via LEAD(vq, 2) within the series ordering
+        "lag2_autocorr_partials": """
+    WITH v AS (
+      SELECT event_type, user_id, event_id,
+             CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vq,
+             CAST(epoch_us(ts) AS BIGINT) AS tus
+      FROM events WHERE value IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, user_id, vq AS x, LEAD(vq, 2) OVER w AS y
+      FROM v WINDOW w AS (PARTITION BY event_type, user_id
+                          ORDER BY tus, event_id)
+    )
+    SELECT event_type AS parameter_id, CAST(user_id AS VARCHAR) AS subject_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+           CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+           CAST(SUM(y * y) AS BIGINT) AS sum_y2
+    FROM p WHERE y IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
+        # per-conversation type-mix collision mass
+        "conv_tool_diversity": """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(SUM(n) AS BIGINT) AS n_turns,
+           COUNT(*) AS n_types,
+           CAST(SUM(n * n) AS BIGINT) AS sum_c2
+    FROM c GROUP BY 1 ORDER BY 1""",
+        # supplier balances: doubled median + 4-fold quartiles
+        "supplier_acctbal_quantiles": """
+    WITH v AS (
+      SELECT n_name, CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS vq
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    o AS (
+      SELECT n_name, vq,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY vq) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n
+      FROM v
+    ),
+    ks AS (
+      SELECT d.n_name, d.n, t.p,
+             (t.p * (d.n - 1)) // 4 AS lo,
+             ((t.p * (d.n - 1)) + 3) // 4 AS hi,
+             (t.p * (d.n - 1)) % 4 AS f4
+      FROM (SELECT DISTINCT n_name, n FROM o) d
+      CROSS JOIN (VALUES (1), (3)) t(p)
+    ),
+    qq AS (
+      SELECT k.n_name, k.p, 4 * a.vq + k.f4 * (b.vq - a.vq) AS q4
+      FROM ks k
+      JOIN o a ON a.n_name = k.n_name AND a.rn = k.lo + 1
+      JOIN o b ON b.n_name = k.n_name AND b.rn = k.hi + 1
+    ),
+    w AS (
+      SELECT n_name,
+             MAX(CASE WHEN p = 1 THEN q4 END) AS q1,
+             MAX(CASE WHEN p = 3 THEN q4 END) AS q3
+      FROM qq GROUP BY 1
+    )
+    SELECT v.n_name, COUNT(*) AS n_suppliers,
+           CAST(MAX(w.q1) AS BIGINT) AS q1_e2_x4,
+           CAST(MEDIAN(2 * v.vq) AS BIGINT) AS med2_e2,
+           CAST(MAX(w.q3) AS BIGINT) AS q3_e2_x4
+    FROM v JOIN w ON v.n_name = w.n_name
+    GROUP BY 1 ORDER BY 1""",
     }
     # derived entry: cluster-size histogram over the hash-verified
     # near-dup clusters (the same recursive closure, re-aggregated)

@@ -7013,3 +7013,157 @@ def part_size_price_partials(sf_dir: str) -> pd.DataFrame:
               "sum_price2_e4"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def lag2_autocorr_partials(sf_dir: str) -> pd.DataFrame:
+    """[graft] Lag-2 autocorrelation inputs per series: exact e3
+    integer pair sums (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2 over
+    pairs two steps apart) — extends the hash-proven lag-1 feature
+    (F4) toward the ACF; the consumer does the float division.
+    One salted exchange, vectorized offset pairing."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        g = part[part["value"].notna()].sort_values(
+            ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+        )
+        if len(g) < 3:
+            return pd.DataFrame(
+                columns=["parameter_id", "subject_id", "n_pairs", "sum_x",
+                         "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+            )
+        et = g["event_type"].to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        vq = _scaled_int(g["value"].to_numpy(), 1e3)
+        same = (et[2:] == et[:-2]) & (uid[2:] == uid[:-2])
+        x = vq[:-2][same]
+        y = vq[2:][same]
+        d = pd.DataFrame(
+            {
+                "parameter_id": et[2:][same],
+                "subject_id": uid[2:][same].astype(str),
+                "x": x, "y": y, "xy": x * y, "x2": x * x, "y2": y * y,
+            }
+        )
+        out = d.groupby(["parameter_id", "subject_id"], sort=False).agg(
+            n_pairs=("x", "size"), sum_x=("x", "sum"), sum_y=("y", "sum"),
+            sum_xy=("xy", "sum"), sum_x2=("x2", "sum"), sum_y2=("y2", "sum"),
+        )
+        return out.reset_index()
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(
+            lambda g: partials(g.drop(columns=["part"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    for c in ("n_pairs", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
+
+
+def conv_tool_diversity(sf_dir: str) -> pd.DataFrame:
+    """[graft] Per-conversation tool mix: turn count, distinct event
+    types used, and the exact collision mass sum(c^2) over the type
+    distribution — the conversation-level Simpson diversity that
+    separates single-tool loops from varied sessions. One salted
+    exchange."""
+    ev = _events(sf_dir, ["event_type", "user_id"])
+
+    def partials(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.groupby(["user_id", "event_type"], sort=False).size(
+        ).reset_index(name="c")
+        return d
+
+    def conv_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["user_id", "event_type"], as_index=False)["c"].sum()
+        out = m.groupby("user_id").agg(
+            n_turns=("c", "sum"), n_types=("c", "size"),
+        )
+        out["sum_c2"] = m.assign(cc=m["c"] * m["c"]).groupby("user_id")[
+            "cc"
+        ].sum()
+        out = out.reset_index()
+        return pd.DataFrame(
+            {
+                "conv_id": "u" + out["user_id"].astype(np.int64).astype(str),
+                "n_turns": out["n_turns"].astype(np.int64),
+                "n_types": out["n_types"].astype(np.int64),
+                "sum_c2": out["sum_c2"].astype(np.int64),
+            }
+        )
+
+    out = (
+        ev.map_batches(partials, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(conv_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def supplier_acctbal_quantiles(sf_dir: str) -> pd.DataFrame:
+    """[graft] Supplier balance distribution per nation: doubled
+    median and 4-fold type-7 quartiles of e2-quantized account
+    balances — the remaining dimension table's profile query; pure
+    frequency-map kernel per nation."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "n_name": b["s_nationkey"].astype(int).map(nname).to_numpy(),
+                "vq": _scaled_int(b["s_acctbal"].to_numpy(np.float64), 100.0),
+            }
+        )
+        return d.groupby(["n_name", "vq"], sort=False).size().reset_index(
+            name="cnt"
+        )
+
+    def nation_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        nm = g["n_name"].iloc[0]
+        d = g.groupby("vq", as_index=False)["cnt"].sum().sort_values("vq")
+        v = d["vq"].to_numpy(np.int64)
+        c = d["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def at(rank0: int) -> int:
+            return int(v[np.searchsorted(cum, rank0 + 1)])
+
+        qs = []
+        for p in (1, 3):
+            t = p * (n - 1)
+            lo, hi, f4 = t // 4, -(-t // 4), t % 4
+            a, b_ = at(lo), at(hi)
+            qs.append(4 * a + f4 * (b_ - a))
+        return pd.DataFrame(
+            {
+                "n_name": [nm],
+                "n_suppliers": [n],
+                "q1_e2_x4": [qs[0]],
+                "med2_e2": [_weighted_med2(v, c)],
+                "q3_e2_x4": [qs[1]],
+            }
+        ).astype(
+            {"n_suppliers": np.int64, "q1_e2_x4": np.int64,
+             "med2_e2": np.int64, "q3_e2_x4": np.int64}
+        )
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .groupby("n_name")
+        .map_groups(nation_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
