@@ -1813,6 +1813,22 @@ def study_screen_ks_statistics(sf_dir: str) -> pd.DataFrame:
     return s.sort_values(["timeseries_id", "feature", "site"]).reset_index(drop=True)
 
 
+def study_screen_me_sitescores(sf_dir: str) -> pd.DataFrame:
+    """Flagship screen with site_scoring_method='mixedeffects'
+    (R/ctas.R:1215-1248 approximated by deterministic method-of-moments
+    BLUPs, see study_core.score_sites_mixedeffects_approx): per-level
+    (site, then country/region when >1 distinct) shrunken effects and
+    conditional-posterior sd, hash-verified vs a DuckDB oracle that
+    re-derives the full MoM chain (grand mean, within/between variance
+    components, shrinkage) in SQL. Only the downstream normal-tail
+    p-value / FDR transform stays pytest-pinned (no erfc in SQL)."""
+    s = _study_screen_sql(sf_dir, "mixedeffects")["site_scores"].copy()
+    s["eff_e6"] = _scaled_int(s["mean"].to_numpy(dtype=np.float64))
+    s["sd_e6"] = _scaled_int(s["sd"].to_numpy(dtype=np.float64))
+    s = s[["timeseries_id", "feature", "entity", "eff_e6", "sd_e6"]]
+    return s.sort_values(["timeseries_id", "feature", "entity"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins / windows (stages/windows.py) and repetition quality
 # ---------------------------------------------------------------------------

@@ -762,6 +762,11 @@ def read_tier_asof(paths: dict, tier: str, *, back: int = 0) -> rd.Dataset:
     past the chain's origin raises."""
     import json
 
+    if not tier.startswith("tier_"):
+        raise ValueError(
+            f"read_tier_asof projects tier partial columns and only accepts "
+            f"tier keys (got {tier!r}); use read_increment_blobs for 'blobs'"
+        )
     spec = paths[tier]
     for _ in range(back):
         if not (isinstance(spec, dict) and "increment_view" in spec):

@@ -100,11 +100,13 @@ def _int8_topk_batch(
     c8 = _quantize_int8(np.stack(batch[vec_col].to_numpy()))
     scores = c8.astype(np.int32) @ q8.T.astype(np.int32)  # (n_batch, n_q)
     k = min(k, scores.shape[0])
-    idx = np.argpartition(-scores, kth=k - 1, axis=0)[:k]
     ids = batch[id_col].to_numpy()
     out_q, out_id, out_s = [], [], []
     for qi, qid in enumerate(query_ids):
-        rows = idx[:, qi]
+        # integer scores tie often, so the per-batch cut must use the same
+        # (score desc, id asc) order as the global merge or batch-boundary
+        # placement changes the returned id set
+        rows = np.lexsort((ids, -scores[:, qi]))[:k]
         out_q.extend([qid] * len(rows))
         out_id.extend(ids[rows])
         out_s.extend(scores[rows, qi])

@@ -321,6 +321,10 @@ def heavy_hitters_mg(
                 if s is not None:
                     toks.extend(str(s).split())
             x = np.asarray(toks, dtype=object)
+        else:
+            # match the tokenize branch's null handling: drop nulls
+            # instead of counting the literal string 'None'
+            x = x[np.asarray(pd.notna(x))]
         if len(x) == 0:
             return pa.table(
                 {"item": pa.array([], type=pa.string()),
