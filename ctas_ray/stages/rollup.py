@@ -245,6 +245,39 @@ UNION_TYPES = {
 }
 UNION_SCHEMA = pa.schema([(c, UNION_TYPES[c]) for c in UNION_COLUMNS])
 
+# Physical (in-flight) layout of the union blocks: Arrow allocates the
+# FULL values buffer for a null fixed-width column (8 B/row of zeros
+# through plasma for every column a kind doesn't populate) and plain
+# strings repeat their bytes per row. Tier rows are ~95% of stage0
+# output, so the union block's wire size is dominated by exactly these
+# two costs. Dictionary physical types cut an absent column to its
+# index width (1-4 B/row) and a low-cardinality string to ~1-4 B/row;
+# parquet stores the same logical values either way, so everything
+# read back from disk is unchanged. Sparse columns (populated only on
+# the rare blob/pmeta rows) keep index width 4 to bound dictionary
+# blow-up; `blob` uses 4-byte offsets (binary, not large_binary).
+_DICT_IDX = {
+    "conv_id": pa.int32(),
+    "channel": pa.int8(),
+    "kind": pa.int8(),
+    "tier": pa.int8(),
+    "chunk": pa.int32(),
+    "n": pa.int32(),
+    "part": pa.int32(),
+    "rows_in": pa.int32(),
+    "n_convs": pa.int32(),
+    "wall_s": pa.int32(),
+}
+_PHYS_TYPES = {
+    c: (
+        pa.dictionary(_DICT_IDX[c], UNION_TYPES[c])
+        if c in _DICT_IDX
+        else (pa.binary() if c == "blob" else UNION_TYPES[c])
+    )
+    for c in UNION_COLUMNS
+}
+UNION_PHYS_SCHEMA = pa.schema([(c, _PHYS_TYPES[c]) for c in UNION_COLUMNS])
+
 
 def _frames_to_union_arrow(
     frames: list[pd.DataFrame], label_fn=None
@@ -271,11 +304,30 @@ def _frames_to_union_arrow(
         arrays = []
         for c in UNION_COLUMNS:
             t = UNION_TYPES[c]
+            pt = _PHYS_TYPES[c]
+            is_dict = pa.types.is_dictionary(pt)
             if const is not None and c in const:
-                arrays.append(pa.repeat(pa.scalar(const[c], type=t), n_rows))
+                if is_dict:
+                    arrays.append(
+                        pa.DictionaryArray.from_arrays(
+                            np.zeros(n_rows, dtype=pt.index_type.to_pandas_dtype()),
+                            pa.array([const[c]], type=t),
+                        )
+                    )
+                else:
+                    arrays.append(pa.repeat(pa.scalar(const[c], type=pt), n_rows))
                 continue
             if c not in names:
-                arrays.append(pa.nulls(n_rows, type=t))
+                # absent column: null dictionary indices cost index-width
+                # bytes, not the full value width
+                arrays.append(
+                    pa.DictionaryArray.from_arrays(
+                        pa.nulls(n_rows, type=pt.index_type),
+                        pa.array([], type=t),
+                    )
+                    if is_dict
+                    else pa.nulls(n_rows, type=pt)
+                )
                 continue
             col = f[c]
             arr = col.to_numpy() if isinstance(col, pd.Series) else np.asarray(col)
@@ -285,16 +337,20 @@ def _frames_to_union_arrow(
                     pa.DictionaryArray.from_arrays(
                         pa.array(codes, type=pa.int32()),
                         pa.array(label_fn(uniq), type=pa.string()),
-                    ).cast(pa.string())
+                    )
                 )
                 continue
             # from_pandas=True keeps the pandas-path semantics (float
             # NaN -> null) for numpy inputs too
-            arrays.append(pa.array(arr, type=t, from_pandas=True))
-        batches.append(pa.record_batch(arrays, schema=UNION_SCHEMA))
+            plain = pa.array(arr, type=t, from_pandas=True)
+            arrays.append(
+                plain.dictionary_encode().cast(pt) if is_dict else
+                (plain.cast(pt) if pt != t else plain)
+            )
+        batches.append(pa.record_batch(arrays, schema=UNION_PHYS_SCHEMA))
     if not batches:
-        return UNION_SCHEMA.empty_table()
-    return pa.Table.from_batches(batches, schema=UNION_SCHEMA)
+        return UNION_PHYS_SCHEMA.empty_table()
+    return pa.Table.from_batches(batches, schema=UNION_PHYS_SCHEMA)
 
 
 def conv_chunk_rollup(
@@ -585,7 +641,7 @@ def partition_rollup(
     tlen = df["text_len"].to_numpy(dtype=np.float64)
     n = len(df)
     if n == 0:
-        return UNION_SCHEMA.empty_table() if arrow_out else _empty_union()
+        return UNION_PHYS_SCHEMA.empty_table() if arrow_out else _empty_union()
     newseg = np.r_[True, (conv[1:] != conv[:-1]) | (chunk[1:] != chunk[:-1])]
     seg_id = np.cumsum(newseg) - 1
     seg_starts = np.nonzero(newseg)[0]
@@ -766,21 +822,38 @@ def partition_rollup(
 
     if emit_partition_manifest:
         # [graft] per-partition lineage + throughput row (S2): every
-        # partition of the big exchange records what it processed
-        part_id = int(part["part"].iloc[0]) if "part" in part.columns else -1
-        frames.append(
-            (
-                pd.DataFrame(
-                    {
-                        "part": [part_id],
-                        "rows_in": [int(real.sum())],
-                        "n_convs": [int(len(np.unique(conv[seg_starts])))],
-                        "wall_s": [_time.perf_counter() - t_start],
-                    }
-                ),
-                {"kind": "pmeta"},
+        # salt bucket of the big exchange records what it processed.
+        # A hash-repartitioned block may hold SEVERAL salt buckets
+        # (hash collisions of part % num_blocks), so lineage is emitted
+        # per distinct part value, exact per bucket.
+        elapsed = _time.perf_counter() - t_start
+        if "part" in part.columns:
+            pvals = df["part"].to_numpy()
+            uniq_p = np.unique(pvals)
+            seg_part = pvals[seg_starts]
+            pm = {"part": [], "rows_in": [], "n_convs": [], "wall_s": []}
+            for pv in uniq_p:
+                pm["part"].append(int(pv))
+                pm["rows_in"].append(int((real & (pvals == pv)).sum()))
+                pm["n_convs"].append(
+                    int(len(np.unique(conv[seg_starts[seg_part == pv]])))
+                )
+                pm["wall_s"].append(elapsed / len(uniq_p))
+            frames.append((pd.DataFrame(pm), {"kind": "pmeta"}))
+        else:
+            frames.append(
+                (
+                    pd.DataFrame(
+                        {
+                            "part": [-1],
+                            "rows_in": [int(real.sum())],
+                            "n_convs": [int(len(np.unique(conv[seg_starts])))],
+                            "wall_s": [elapsed],
+                        }
+                    ),
+                    {"kind": "pmeta"},
+                )
             )
-        )
 
     if arrow_out:
         return _frames_to_union_arrow(
@@ -830,7 +903,10 @@ def fused_events_rollup(
         )
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         tlen = g["text_len"].to_numpy(zero_copy_only=False)
-        part_id = int(g["part"][0].as_py()) if "part" in g.schema.names and len(g) else -1
+        part_arr = (
+            g["part"].to_numpy(zero_copy_only=False)
+            if "part" in g.schema.names and len(g) else None
+        )
     else:
         uid = g["user_id"].to_numpy()
         ts = g["ts"].astype("int64").to_numpy() if "ts_us" not in g.columns else g["ts_us"].to_numpy()
@@ -839,10 +915,10 @@ def fused_events_rollup(
             tlen = g["text_len"].to_numpy(dtype=np.int64)
         else:
             tlen = g["props"].str.len().to_numpy(dtype=np.int64)
-        part_id = int(g["part"].iloc[0]) if "part" in g.columns and len(g) else -1
+        part_arr = g["part"].to_numpy() if "part" in g.columns and len(g) else None
     n = len(uid)
     if n == 0:
-        return UNION_SCHEMA.empty_table()
+        return UNION_PHYS_SCHEMA.empty_table()
     order = np.lexsort((eid, ts, uid))
     df = pd.DataFrame(
         {
@@ -853,8 +929,10 @@ def fused_events_rollup(
             "carry": np.zeros(n, dtype=np.int8),
         }
     )
-    if part_id >= 0:
-        df["part"] = part_id
+    if part_arr is not None:
+        # per ROW: a hash-repartitioned block may hold several salt
+        # buckets; lineage stays exact per bucket downstream
+        df["part"] = part_arr[order]
     return partition_rollup(
         df,
         tier1_s=tier1_s,
@@ -994,15 +1072,27 @@ def add_conv_salt(batch: pd.DataFrame, salt_buckets: int) -> pd.DataFrame:
     return batch
 
 
+def decode_union_dicts(t: pa.Table) -> pa.Table:
+    """Cast the union blocks' dictionary-typed columns back to their
+    logical types — applied at the in-memory API boundary (datasets a
+    caller consumes) so pandas users never see Categorical; the write
+    path keeps the dictionary layout for its ~2x wire-size win."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, pc.cast(t[f.name], f.type.value_type))
+    return t
+
+
 def tier_select(batch: pa.Table, kind: str) -> pa.Table:
     """Filter the union-schema group output down to one kind, dropping
-    the other kind's all-null columns."""
+    the other kind's all-null columns. Output is dictionary-decoded
+    (this is a consumer-facing boundary)."""
     t = batch.filter(pc.equal(batch["kind"], kind))
     if kind == "t1":
         cols = TIER_PARTIAL_COLUMNS
     else:
         cols = ["conv_id", "channel", "chunk", "n", "blob", "first_ts", "last_ts", "roundtrip_ok"]
-    return t.select([c for c in cols if c in t.schema.names])
+    return decode_union_dicts(t.select([c for c in cols if c in t.schema.names]))
 
 
 def with_derived_stats(batch: pa.Table) -> pa.Table:
