@@ -33,6 +33,23 @@ Encoder policies (format-compatible, decoder-agnostic):
 - per-stream raw: a stream whose estimated encoded size is within 5% of
   raw is stored as a memcpy, flagged in the high bit of its uint32
   length word (the legacy whole-blob _RAW_MARKER still decodes).
+
+v2 layout (DEFAULT since round 3; bit 30 of a stream's length word):
+the same Gorilla semantics rearranged structure-of-arrays so DECODE is
+fully vectorized — the v1 interleaved prefix-code stream forces a
+per-point Python scan on the tier/blob READ path, which a 100x scale-up
+hits on every query over archived series. Each v2 stream is
+[first point: 8 bytes MSB-first]
+[code section: one 2-bit code per remaining point, 4 codes/byte]
+[window section (values only): 11 bits per '3' code — 5-bit lead +
+ 6-bit (mlen-1), the VAL_WINDOW_BLOCK policy unchanged]
+[payload section: the variable-width fields, widths fully determined
+ by the code + window sections]
+with each section byte-aligned. Decoding is: unpack codes (vectorized),
+cumsum widths, one gather for all payloads, cumsum / xor-accumulate to
+reconstruct — no per-point control flow. Timestamp codes: 0 = dod 0,
+1 = 7-bit dod+63, 2 = 12-bit dod+2047, 3 = raw 64-bit. Value codes:
+0 = xor 0, 2 = window reuse, 3 = new window. v1 blobs still decode.
 """
 
 from __future__ import annotations
@@ -375,9 +392,13 @@ def _encode_val_stream(
 
 
 _RAW_FLAG = 0x80000000  # high bit of a stream's uint32 byte length
+_V2_FLAG = 0x40000000  # bit 30: structure-of-arrays v2 stream layout
+_LEN_MASK = 0x3FFFFFFF
 
 
-def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+def encode_series(
+    ts_us: np.ndarray, values: np.ndarray, version: int = 2
+) -> bytes:
     """Encode parallel (int64 microsecond, float64) arrays into one blob.
 
     Layout: [uint32 count][uint32 ts_len][uint32 val_len][timestamp
@@ -397,6 +418,8 @@ def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
     vals = np.asarray(values, dtype=np.float64)
     n = len(ts)
     assert len(vals) == n
+    if version == 2:
+        return _encode_batch_v2(ts, vals, np.array([0], dtype=np.int64))[0]
     if n == 0:
         z = (0).to_bytes(4, "little")
         return z + z + z
@@ -506,7 +529,10 @@ def _seg_pack_stream(
 
 
 def encode_series_batch(
-    ts_all: np.ndarray, vals_all: np.ndarray, seg_starts: np.ndarray
+    ts_all: np.ndarray,
+    vals_all: np.ndarray,
+    seg_starts: np.ndarray,
+    version: int = 2,
 ) -> list[bytes]:
     """Encode MANY series at once: ``ts_all``/``vals_all`` are all the
     series concatenated, ``seg_starts`` their start indices. Returns one
@@ -521,6 +547,8 @@ def encode_series_batch(
     vals_all = np.asarray(vals_all, dtype=np.float64)
     n_total = len(ts_all)
     seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    if version == 2:
+        return _encode_batch_v2(ts_all, vals_all, seg_starts)
     S = len(seg_starts)
     if S == 0:
         return []
@@ -681,7 +709,7 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     v_word = int.from_bytes(blob[8:12], "little")
     ts_raw = bool(t_word & _RAW_FLAG)
     val_raw = bool(v_word & _RAW_FLAG)
-    tlen = t_word & ~_RAW_FLAG
+    tlen = t_word & _LEN_MASK
     ts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.float64)
     if n == 0:
@@ -693,9 +721,17 @@ def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     if ts_raw and val_raw:
         return ts, vals
     if not ts_raw:
-        _decode_ts_stream(blob[12 : 12 + tlen], ts, n)
+        tb = blob[12 : 12 + tlen]
+        if t_word & _V2_FLAG:
+            _decode_ts_v2(tb, ts, n)
+        else:
+            _decode_ts_stream(tb, ts, n)
     if not val_raw:
-        _decode_val_stream(blob[12 + tlen :], vals, n)
+        vb = blob[12 + tlen :]
+        if v_word & _V2_FLAG:
+            _decode_val_v2(vb, vals, n)
+        else:
+            _decode_val_stream(vb, vals, n)
     return ts, vals
 
 
@@ -769,3 +805,333 @@ def _decode_val_stream(data: bytes, vals: np.ndarray, n: int) -> None:
         bits_out[i] = prev_bits
         i += 1
     vals[:] = bits_out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# v2: structure-of-arrays layout — vectorized DECODE (see module docstring)
+# ---------------------------------------------------------------------------
+
+_TS2_W = np.array([0, 7, 12, 64], dtype=np.int64)  # payload width per ts code
+
+
+def _pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """Pack 2-bit codes MSB-first, 4 per byte (vectorized reshape)."""
+    m = len(codes)
+    padded = np.zeros(((m + 3) // 4) * 4, dtype=np.uint8)
+    padded[:m] = codes
+    q = padded.reshape(-1, 4)
+    return (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3]
+
+
+def _unpack_2bit(data: bytes | np.ndarray, m: int) -> np.ndarray:
+    b = np.frombuffer(data, dtype=np.uint8, count=(m + 3) // 4)
+    out = np.empty((len(b), 4), dtype=np.uint8)
+    out[:, 0] = b >> 6
+    out[:, 1] = (b >> 4) & 3
+    out[:, 2] = (b >> 2) & 3
+    out[:, 3] = b & 3
+    return out.reshape(-1)[:m]
+
+
+def _unpack_fields(
+    data: bytes, offs_bits: np.ndarray, widths: np.ndarray
+) -> np.ndarray:
+    """Vectorized inverse of :func:`_pack_fields`: gather each field
+    (width 1..64) from an MSB-first bitstream in one pass. A field
+    spans at most 9 bytes; load 8 bytes + 1 spill byte per field via a
+    sliding-window view, left-align, shift down."""
+    if len(offs_bits) == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    pad = np.zeros(len(b) + 16, dtype=np.uint8)
+    pad[: len(b)] = b
+    win = np.lib.stride_tricks.sliding_window_view(pad, 9)
+    sb = (offs_bits >> 3).astype(np.int64)
+    bib = (offs_bits & 7).astype(np.uint64)
+    w9 = win[sb].astype(np.uint64)  # (m, 9) gather
+    hi = w9[:, 0]
+    for j in range(1, 8):
+        hi = (hi << np.uint64(8)) | w9[:, j]
+    left = (hi << bib) | (w9[:, 8] >> (np.uint64(8) - bib))
+    return left >> (np.uint64(64) - widths.astype(np.uint64))
+
+
+def _within_seg_excl_cumsum(c: np.ndarray, seg_starts: np.ndarray,
+                            seg_of: np.ndarray) -> np.ndarray:
+    """Exclusive cumulative sum of ``c`` restarting at each segment."""
+    cw = np.cumsum(c)
+    excl = cw - c
+    return excl - excl[seg_starts][seg_of]
+
+
+def _encode_batch_v2(
+    ts_all: np.ndarray, vals_all: np.ndarray, seg_starts: np.ndarray
+) -> list[bytes]:
+    """v2 batch encoder: one analysis pass + THREE _pack_fields calls
+    (ts fields, val fields are packed per stream kind across ALL
+    segments at per-segment byte-aligned bases). ``encode_series``
+    v2 is this with a single segment, so single and batch outputs are
+    byte-identical by construction."""
+    ts_all = np.asarray(ts_all, dtype=np.int64)
+    vals_all = np.asarray(vals_all, dtype=np.float64)
+    n_total = len(ts_all)
+    seg_starts = np.asarray(seg_starts, dtype=np.int64)
+    S = len(seg_starts)
+    if S == 0:
+        return []
+    seg_ends = np.r_[seg_starts[1:], n_total]
+    seg_len = seg_ends - seg_starts
+    empty_blob = (0).to_bytes(4, "little") * 3
+    if n_total == 0:
+        return [empty_blob] * S
+
+    tsu = ts_all.view(np.uint64)
+    bits = vals_all.view(np.uint64)
+    ne_starts = seg_starts[seg_len > 0]
+    with np.errstate(over="ignore"):
+        delta = np.empty(n_total, dtype=np.uint64)
+        delta[0] = 0
+        delta[1:] = tsu[1:] - tsu[:-1]
+        delta[ne_starts] = 0
+        dod = np.empty(n_total, dtype=np.uint64)
+        dod[0] = 0
+        dod[1:] = delta[1:] - delta[:-1]
+        dod[ne_starts] = 0
+        xor = np.empty(n_total, dtype=np.uint64)
+        xor[0] = 0
+        xor[1:] = bits[1:] ^ bits[:-1]
+        xor[ne_starts] = 0
+    dod_i = dod.view(np.int64)
+    lead_arr = np.minimum(_clz64(xor), 31)
+    low_isolated = xor & (~xor + np.uint64(1))
+    trail_arr = 63 - _clz64(low_isolated)
+
+    seg_of = np.repeat(np.arange(S, dtype=np.int64), seg_len)
+    is_start = np.zeros(n_total, dtype=bool)
+    is_start[ne_starts] = True
+    has_code = ~is_start
+    pidx = np.arange(n_total, dtype=np.int64) - seg_starts[seg_of]
+    nonempty = seg_len > 0
+    red = seg_starts[nonempty]
+
+    def _per_seg(c: np.ndarray) -> np.ndarray:
+        out = np.zeros(S, dtype=np.int64)
+        if len(red):
+            out[nonempty] = np.add.reduceat(c, red)
+        return out
+
+    # ---- ts classification ----
+    t_cls = np.full(n_total, 3, dtype=np.uint8)
+    t_cls[(dod_i >= -2047) & (dod_i <= 2048)] = 2
+    t_cls[(dod_i >= -63) & (dod_i <= 64)] = 1
+    t_cls[dod == 0] = 0
+    t_w = _TS2_W[t_cls]
+    t_w[is_start] = 0
+    t_cls_m = np.where(has_code, t_cls, 0)
+    with np.errstate(over="ignore"):
+        t_pay = np.where(
+            t_cls_m == 1, dod + np.uint64(63),
+            np.where(t_cls_m == 2, dod + np.uint64(2047), dod),
+        )
+    ts_bits_est = 64 + 2 * np.maximum(seg_len - 1, 0) + _per_seg(t_w)
+    ts_raw = ts_bits_est >= seg_len * 64 * 0.95
+    ts_enc = nonempty & ~ts_raw
+
+    # ---- val window policy (identical to v1: per-seg ordinal blocks) ----
+    nz_v = np.nonzero(xor)[0]
+    seg_v = seg_of[nz_v]
+    mv = len(nz_v)
+    v_code = np.zeros(n_total, dtype=np.uint8)
+    mfull = np.zeros(n_total, dtype=np.int64)  # payload width per point
+    v_pay = np.zeros(n_total, dtype=np.uint64)
+    hfull = np.zeros(n_total, dtype=bool)  # head flag per point
+    wlead = np.empty(0, dtype=np.int64)
+    wmlen = np.empty(0, dtype=np.int64)
+    if mv:
+        first_ent_v = np.r_[True, seg_v[1:] != seg_v[:-1]]
+        ent_base = np.nonzero(first_ent_v)[0][
+            np.cumsum(first_ent_v.astype(np.int64)) - 1
+        ]
+        ordv = np.arange(mv, dtype=np.int64) - ent_base
+        is_blk = (ordv % VAL_WINDOW_BLOCK) == 0
+        blk_starts = np.nonzero(is_blk)[0]
+        leads = lead_arr[nz_v]
+        trails = trail_arr[nz_v]
+        blk_lead = np.minimum.reduceat(leads, blk_starts)
+        blk_trail = np.minimum.reduceat(trails, blk_starts)
+        blk_mlen = 64 - blk_lead - blk_trail
+        blk_id = np.cumsum(is_blk.astype(np.int64)) - 1
+        v_code[nz_v] = np.where(is_blk, 3, 2).astype(np.uint8)
+        mfull[nz_v] = blk_mlen[blk_id]
+        v_pay[nz_v] = xor[nz_v] >> blk_trail[blk_id].astype(np.uint64)
+        hfull[nz_v] = is_blk
+        wlead = blk_lead
+        wmlen = blk_mlen
+    h_seg = _per_seg(hfull.astype(np.int64))
+    val_bits_est = (
+        64 + 2 * np.maximum(seg_len - 1, 0) + 11 * h_seg + _per_seg(mfull)
+    )
+    val_raw = val_bits_est >= seg_len * 64 * 0.95
+    val_enc = nonempty & ~val_raw
+
+    def _pack_kind(
+        enc: np.ndarray,
+        cls: np.ndarray,
+        pay_w: np.ndarray,
+        pay_v: np.ndarray,
+        first_words: np.ndarray,
+        win: bool,
+    ) -> tuple[np.ndarray, np.ndarray, bytes]:
+        codes_bytes = np.where(seg_len > 0, (np.maximum(seg_len - 1, 0) + 3) // 4, 0)
+        win_bytes = ((11 * h_seg + 7) // 8) if win else np.zeros(S, dtype=np.int64)
+        pay_bytes = (_per_seg(pay_w) + 7) // 8
+        stream_bytes = np.where(enc, 8 + codes_bytes + win_bytes + pay_bytes, 0)
+        byte_base = np.r_[0, np.cumsum(stream_bytes)[:-1]]
+        base_bits = byte_base * 8
+        total_bytes = int(stream_bytes.sum())
+
+        offs = [base_bits[enc]]
+        widths = [np.full(int(enc.sum()), 64, dtype=np.int64)]
+        vals = [first_words[enc]]
+        penc = enc[seg_of]
+        # code section: scatter 2-bit codes into a slot array covering the
+        # whole buffer and byte-pack by reshape — one store per code
+        # instead of a _pack_fields field per point (the field path costs
+        # ~2x encode wall at dense shapes)
+        cm = has_code & penc
+        slots = np.zeros(total_bytes * 4, dtype=np.uint8)
+        slot_idx = (byte_base[seg_of[cm]] + 8) * 4 + (pidx[cm] - 1)
+        slots[slot_idx] = cls[cm]
+        q = slots.reshape(-1, 4)
+        code_bytes = (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3]
+        # window fields (val stream)
+        if win and mv:
+            head_before = np.cumsum(hfull.astype(np.int64)) - hfull
+            head_ord = head_before - head_before[seg_starts][seg_of]
+            hm = hfull & penc
+            offs.append(
+                base_bits[seg_of[hm]]
+                + (8 + codes_bytes[seg_of[hm]]) * 8
+                + 11 * head_ord[hm]
+            )
+            widths.append(np.full(int(hm.sum()), 11, dtype=np.int64))
+            hv = (
+                (wlead.astype(np.uint64) << np.uint64(6))
+                | (wmlen.astype(np.uint64) - np.uint64(1))
+            )
+            # head values in point order == block order within the batch
+            vals.append(hv[np.cumsum(hfull)[hm] - 1])
+        # payload fields
+        pm = (pay_w > 0) & penc
+        pay_off = _within_seg_excl_cumsum(pay_w, seg_starts, seg_of)
+        wb_of = win_bytes[seg_of] if win else np.zeros(n_total, dtype=np.int64)
+        offs.append(
+            base_bits[seg_of[pm]]
+            + (8 + codes_bytes[seg_of[pm]] + wb_of[pm]) * 8
+            + pay_off[pm]
+        )
+        widths.append(pay_w[pm])
+        vals.append(pay_v[pm])
+        buf = np.frombuffer(
+            _pack_fields(
+                np.concatenate(offs),
+                np.concatenate(widths),
+                np.concatenate(vals),
+                total_bytes * 8,
+            ),
+            dtype=np.uint8,
+        )
+        return stream_bytes, byte_base, (buf | code_bytes).tobytes()
+
+    first_idx = np.minimum(seg_starts, max(n_total - 1, 0))
+    t_len, t_base, t_buf = _pack_kind(
+        ts_enc, t_cls_m, t_w, t_pay,
+        np.where(nonempty, tsu[first_idx], 0), win=False,
+    )
+    v_len, v_base, v_buf = _pack_kind(
+        val_enc, v_code, mfull, v_pay,
+        np.where(nonempty, bits[first_idx], 0), win=True,
+    )
+
+    out: list[bytes] = []
+    for s in range(S):
+        n_s = int(seg_len[s])
+        if n_s == 0:
+            out.append(empty_blob)
+            continue
+        a, b = int(seg_starts[s]), int(seg_ends[s])
+        if ts_raw[s]:
+            tb = ts_all[a:b].tobytes()
+            t_word = len(tb) | _RAW_FLAG
+        else:
+            tb = t_buf[int(t_base[s]) : int(t_base[s]) + int(t_len[s])]
+            t_word = int(t_len[s]) | _V2_FLAG
+        if val_raw[s]:
+            vb = vals_all[a:b].tobytes()
+            v_word = len(vb) | _RAW_FLAG
+        else:
+            vb = v_buf[int(v_base[s]) : int(v_base[s]) + int(v_len[s])]
+            v_word = int(v_len[s]) | _V2_FLAG
+        out.append(
+            n_s.to_bytes(4, "little")
+            + t_word.to_bytes(4, "little")
+            + v_word.to_bytes(4, "little")
+            + tb
+            + vb
+        )
+    return out
+
+
+def _decode_ts_v2(data: bytes, ts: np.ndarray, n: int) -> None:
+    first = int.from_bytes(data[0:8], "big")
+    ts[0] = first - (1 << 64) if first >= 1 << 63 else first
+    m = n - 1
+    if m == 0:
+        return
+    cb = (m + 3) // 4
+    codes = _unpack_2bit(data[8 : 8 + cb], m).astype(np.int64)
+    w = _TS2_W[codes]
+    offs = np.cumsum(w) - w + (8 + cb) * 8
+    nz = codes > 0
+    f = _unpack_fields(data, offs[nz], w[nz])
+    c_nz = codes[nz]
+    dnz = np.empty(len(f), dtype=np.int64)
+    dnz[c_nz == 1] = f[c_nz == 1].astype(np.int64) - 63
+    dnz[c_nz == 2] = f[c_nz == 2].astype(np.int64) - 2047
+    dnz[c_nz == 3] = f[c_nz == 3].view(np.int64)
+    di = np.zeros(m, dtype=np.int64)
+    di[nz] = dnz
+    with np.errstate(over="ignore"):
+        delta = np.cumsum(di.view(np.uint64))
+        tsv = np.uint64(first) + np.cumsum(delta)
+    ts[1:] = tsv.view(np.int64)
+
+
+def _decode_val_v2(data: bytes, vals: np.ndarray, n: int) -> None:
+    first = int.from_bytes(data[0:8], "big")
+    xor = np.zeros(n, dtype=np.uint64)
+    xor[0] = first
+    m = n - 1
+    if m:
+        cb = (m + 3) // 4
+        codes = _unpack_2bit(data[8 : 8 + cb], m)
+        nzc = codes >= 2
+        heads = codes == 3
+        H = int(heads.sum())
+        wb = (11 * H + 7) // 8
+        win_base = 8 + cb
+        wf = _unpack_fields(
+            data,
+            np.arange(H, dtype=np.int64) * 11 + win_base * 8,
+            np.full(H, 11, dtype=np.int64),
+        )
+        lead = (wf >> np.uint64(6)) & np.uint64(0x1F)
+        mlen = (wf & np.uint64(0x3F)) + np.uint64(1)
+        trail = np.uint64(64) - lead - mlen
+        widx = np.cumsum(heads.astype(np.int64)) - 1
+        wi = widx[nzc]
+        widths = mlen[wi].astype(np.int64)
+        offs = np.cumsum(widths) - widths + (win_base + wb) * 8
+        f = _unpack_fields(data, offs, widths)
+        xor[1:][nzc] = f << trail[wi]
+    vals[:] = np.bitwise_xor.accumulate(xor).view(np.float64)
