@@ -81,6 +81,10 @@ def _scaling_main() -> None:
 
 
 def main() -> None:
+    # set BEFORE ray.init so worker processes inherit it: expected-path
+    # INFO chatter (dedup cap fallbacks, pair counts) stays out of the
+    # benchmark record
+    os.environ.setdefault("CTAS_RAY_QUIET", "1")
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     try:

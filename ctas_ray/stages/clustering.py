@@ -21,6 +21,12 @@ emitting k x dim integer PARTIAL sums per block (the combiner pattern
 size); no shuffle at all. Init = the k vectors with the smallest ids
 (deterministic; per-block top-k then a tiny driver merge, never a
 global sort).
+
+Multi-subspace fusion (round 3): product quantization runs Lloyd's
+independently per subspace, but the DATA passes are shared — one
+``map_batches`` per iteration quantizes each vector once and emits
+every subspace's partial sums together, so a 2-subspace PQ fit costs
+(1 init + iters + 1 assign) dataset scans instead of 2x that.
 """
 
 from __future__ import annotations
@@ -51,16 +57,107 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return a, d2[np.arange(len(q)), a]
 
 
-def _smallest_k_init(ds: rd.Dataset, k: int, id_col: str, vec_col: str) -> np.ndarray:
-    """Centroid init = the k smallest-id vectors: per-block local top-k,
-    tiny driver merge (no global sort, no full collect)."""
+def _kmeans_spans(
+    ds: rd.Dataset,
+    spans: list[tuple[int, int]],
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> pd.DataFrame:
+    """Fused Lloyd's over one or more contiguous coordinate spans of the
+    embedding. Each dataset pass quantizes a batch ONCE and serves every
+    span; per-span arithmetic is exactly :mod:`kmeans_quantized`'s
+    integer chain, so results are independent of how many spans share
+    the pass (pinned by the hash-verified pq/kmeans contract rows).
 
+    Returns one frame: (id_col, code_0, dist2_0[, code_1, dist2_1, ...])
+    sorted by id."""
+    spans = [tuple(s) for s in spans]
+    n_spans = len(spans)
+    widths = [hi - lo for lo, hi in spans]
+    maxw = max(widths)
+
+    # ---- init: the k smallest-id vectors, read once for all spans
     def local(b: pd.DataFrame) -> pd.DataFrame:
         return b.nsmallest(k, id_col)[[id_col, vec_col]]
 
     head = ds.map_batches(local, batch_format="pandas").to_pandas()
     head = head.nsmallest(k, id_col).sort_values(id_col)
-    return _quantize(head[vec_col])
+    qh = _quantize(head[vec_col])
+    cents = [qh[:, lo:hi].copy() for lo, hi in spans]
+
+    sum_cols = [f"s{j}" for j in range(maxw)]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            cs = ray.get(cref)
+            if len(b) == 0:
+                return pd.DataFrame(
+                    {
+                        "span": np.empty(0, np.int64),
+                        "cluster": np.empty(0, np.int64),
+                        "n": np.empty(0, np.int64),
+                        **{c: np.empty(0, np.int64) for c in sum_cols},
+                    }
+                )
+            q = _quantize(b[vec_col])
+            frames = []
+            for si, (lo, hi) in enumerate(spans):
+                qs = q[:, lo:hi]
+                a, _ = _assign(qs, cs[si])
+                sums = np.zeros((k, maxw), dtype=np.int64)
+                np.add.at(sums[:, : hi - lo], a, qs)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                out = {
+                    "span": np.full(k, si, dtype=np.int64),
+                    "cluster": np.arange(k, dtype=np.int64),
+                    "n": cnt,
+                }
+                for j, c in enumerate(sum_cols):
+                    out[c] = sums[:, j]
+                frames.append(pd.DataFrame(out))
+            return pd.concat(frames, ignore_index=True)
+
+        merged = (
+            ds.map_batches(partial, batch_format="pandas")
+            .to_pandas()
+            .groupby(["span", "cluster"], sort=True)
+            .sum()
+        )
+        for si in range(n_spans):
+            g = merged.loc[si]
+            n = g["n"].to_numpy(np.int64)
+            s = g[sum_cols[: widths[si]]].to_numpy(np.int64)
+            new = cents[si].copy()
+            nz = n > 0
+            # exact floor division (numpy // floors; the SQL oracle uses
+            # the positive-mod divisible-numerator form — identical)
+            new[nz] = s[nz] // n[nz, None]
+            cents[si] = new
+
+    cref = ray.put(cents)
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cref)
+        cols = {id_col: np.empty(0, np.int64)}
+        for si in range(n_spans):
+            cols[f"code_{si}"] = np.empty(0, np.int64)
+            cols[f"dist2_{si}"] = np.empty(0, np.int64)
+        if len(b) == 0:
+            return pd.DataFrame(cols)
+        q = _quantize(b[vec_col])
+        out = {id_col: b[id_col].to_numpy(np.int64)}
+        for si, (lo, hi) in enumerate(spans):
+            a, d2 = _assign(q[:, lo:hi], cs[si])
+            out[f"code_{si}"] = a.astype(np.int64)
+            out[f"dist2_{si}"] = d2.astype(np.int64)
+        return pd.DataFrame(out)
+
+    out = ds.map_batches(final, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 def kmeans_quantized(
@@ -69,92 +166,18 @@ def kmeans_quantized(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> pd.DataFrame:
     """Lloyd's k-means with integer-exact arithmetic.
 
     Returns the final assignment frame (id_col, cluster, dist2) with
     dist2 the exact int64 squared L2 distance in e6-quantized space.
     """
-    cents = _smallest_k_init(ds, k, id_col, vec_col)
-    dim = cents.shape[1]
-
-    for _ in range(iters):
-        cref = ray.put(cents)
-
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(cref)
-            if len(b) == 0:
-                return pd.DataFrame(
-                    {
-                        "cluster": np.empty(0, np.int64),
-                        "n": np.empty(0, np.int64),
-                        **{
-                            f"s{j}": np.empty(0, np.int64)
-                            for j in range(dim)
-                        },
-                    }
-                )
-            q = _quantize(b[vec_col])
-            a, _ = _assign(q, c)
-            sums = np.zeros((k, dim), dtype=np.int64)
-            np.add.at(sums, a, q)
-            cnt = np.bincount(a, minlength=k).astype(np.int64)
-            out = {"cluster": np.arange(k, dtype=np.int64), "n": cnt}
-            for j in range(dim):
-                out[f"s{j}"] = sums[:, j]
-            return pd.DataFrame(out)
-
-        merged = (
-            ds.map_batches(partial, batch_format="pandas")
-            .to_pandas()
-            .groupby("cluster", sort=True)
-            .sum()
-        )
-        n = merged["n"].to_numpy(np.int64)
-        s = merged[[f"s{j}" for j in range(dim)]].to_numpy(np.int64)
-        new = cents.copy()
-        nz = n > 0
-        # exact floor division (numpy // floors; the SQL oracle uses the
-        # positive-mod divisible-numerator form, which is identical)
-        new[nz] = s[nz] // n[nz, None]
-        cents = new
-
-    cref = ray.put(cents)
-
-    def final(b: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cref)
-        if len(b) == 0:
-            return pd.DataFrame(
-                {
-                    id_col: np.empty(0, np.int64),
-                    "cluster": np.empty(0, np.int64),
-                    "dist2": np.empty(0, np.int64),
-                }
-            )
-        q = _quantize(b[vec_col])
-        a, d2 = _assign(q, c)
-        return pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(np.int64),
-                "cluster": a.astype(np.int64),
-                "dist2": d2.astype(np.int64),
-            }
-        )
-
-    out = ds.map_batches(final, batch_format="pandas").to_pandas()
-    return out.sort_values(id_col).reset_index(drop=True)
-
-
-def _slice_vec(ds: rd.Dataset, lo: int, hi: int, vec_col: str) -> rd.Dataset:
-    """Project the embedding column to coordinates [lo, hi) — a
-    stateless per-batch slice, zero shuffle."""
-
-    def cut(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b[vec_col] = [np.asarray(e, dtype=np.float32)[lo:hi] for e in b[vec_col]]
-        return b
-
-    return ds.map_batches(cut, batch_format="pandas")
+    if dim is None:
+        probe = ds.limit(1).to_pandas()
+        dim = len(np.asarray(probe[vec_col].iloc[0]))
+    out = _kmeans_spans(ds, [(0, dim)], k, iters, id_col, vec_col)
+    return out.rename(columns={"code_0": "cluster", "dist2_0": "dist2"})
 
 
 def pq_assignments(
@@ -173,15 +196,17 @@ def pq_assignments(
     (code0, code1) compresses a vector to 2 * log2(k) bits plus shared
     codebooks — the standard memory rung below int8 for 10^9-vector ANN.
     Every step is integer-exact, so the result is VALUE-EXACT against
-    an unrolled SQL oracle. k*iters passes stream; no shuffle."""
+    an unrolled SQL oracle. Both subspaces share every dataset pass
+    (fused: 1 init + iters + 1 assign scans total); no shuffle."""
     half = dim // 2
-    a = kmeans_quantized(
-        _slice_vec(ds, 0, half, vec_col), k=k, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    ).rename(columns={"cluster": "code0", "dist2": "dist2_0"})
-    b = kmeans_quantized(
-        _slice_vec(ds, half, dim, vec_col), k=k, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    ).rename(columns={"cluster": "code1", "dist2": "dist2_1"})
-    out = a.merge(b, on=id_col, how="inner")
+    out = _kmeans_spans(
+        ds, [(0, half), (half, dim)], k, iters, id_col, vec_col
+    ).rename(
+        columns={
+            "code_0": "code0",
+            "dist2_0": "dist2_0",
+            "code_1": "code1",
+            "dist2_1": "dist2_1",
+        }
+    )
     return out.sort_values(id_col).reset_index(drop=True)
