@@ -36,6 +36,13 @@ class StudyConfig:
     # no rows, like the reference's NA-dist path) instead of OOMing a
     # worker. 20k subjects ~ 3.2 GB distance matrix.
     max_subjects_for_pairwise: int = 20_000
+    # physical-layout hint (bucketed-table style): the caller guarantees
+    # every subject's measurement rows already live in ONE input block
+    # (e.g. the table came off a subject-salted exchange). Planning then
+    # runs both eligibility passes straight over the blocks with no salt
+    # exchange. Safe default: False (generic inputs get the exchange).
+    data_subject_complete: bool = False
+
     def __post_init__(self) -> None:
         from .functions.series import FEATURE_REGISTRY  # user extensions (§2.10)
 

@@ -1598,21 +1598,20 @@ def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
         .map_groups(to_measurements, batch_format="pandas")
         .materialize()
     )
-    # ONE scan for both small dimension tables (distinct users and
-    # parameters) instead of two unique() plans
+    # dimension tables (distinct users and parameters) come from the
+    # MATERIALIZED measurement blocks — no second scan of the raw events
     def dims(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "kind": ["u"] * b["user_id"].nunique()
-                + ["p"] * b["event_type"].nunique(),
-                "val": list(b["user_id"].unique().astype(str))
-                + list(b["event_type"].unique()),
+                "kind": ["u"] * b["subject_id"].nunique()
+                + ["p"] * b["parameter_id"].nunique(),
+                "val": [s[1:] for s in b["subject_id"].unique()]
+                + list(b["parameter_id"].unique()),
             }
         )
 
     dim = (
-        _events(sf_dir, ["user_id", "event_type"])
-        .map_batches(dims, batch_format="pandas")
+        data.map_batches(dims, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
@@ -1658,7 +1657,9 @@ def _study_screen(sf_dir: str) -> dict:
         data,
         subjects,
         parameters,
-        cfg=StudyConfig(max_share_missing=0.8),
+        # the derivation exchange salts by user: subject rows are block-
+        # complete, so planning can skip its salt exchange (config.py)
+        cfg=StudyConfig(max_share_missing=0.8, data_subject_complete=True),
     )
 
 
@@ -1713,6 +1714,7 @@ def _study_screen_sql(sf_dir: str, method: str) -> dict:
             max_share_missing=SQL_SCREEN_MSM,
             site_scoring_method=method,
             ks_jitter_sd=0.0,
+            data_subject_complete=True,
         ),
     )
 

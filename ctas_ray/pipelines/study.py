@@ -283,6 +283,7 @@ def _plan_vector(
     autogen_enabled: bool = True,
     optimize: bool = False,
     site_of_subject: dict | None = None,
+    subject_complete_blocks: bool = False,
 ) -> tuple[pd.DataFrame, rd.Dataset]:
     """Scalable planning (see ctas_ray.planning_scale): two passes over
     the presence projection, O(#presence rows) work, no per-subject
@@ -318,8 +319,6 @@ def _plan_vector(
         ]
         return b
 
-    salted = pres_ds.map_batches(add_salt, batch_format="pandas")
-
     # ---- E1: dedup + rank-stat partials (for rank ordering) ----
     def e1(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(
@@ -330,8 +329,14 @@ def _plan_vector(
             if len(sub) == 0:
                 continue
             # nr_patients per rank + consistency (sum of per-subject
-            # visit counts) per rank — the adaptive-score ingredients
-            nv = sub.groupby("subject_id")["timepoint_rank"].transform("size")
+            # visit counts) per rank — the adaptive-score ingredients.
+            # Keyed by (parameter, subject): a block may hold the same
+            # subject under several parameters (merged salt groups /
+            # subject-complete blocks), and a subject's visit count is
+            # per parameter (R/ctas.R:878-884)
+            nv = sub.groupby(["parameter_id", "subject_id"])[
+                "timepoint_rank"
+            ].transform("size")
             agg = sub.assign(nv=nv).groupby(["parameter_id", "timepoint_rank"]).agg(
                 nr_patients=("subject_id", "size"), consistency=("nv", "sum")
             ).reset_index()
@@ -344,9 +349,27 @@ def _plan_vector(
             )
         return pd.concat(out, ignore_index=True)
 
-    stats = (
-        salted.groupby("salt").map_groups(e1, batch_format="pandas").to_pandas()
-    )
+    # ONE salt exchange serves both planning passes: E1 and E2 group by
+    # (parameter_id, subject_id) internally, so any block holding whole
+    # salt partitions is a valid input — materialize the exchanged
+    # blocks and run both passes as map_batches over them instead of
+    # paying the sort exchange twice. When the CALLER guarantees each
+    # subject's rows already live in one block (subject_complete_blocks
+    # — e.g. the measurement table came off a subject-salted exchange,
+    # the bucketed-table physical hint), planning needs NO exchange at
+    # all: both passes run straight over the input blocks.
+    if subject_complete_blocks:
+        parts = pres_ds.materialize()
+    else:
+        salted = pres_ds.map_batches(add_salt, batch_format="pandas")
+        parts = (
+            salted.groupby("salt")
+            .map_groups(lambda g: g, batch_format="pandas")
+            .materialize()
+        )
+    stats = parts.map_batches(
+        e1, batch_format="pandas", batch_size=None
+    ).to_pandas()
     if "parameter_id" not in stats.columns:  # empty presence -> no columns
         stats = pd.DataFrame(
             columns=["parameter_id", "timepoint_rank", "nr_patients",
@@ -448,7 +471,9 @@ def _plan_vector(
                 "variant", "k", "delta", "site"]
         return out.reindex(columns=cols)
 
-    e2_out = salted.groupby("salt").map_groups(e2, batch_format="pandas").materialize()
+    e2_out = parts.map_batches(
+        e2, batch_format="pandas", batch_size=None
+    ).materialize()
     deltas = e2_out.map_batches(
         lambda b: b[b["kind"] == "delta"][["parameter_id", "variant", "k", "delta"]],
         batch_format="pandas",
@@ -665,6 +690,28 @@ def _plan_vector(
     return series, membership, plan_meta
 
 
+def _stage_timer():
+    """Opt-in per-stage wall logging (CTAS_SCREEN_TIMING=1): each tick
+    logs the elapsed wall since the previous one — the screen runs a
+    dozen separate Dataset executions, and this is how their fixed
+    costs get attributed when tuning."""
+    import logging as _logging
+    import os as _os
+    import time as _time
+
+    if not _os.environ.get("CTAS_SCREEN_TIMING"):
+        return lambda label: None
+    log = _logging.getLogger("ctas_ray.study")
+    state = {"t": _time.perf_counter()}
+
+    def tick(label: str) -> None:
+        now = _time.perf_counter()
+        log.warning("screen stage %-22s %.2fs", label, now - state["t"])
+        state["t"] = now
+
+    return tick
+
+
 def process_a_study_ray(
     data: rd.Dataset,
     subjects: pd.DataFrame | rd.Dataset,
@@ -689,6 +736,7 @@ def process_a_study_ray(
     when ``features_as_dataset`` (big-study mode — they scale with
     subjects x series x features).
     """
+    _tick = _stage_timer()
     if custom_timeseries is None:
         custom_timeseries = pd.DataFrame(columns=["timeseries_id", "parameter_id", "timepoint_combo"])
     if custom_reference_groups is None:
@@ -738,6 +786,7 @@ def process_a_study_ray(
         )
 
     projection = data.map_batches(_project, batch_format="pandas").materialize()
+    _tick("projection")
     names = projection.map_batches(
         lambda b: b[b["kind"] == "name"][
             ["parameter_id", "timepoint_rank", "timepoint_1_name", "timepoint_2_name"]
@@ -750,6 +799,7 @@ def process_a_study_ray(
         key = (r["parameter_id"], str(int(rank)) if float(rank).is_integer() else str(rank))
         t2 = r["timepoint_2_name"]
         rank_names.setdefault(key, f"{r['timepoint_1_name']}_{t2 if t2 is not None and t2 == t2 else 'NA'}")
+    _tick("rank_names")
 
     # ---- presence + per-parameter planning (shuffle P1) ----
     pres_ds = projection.map_batches(
@@ -763,7 +813,7 @@ def process_a_study_ray(
         return _run_vector_mode(
             data, pres_ds, subjects, param_cfg, custom_timeseries,
             custom_reference_groups, cfg, rank_names, features_as_dataset,
-            decorate_with_join, subjects_ds=subjects_ds,
+            decorate_with_join, subjects_ds=subjects_ds, _tick=_tick,
         )
 
     planned = (
@@ -850,7 +900,7 @@ def process_a_study_ray(
     return _finish_study(
         assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
         rank_names, features_as_dataset, decorate_with_join,
-        subjects_ds=subjects_ds,
+        subjects_ds=subjects_ds, _tick=_tick,
     )
 
 
@@ -933,6 +983,7 @@ def _run_vector_mode(
     features_as_dataset: bool,
     decorate_with_join: bool | None,
     subjects_ds: rd.Dataset | None = None,
+    _tick=lambda label: None,
 ) -> dict:
     """Scalable planning mode (see planning_scale): no per-parameter
     presence matrices, no ';'-packed subject lists — eligibility via
@@ -949,6 +1000,7 @@ def _run_vector_mode(
         autogen_enabled=cfg.autogen_enabled,
         optimize=cfg.optimize_sites_and_patients,
         site_of_subject=dict(zip(subjects["subject_id"], subjects["site"])),
+        subject_complete_blocks=cfg.data_subject_complete,
     )
     if len(series) == 0:
         return empty
@@ -985,10 +1037,12 @@ def _run_vector_mode(
     # hash-join them onto the measurements when large (no driver-side
     # per-row loops on either path; the join path never collects
     # membership to the driver at all). The repartition merges away the
-    # schemaless EMPTY blocks that unused salt partitions emit — Ray's
-    # join aggregator rejects columnless blocks.
+    # schemaless EMPTY blocks Ray's group machinery emits for unused
+    # salt partitions — the hash-join aggregator rejects columnless
+    # blocks ("no match for key field parameter_id").
     membership = membership.repartition(16).materialize()
     n_members = membership.count()
+    _tick("plan+membership")
     use_member_join = (
         decorate_with_join
         if decorate_with_join is not None
@@ -1071,7 +1125,7 @@ def _run_vector_mode(
     return _finish_study(
         assigned, series, param_cfg, subjects, custom_reference_groups, cfg,
         rank_names, features_as_dataset, decorate_with_join,
-        subjects_ds=subjects_ds,
+        subjects_ds=subjects_ds, _tick=_tick,
     )
 
 
@@ -1086,6 +1140,7 @@ def _finish_study(
     features_as_dataset: bool,
     decorate_with_join: bool | None,
     subjects_ds: rd.Dataset | None = None,
+    _tick=lambda label: None,
 ) -> dict:
     """Shared downstream of both planning modes: per-series features +
     PCA groups, decoration, scoring groups, FDR barrier, output shaping."""
@@ -1119,6 +1174,7 @@ def _finish_study(
     # (bounded: rows = subjects x series x (features + 2), far smaller
     # than the raw measurements; spills to disk if needed)
     series_out = series_out.materialize()
+    _tick("features_explode")
 
     feat_ds = series_out.map_batches(
         lambda b: b[b["kind"] == "feat"].drop(columns=["kind"]), batch_format="pandas"
@@ -1206,6 +1262,7 @@ def _finish_study(
             functools.partial(_decorate, lookup_ref=lookup_ref), batch_format="pandas"
         )
     decorated = decorated.materialize()  # consumed by scoring + output
+    _tick("decorate")
     from ..study_core import SCORING_REGISTRY as _SCORING_REGISTRY
 
     # scoring inner-joins subjects (R/ctas.R:196): rows whose subject is
@@ -1223,6 +1280,7 @@ def _finish_study(
         ),
         batch_format="pandas",
     ).to_pandas()
+    _tick("scoring")
 
     # ---- driver: FDR barrier + output shaping ----
     if len(scored):
