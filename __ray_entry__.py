@@ -45,7 +45,6 @@ _ROWS_ONLY_LAST = [
     "media_features",
     "study_screen_sitescores",
     "study_screen_features",
-    "study_screen_pca",
     "approx_distinct_counts",
     "heavy_tokens_mg",
     "int8_recall",
@@ -59,6 +58,7 @@ _PRIORITY_FIRST = [
     "transcript_screen_ks_statistics",
     "study_screen_plan",
     "study_screen_features_exact",
+    "study_screen_pca_exact",
     "study_screen_iqr_sitescores",
     "study_screen_ks_statistics",
     "study_screen_me_sitescores",
@@ -174,12 +174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lof/own_site features -> rows-only)
         "study_screen_sitescores": q.study_screen_sitescores,
         "study_screen_features": q.study_screen_features,
-        "study_screen_pca": q.study_screen_pca,
         # flagship anomaly screen, hash-verified variants (mod-12 sites,
         # SQL feature set, jitter off): planning walk, feature values,
         # IQR site scores and the KS statistic are value-exact vs DuckDB
         "study_screen_plan": q.study_screen_plan,
         "study_screen_features_exact": q.study_screen_features_exact,
+        # deterministic integer PCA (qpca) — hash-verified
+        "study_screen_pca_exact": q.study_screen_pca_exact,
         "study_screen_iqr_sitescores": q.study_screen_iqr_sitescores,
         "study_screen_me_sitescores": q.study_screen_me_sitescores,
         "transcript_screen_iqr_sitescores": q.transcript_screen_iqr_sitescores,
@@ -512,6 +513,181 @@ gate AS (
      AND COUNT(DISTINCT site) < COUNT(*)
 )
 """
+
+
+def _qpca_oracle_sql(iters: int = 24, scale: int = 1_000_000) -> str:
+    """Oracle for queries.study_screen_pca_exact: the deterministic
+    integer power-iteration PCA (ctas_ray.functions.multivariate.
+    qpca_coordinates) unrolled into DuckDB CTEs — exact HUGEINT
+    arithmetic end-to-end, so engine and oracle agree bit-for-bit
+    (integer sums are associative; no float-order sensitivity). Chain:
+    quantize (1e-6 grid) -> floor-div row-mean impute -> constant-column
+    drop -> 1/2-column passthrough -> centered-by-n Gram matrix,
+    re-quantized -> ``iters`` unrolled power steps (PC1), then ``iters``
+    integer-deflated steps (PC2) -> sign fix (largest-|loading|
+    positive) -> scores rounded to the grid by n*scale."""
+    S = scale
+    # round-half-away-from-zero integer division (den > 0), matching
+    # multivariate._round_div; // in DuckDB truncates, so operands of //
+    # are kept non-negative on both branches
+    def rdiv(num: str, den: str) -> str:
+        return (f"CASE WHEN {num} >= 0 THEN (2*({num}) + {den}) // (2*({den})) "
+                f"ELSE -((2*(-({num})) + {den}) // (2*({den}))) END")
+
+    parts = [f""",
+grid AS MATERIALIZED (
+  SELECT mb.timeseries_id,  mb.subject_id,
+         UNNEST(generate_series(1, CAST(mb.k AS INT))) AS rank
+  FROM memb mb
+),
+cell AS MATERIALIZED (
+  SELECT g.timeseries_id, g.subject_id, g.rank,
+         CAST(FLOOR(v.result * {S} + 0.5) AS HUGEINT) AS xq
+  FROM grid g LEFT JOIN vals v
+    ON v.timeseries_id = g.timeseries_id AND v.subject_id = g.subject_id
+   AND CAST(v.rank AS INT) = g.rank
+),
+rowm AS MATERIALIZED (
+  SELECT timeseries_id, subject_id, SUM(xq) AS s_row,
+         CAST(COUNT(xq) AS HUGEINT) AS c_row
+  FROM cell GROUP BY 1, 2
+),
+imp AS MATERIALIZED (
+  -- floor(S/c + 0.5) = floordiv(2S + c, 2c); emulate floor for
+  -- negative numerators (DuckDB // truncates toward zero)
+  SELECT c.timeseries_id, c.subject_id, c.rank,
+         COALESCE(c.xq,
+           CASE WHEN 2*r.s_row + r.c_row >= 0
+                THEN (2*r.s_row + r.c_row) // (2*r.c_row)
+                ELSE -(((-(2*r.s_row + r.c_row)) + 2*r.c_row - 1) // (2*r.c_row))
+           END) AS x
+  FROM cell c JOIN rowm r
+    ON r.timeseries_id = c.timeseries_id AND r.subject_id = c.subject_id
+),
+colstat AS MATERIALIZED (
+  SELECT timeseries_id, rank, MIN(x) AS mn, MAX(x) AS mx,
+         SUM(x) AS s_col, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM imp GROUP BY 1, 2
+),
+kept AS MATERIALIZED (
+  SELECT timeseries_id, rank, s_col, n,
+         ROW_NUMBER() OVER (PARTITION BY timeseries_id ORDER BY rank) AS pos,
+         COUNT(*) OVER (PARTITION BY timeseries_id) AS p
+  FROM colstat WHERE mn <> mx
+),
+pass12 AS MATERIALIZED (
+  SELECT i.timeseries_id, i.subject_id,
+         MAX(CASE WHEN k.pos = 1 THEN i.x END) AS pc1,
+         COALESCE(MAX(CASE WHEN k.pos = 2 THEN i.x END), 0) AS pc2
+  FROM imp i JOIN kept k ON k.timeseries_id = i.timeseries_id AND k.rank = i.rank
+  WHERE k.p <= 2 GROUP BY 1, 2
+),
+yy AS MATERIALIZED (
+  SELECT i.timeseries_id, i.subject_id, k.pos AS j, k.n * i.x - k.s_col AS y
+  FROM imp i JOIN kept k ON k.timeseries_id = i.timeseries_id AND k.rank = i.rank
+  WHERE k.p > 2
+),
+gram AS MATERIALIZED (
+  SELECT a.timeseries_id, a.j AS i, b.j AS j, SUM(a.y * b.y) AS m
+  FROM yy a JOIN yy b ON b.timeseries_id = a.timeseries_id
+                     AND b.subject_id = a.subject_id
+  GROUP BY 1, 2, 3
+),
+mq AS MATERIALIZED (
+  SELECT timeseries_id, i, j, {rdiv("m * " + str(S), "mmax")} AS m
+  FROM (SELECT *, MAX(ABS(m)) OVER (PARTITION BY timeseries_id) AS mmax
+        FROM gram)
+),
+v0 AS MATERIALIZED (SELECT DISTINCT timeseries_id, j, CAST({S} AS HUGEINT) AS v FROM mq)"""]
+
+    def quant_step(wsrc: str, prev: str, out: str) -> str:
+        # one re-quantization step with the degenerate mw=0 carry
+        return f""",
+{out} AS MATERIALIZED (
+  SELECT w.timeseries_id, w.j,
+         CASE WHEN w.mw = 0 THEN vp.v
+              ELSE {rdiv("w.w * " + str(S), "w.mw")} END AS v
+  FROM (SELECT *, MAX(ABS(w)) OVER (PARTITION BY timeseries_id) AS mw
+        FROM {wsrc}) w
+  JOIN {prev} vp ON vp.timeseries_id = w.timeseries_id AND vp.j = w.j
+)"""
+
+    for t in range(1, iters + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT m.timeseries_id, m.i AS j, SUM(m.m * v.v) AS w
+  FROM mq m JOIN v{t - 1} v ON v.timeseries_id = m.timeseries_id AND v.j = m.j
+  GROUP BY 1, 2
+)""")
+        parts.append(quant_step(f"w{t}", f"v{t - 1}", f"v{t}"))
+    parts.append(f""",
+v1sgn AS MATERIALIZED (
+  SELECT timeseries_id, CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY timeseries_id
+            ORDER BY ABS(v) DESC, j ASC) AS rn FROM v{iters})
+  WHERE rn = 1
+),
+ev1 AS MATERIALIZED (
+  SELECT v.timeseries_id, v.j, v.v * s.sgn AS v
+  FROM v{iters} v JOIN v1sgn s ON s.timeseries_id = v.timeseries_id
+),
+b2 AS MATERIALIZED (SELECT timeseries_id, SUM(v * v) AS b FROM ev1 GROUP BY 1),
+u0 AS MATERIALIZED (SELECT DISTINCT timeseries_id, j, CAST({S} AS HUGEINT) AS v FROM mq)""")
+    for t in range(1, iters + 1):
+        parts.append(f""",
+t{t} AS MATERIALIZED (
+  SELECT m.timeseries_id, m.i AS j, SUM(m.m * u.v) AS t
+  FROM mq m JOIN u{t - 1} u ON u.timeseries_id = m.timeseries_id AND u.j = m.j
+  GROUP BY 1, 2
+),
+a{t} AS MATERIALIZED (
+  SELECT t.timeseries_id, SUM(e.v * t.t) AS a
+  FROM t{t} t JOIN ev1 e ON e.timeseries_id = t.timeseries_id AND e.j = t.j
+  GROUP BY 1
+),
+wd{t} AS MATERIALIZED (
+  SELECT t.timeseries_id, t.j, b2.b * t.t - a{t}.a * e.v AS w
+  FROM t{t} t
+  JOIN ev1 e ON e.timeseries_id = t.timeseries_id AND e.j = t.j
+  JOIN a{t} ON a{t}.timeseries_id = t.timeseries_id
+  JOIN b2 ON b2.timeseries_id = t.timeseries_id
+)""")
+        parts.append(quant_step(f"wd{t}", f"u{t - 1}", f"u{t}"))
+    parts.append(f""",
+v2sgn AS MATERIALIZED (
+  SELECT timeseries_id, CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY timeseries_id
+            ORDER BY ABS(v) DESC, j ASC) AS rn FROM u{iters})
+  WHERE rn = 1
+),
+ev2 AS MATERIALIZED (
+  SELECT v.timeseries_id, v.j, v.v * s.sgn AS v
+  FROM u{iters} v JOIN v2sgn s ON s.timeseries_id = v.timeseries_id
+),
+dd AS MATERIALIZED (SELECT timeseries_id, ANY_VALUE(n) * {S} AS d FROM kept GROUP BY 1),
+s1 AS MATERIALIZED (
+  SELECT y.timeseries_id, y.subject_id, SUM(y.y * e.v) AS s
+  FROM yy y JOIN ev1 e ON e.timeseries_id = y.timeseries_id AND e.j = y.j
+  GROUP BY 1, 2
+),
+s2 AS MATERIALIZED (
+  SELECT y.timeseries_id, y.subject_id, SUM(y.y * e.v) AS s
+  FROM yy y JOIN ev2 e ON e.timeseries_id = y.timeseries_id AND e.j = y.j
+  GROUP BY 1, 2
+),
+proj AS MATERIALIZED (
+  SELECT s1.timeseries_id, s1.subject_id,
+         {rdiv("s1.s", "dd.d")} AS pc1,
+         {rdiv("s2.s", "dd.d")} AS pc2
+  FROM s1
+  JOIN s2 ON s2.timeseries_id = s1.timeseries_id AND s2.subject_id = s1.subject_id
+  JOIN dd ON dd.timeseries_id = s1.timeseries_id
+)
+SELECT timeseries_id, subject_id, CAST(pc1 AS BIGINT) AS pc1_e6,
+       CAST(pc2 AS BIGINT) AS pc2_e6
+FROM (SELECT * FROM proj UNION ALL SELECT * FROM pass12)
+ORDER BY timeseries_id, subject_id""")
+    return "".join(parts)
 
 
 # Shared CTE chain for the hash-verified TRANSCRIPT-screen oracles: the
@@ -1626,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_e6,
            site, country, region
     FROM dec ORDER BY 1, 2, 3""",
+        "study_screen_pca_exact": _SCREEN_CTE + _qpca_oracle_sql(),
 
         "transcript_screen_iqr_sitescores": _TX_SCREEN_CTE + """,
     sitemeans AS (

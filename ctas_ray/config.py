@@ -42,6 +42,10 @@ class StudyConfig:
     # runs both eligibility passes straight over the blocks with no salt
     # exchange. Safe default: False (generic inputs get the exchange).
     data_subject_complete: bool = False
+    # "svd" = prcomp-parity float PCA (production); "qpca" = the
+    # deterministic integer power-iteration variant whose output is
+    # hash-verifiable against a SQL oracle (functions/multivariate.py)
+    pca_method: str = "svd"
 
     def __post_init__(self) -> None:
         from .functions.series import FEATURE_REGISTRY  # user extensions (§2.10)
@@ -61,6 +65,8 @@ class StudyConfig:
             raise SchemaError(f"bad site_scoring_method: {self.site_scoring_method}")
         if self.autogenerate_timeseries not in (True, False, "consecutive", "adaptive"):
             raise SchemaError("autogenerate_timeseries must be bool|consecutive|adaptive")
+        if self.pca_method not in ("svd", "qpca"):
+            raise SchemaError("pca_method must be 'svd' or 'qpca'")
 
     @property
     def autogen_enabled(self) -> bool:

@@ -19,6 +19,7 @@ __all__ = [
     "local_outlier_factor",
     "own_site_similarity",
     "pca_coordinates",
+    "qpca_coordinates",
 ]
 
 
@@ -185,3 +186,115 @@ def pca_coordinates(wide: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     if scores.shape[1] == 1:  # rank-1 data: pad PC2 with zeros
         return scores[:, 0], np.zeros(n)
     return scores[:, 0], scores[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# qpca: deterministic integer-arithmetic PCA variant (hash-verifiable)
+# ---------------------------------------------------------------------------
+
+def _round_div(num: int, den: int) -> int:
+    """round-half-away-from-zero of num/den (den > 0), exact integers.
+    Written so a SQL oracle with truncating integer division reproduces
+    it bit-for-bit (operands of // are kept non-negative)."""
+    if num >= 0:
+        return (2 * num + den) // (2 * den)
+    return -((2 * (-num) + den) // (2 * den))
+
+
+def _power_iterate(mq: list[list[int]], p: int, scale: int, iters: int,
+                   deflate: list[int] | None = None) -> list[int]:
+    """Fixed-count power iteration on the integer matrix ``mq`` with the
+    iterate re-quantized to the ``scale`` grid each step (exact integer
+    arithmetic throughout — associative, so any execution order agrees).
+    With ``deflate`` = v1, each step projects out the v1 component via
+    the integer identity  w = (v1.v1) * (M u) - (v1.(M u)) * v1  before
+    re-quantizing. Sign convention: largest-|component| positive
+    (smallest index wins ties)."""
+    v = [scale] * p
+    b = sum(d * d for d in deflate) if deflate is not None else 0
+    for _ in range(iters):
+        w = [sum(mq[i][j] * v[j] for j in range(p)) for i in range(p)]
+        if deflate is not None:
+            a = sum(deflate[i] * w[i] for i in range(p))
+            w = [b * w[i] - a * deflate[i] for i in range(p)]
+        mw = max(abs(x) for x in w)
+        if mw == 0:  # degenerate (rank-deficient): keep the iterate
+            break
+        v = [_round_div(x * scale, mw) for x in w]
+    jstar = max(range(p), key=lambda j: (abs(v[j]), -j))
+    if v[jstar] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def qpca_coordinates(
+    wide: np.ndarray, scale: int = 1_000_000, iters: int = 24
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Deterministic integer PCA ("qpca"): the hash-verifiable variant of
+    :func:`pca_coordinates` (R/ctas.R:692-750). Same shape semantics —
+    row-mean impute, constant-column drop, 1/2-column passthrough — but
+    every arithmetic step is exact integer math reproducible in SQL:
+
+    1. quantize values to the 1/scale grid: FLOOR(x*scale + 0.5)
+    2. impute missing with floor-div row mean: (2*S + c) // (2*c)
+    3. drop constant columns (min == max)
+    4. p==1 -> (x, 0); p==2 -> (x1, x2)  [quantized passthrough]
+    5. p>2: centered-by-n integers y = n*x - colsum; M = Y^T Y;
+       M re-quantized to the scale grid by round-half-away division;
+       ``iters`` power-iteration steps -> v1; integer-deflated power
+       iteration -> v2; sign = largest-|loading| positive (the same
+       convention the SVD path applies); scores s = Y.v rounded to the
+       scale grid via round-half-away by n*scale.
+
+    Integer sums are associative, so results are independent of Ray
+    block boundaries and of SQL aggregation order — unlike float PCA.
+    Outputs are exact integers (scale-grid scores) returned as float64.
+    This is a verification/contract path; the production screen keeps
+    the SVD route (prcomp parity).
+    """
+    x = np.asarray(wide, dtype=np.float64)
+    n, p = x.shape
+    xq = np.floor(x * scale + 0.5)  # NaN propagates
+    rows: list[list[int]] = []
+    for r in range(n):
+        vals = [None if np.isnan(v) else int(v) for v in xq[r]]
+        present = [v for v in vals if v is not None]
+        if present:
+            s_row = sum(present)
+            c = len(present)
+            imp = (2 * s_row + c) // (2 * c)  # floor(S/c + 0.5), exact
+        else:
+            imp = 0
+        rows.append([imp if v is None else v for v in vals])
+    keep = [
+        j
+        for j in range(p)
+        if max(rows[r][j] for r in range(n)) != min(rows[r][j] for r in range(n))
+    ]
+    if not keep:
+        return None
+    if len(keep) == 1:
+        c0 = np.array([float(rows[r][keep[0]]) for r in range(n)])
+        return c0, np.zeros(n)
+    if len(keep) == 2:
+        c0 = np.array([float(rows[r][keep[0]]) for r in range(n)])
+        c1 = np.array([float(rows[r][keep[1]]) for r in range(n)])
+        return c0, c1
+    q = len(keep)
+    colsum = [sum(rows[r][j] for r in range(n)) for j in keep]
+    y = [[n * rows[r][keep[jj]] - colsum[jj] for jj in range(q)] for r in range(n)]
+    m = [[sum(y[r][i] * y[r][j] for r in range(n)) for j in range(q)] for i in range(q)]
+    m_max = max(abs(m[i][j]) for i in range(q) for j in range(q))
+    if m_max == 0:  # cannot happen for kept (non-constant) columns
+        return None
+    mq = [[_round_div(m[i][j] * scale, m_max) for j in range(q)] for i in range(q)]
+    v1 = _power_iterate(mq, q, scale, iters)
+    v2 = _power_iterate(mq, q, scale, iters, deflate=v1)
+    d = n * scale
+    pc1 = np.array(
+        [float(_round_div(sum(y[r][j] * v1[j] for j in range(q)), d)) for r in range(n)]
+    )
+    pc2 = np.array(
+        [float(_round_div(sum(y[r][j] * v2[j] for j in range(q)), d)) for r in range(n)]
+    )
+    return pc1, pc2

@@ -1719,6 +1719,45 @@ def _study_screen_sql(sf_dir: str, method: str) -> dict:
     )
 
 
+@functools.lru_cache(maxsize=2)
+def _study_screen_qpca(sf_dir: str) -> dict:
+    """SQL-variant screen with the deterministic integer PCA: same
+    planning/membership as _study_screen_sql, pca_method='qpca'."""
+    from .study import process_a_study_ray
+
+    data, subjects, parameters = _events_study_tables(sf_dir, site_mode="mod12")
+    return process_a_study_ray(
+        data,
+        subjects,
+        parameters,
+        cfg=StudyConfig(
+            features=SQL_SCREEN_FEATURES,
+            max_share_missing=SQL_SCREEN_MSM,
+            site_scoring_method="avg_feat_value",
+            ks_jitter_sd=0.0,
+            data_subject_complete=True,
+            pca_method="qpca",
+        ),
+    )
+
+
+def study_screen_pca_exact(sf_dir: str) -> pd.DataFrame:
+    """PCA coordinates per (series, subject), HASH-VERIFIED: the
+    deterministic integer power-iteration PCA (qpca, exact integer
+    arithmetic mirrored by an unrolled-iteration DuckDB oracle). The
+    production screen keeps SVD/prcomp parity; this variant pins the
+    whole wide-assembly -> impute -> constant-drop -> eigen -> score
+    chain to exact values (R/ctas.R:692-750)."""
+    p = _study_screen_qpca(sf_dir)["PCA_coordinates"]
+    if p is None:
+        return pd.DataFrame(columns=["timeseries_id", "subject_id", "pc1_e6", "pc2_e6"])
+    p = p.copy()
+    p["pc1_e6"] = p["pc1"].astype(np.int64)
+    p["pc2_e6"] = p["pc2"].astype(np.int64)
+    p = p[["timeseries_id", "subject_id", "pc1_e6", "pc2_e6"]]
+    return p.sort_values(["timeseries_id", "subject_id"]).reset_index(drop=True)
+
+
 def study_screen_plan(sf_dir: str) -> pd.DataFrame:
     """Planning output (series ids, combos, readable names) hash-verified
     against the oracle's recursive-CTE acceptance walk (R/ctas.R:845-972)."""

@@ -186,7 +186,7 @@ def _series_group(
     )
     feats["kind"] = "feat"
     feats.insert(0, "timeseries_id", tsid)
-    pca = timeseries_pca(subj_ids, wide)
+    pca = timeseries_pca(subj_ids, wide, method=meta.get("pca_method", "svd"))
     out_frames = [feats[cols[:4] + ["kind"]]]
     if len(pca):
         pca_long = pd.concat(
@@ -1161,6 +1161,7 @@ def _finish_study(
         },
         "site_of_subject": dict(zip(subjects["subject_id"], subjects["site"])),
         "max_pairwise": cfg.max_subjects_for_pairwise,
+        "pca_method": cfg.pca_method,
         # §2.10 extension surface: registered per-series features travel
         # to workers as a snapshot (module globals don't)
         "extra_features": dict(FEATURE_REGISTRY),

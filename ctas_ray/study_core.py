@@ -165,11 +165,19 @@ def timeseries_features_long(
     return pd.concat(frames, ignore_index=True)
 
 
-def timeseries_pca(subject_ids: np.ndarray, wide: np.ndarray) -> pd.DataFrame:
+def timeseries_pca(
+    subject_ids: np.ndarray, wide: np.ndarray, method: str = "svd"
+) -> pd.DataFrame:
     """calculate_principal_components wrapper -> frame
     (subject_id, pc1, pc2); empty when all columns are constant
-    (R/ctas.R:741-747 adds subjects only if PCs exist)."""
-    res = pca_coordinates(wide)
+    (R/ctas.R:741-747 adds subjects only if PCs exist). ``method``:
+    "svd" (prcomp parity) or "qpca" (hash-verifiable integer variant)."""
+    if method == "qpca":
+        from .functions.multivariate import qpca_coordinates
+
+        res = qpca_coordinates(wide)
+    else:
+        res = pca_coordinates(wide)
     if res is None:
         return pd.DataFrame({"subject_id": [], "pc1": [], "pc2": []})
     pc1, pc2 = res

@@ -18,7 +18,6 @@ ROWS_ONLY_ALLOWED = {
     "media_features",         # binary WAV/BMP decode
     "study_screen_sitescores",  # KS p-values + lof/own-site (full config)
     "study_screen_features",    # float lof/own-site features
-    "study_screen_pca",         # SVD sign conventions
     "approx_distinct_counts",   # HLL sketch (pytest pins error bound)
     "heavy_tokens_mg",          # Misra-Gries sketch (pytest pins the
                                 # guarantee vs exact counts)

@@ -225,3 +225,70 @@ def test_own_site_vectorized_equals_per_subject_auroc():
             own_site_similarity(d, sites), loop_ref(d, sites),
             rtol=1e-12, equal_nan=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# qpca: the deterministic integer PCA variant (hash-verified in the
+# driver contract via study_screen_pca_exact)
+# ---------------------------------------------------------------------------
+
+
+def test_qpca_tracks_svd_directions():
+    from ctas_ray.functions.multivariate import pca_coordinates, qpca_coordinates
+
+    rng = np.random.default_rng(7)
+    w = rng.normal(0.0, 4.0, (60, 8))
+    w[rng.random(w.shape) < 0.15] = np.nan
+    q1, q2 = qpca_coordinates(w)
+    s1, s2 = pca_coordinates(w)
+    assert abs(np.corrcoef(q1 / 1e6, s1)[0, 1]) > 0.999
+    assert abs(np.corrcoef(q2 / 1e6, s2)[0, 1]) > 0.999
+
+
+def test_qpca_passthrough_one_and_two_columns():
+    from ctas_ray.functions.multivariate import qpca_coordinates
+
+    one = np.array([[1.5], [2.5], [3.0]])
+    p1, p2 = qpca_coordinates(one)
+    assert np.array_equal(p1, [1_500_000, 2_500_000, 3_000_000])
+    assert np.array_equal(p2, [0, 0, 0])
+    two = np.array([[1.0, 4.0], [2.0, 5.0], [3.0, 7.0]])
+    p1, p2 = qpca_coordinates(two)
+    assert np.array_equal(p1, [1_000_000, 2_000_000, 3_000_000])
+    assert np.array_equal(p2, [4_000_000, 5_000_000, 7_000_000])
+
+
+def test_qpca_constant_columns_dropped_and_none_when_all_constant():
+    from ctas_ray.functions.multivariate import qpca_coordinates
+
+    assert qpca_coordinates(np.ones((5, 3))) is None
+    w = np.column_stack([np.ones(4), [1.0, 2.0, 3.0, 4.0]])
+    p1, p2 = qpca_coordinates(w)  # constant col dropped -> 1-col passthrough
+    assert np.array_equal(p1, [1_000_000, 2_000_000, 3_000_000, 4_000_000])
+    assert np.array_equal(p2, [0, 0, 0, 0])
+
+
+def test_qpca_row_permutation_equivariant():
+    """Integer arithmetic is associative: permuting input rows permutes
+    the outputs identically (no Ray-block-order sensitivity)."""
+    from ctas_ray.functions.multivariate import qpca_coordinates
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(0.0, 2.0, (25, 5))
+    w[rng.random(w.shape) < 0.2] = np.nan
+    perm = rng.permutation(25)
+    a1, a2 = qpca_coordinates(w)
+    b1, b2 = qpca_coordinates(w[perm])
+    assert np.array_equal(a1[perm], b1)
+    assert np.array_equal(a2[perm], b2)
+
+
+def test_qpca_impute_uses_floor_div_row_mean():
+    from ctas_ray.functions.multivariate import qpca_coordinates
+
+    # row [1.0, NaN]: impute = floor((2*1e6 + 1) // 2) = 1e6 -> col2
+    # value 1e6 for that row
+    w = np.array([[1.0, np.nan], [2.0, 5.0], [3.0, 4.0]])
+    p1, p2 = qpca_coordinates(w)
+    assert np.array_equal(p1, [1_000_000, 2_000_000, 3_000_000])
+    assert np.array_equal(p2, [1_000_000, 5_000_000, 4_000_000])
