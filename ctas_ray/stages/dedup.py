@@ -98,6 +98,111 @@ def _row_part(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
     return (h % np.uint64(num_parts)).astype(np.int64)
 
 
+# --- Arrow-native exchange helpers (verify gather/meet path) --------------
+# The verify exchanges ship ids + opaque binary blobs; these helpers keep
+# both in numpy / Arrow buffers end-to-end (no per-row Python objects).
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (vectorized, wrapping)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _ids_u64(ids: np.ndarray) -> np.ndarray:
+    """uint64 view of an id array (int64 ids zero-copy; strings hashed)."""
+    if ids.dtype.kind in "iu":
+        return ids.astype(np.int64, copy=False).view(np.uint64)
+    return pd.util.hash_pandas_object(pd.Series(ids), index=False).to_numpy()
+
+
+def _hash_part(num_parts: int, *id_arrays: np.ndarray) -> np.ndarray:
+    """Deterministic hash partition over one or more id columns."""
+    h = _mix64(_ids_u64(id_arrays[0]) ^ np.uint64(0x9E3779B97F4A7C15))
+    for extra in id_arrays[1:]:
+        h = _mix64(h ^ _ids_u64(extra))
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+def _unique_pairs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (a, b) rows; int64 fast path, generic pandas fallback."""
+    if a.dtype.kind in "iu" and b.dtype.kind in "iu":
+        ab = np.stack(
+            [a.astype(np.int64, copy=False), b.astype(np.int64, copy=False)],
+            axis=1,
+        )
+        uniq = np.unique(ab, axis=0)
+        return uniq[:, 0], uniq[:, 1]
+    df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+    return df["a"].to_numpy(), df["b"].to_numpy()
+
+
+def _index_in(keys: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Position of each query in keys (-1 where absent); keys distinct."""
+    if len(keys) == 0 or len(queries) == 0:
+        return np.full(len(queries), -1, np.int64)
+    if keys.dtype.kind in "iu" and queries.dtype.kind in "iu":
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        pos = np.clip(np.searchsorted(ks, queries), 0, len(ks) - 1)
+        return np.where(ks[pos] == queries, order[pos], -1)
+    return pd.Index(keys).get_indexer(queries)
+
+
+def _blob_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(data:uint8, offsets:int64) zero-copy views of an Arrow binary
+    array — the blob bytes never materialize as Python objects."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    o_dt = (
+        np.int64
+        if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+        else np.int32
+    )
+    off = np.frombuffer(arr.buffers()[1], dtype=o_dt)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64, copy=False)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, off
+
+
+def _blob_matrix(arr, dtype) -> np.ndarray:
+    """Rows of a binary array as a 2-D numpy view. Requires equal-width
+    rows (fixed-size signature / unit-vector blobs guarantee this)."""
+    data, off = _blob_buffers(arr)
+    n = len(off) - 1
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    widths = np.diff(off)
+    w = int(widths[0])
+    if not (widths == w).all():
+        raise ValueError("blob rows are not fixed-width")
+    flat = data[off[0] : off[-1]]
+    if flat.__array_interface__["data"][0] % np.dtype(dtype).itemsize:
+        flat = flat.copy()
+    return flat.view(dtype).reshape(n, w // np.dtype(dtype).itemsize)
+
+
+def _blob_u64_views(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 data view, element offsets) for variable-width blobs whose
+    bytes are packed uint64 (shingle sets). Row i = data[off[i]:off[i+1]]."""
+    data, off = _blob_buffers(arr)
+    usable = (len(data) // 8) * 8
+    if data.__array_interface__["data"][0] % 8:
+        data = data.copy()
+    return data[:usable].view(np.uint64), off // 8
+
+
 # 16-bit popcount table (64 KiB) for vectorized 64-bit Hamming distance
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
@@ -190,6 +295,7 @@ def _gather_verify_pairs(
     id_col: str,
     attr_col: str,
     verify_rows,
+    score_col: str = "score",
     num_parts: int = NUM_PARTS,
 ) -> rd.Dataset:
     """Attach each side's per-doc attribute (signature / shingle set) to
@@ -201,104 +307,151 @@ def _gather_verify_pairs(
     the meet exchange); the demand table bounds that by
     min(pairs, docs x num_parts) blob copies.
 
+    Arrow-native end-to-end: both exchanges move typed Arrow blocks
+    (ids as int64/string arrays, blobs as large_binary), so attribute
+    bytes stay in Arrow buffers through the shuffle and reach
+    ``verify_rows`` as zero-copy numpy views — no per-row Python
+    objects at any stage.
+
     1. demand gather (doc-keyed): block-deduped (pair-partition, doc)
        demand rows union the attribute supply; a per-partition merge
        emits one (part, doc, attr) row per distinct demand.
     2. meet (pair-keyed): attribute rows union the (block-deduped) pair
        rows; per partition, pairs dedup globally, both sides attach via
-       merges against the partition's doc->attr table, and
-       ``verify_rows`` (columns id_a, id_b, attr_a, attr_b) filters to
-       verified pairs.
+       vectorized index lookups against the partition's doc->attr
+       table, and ``verify_rows(ids_a, ids_b, attr_a, attr_b) ->
+       (keep_mask, kept_scores)`` filters to verified pairs (scores
+       land in ``score_col``).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def pair_rows(b: pd.DataFrame) -> pd.DataFrame:
-        out = b[["id_a", "id_b"]].drop_duplicates()
-        out = out.copy()
-        out["doc"] = out["id_a"]  # typed placeholder; never read
-        out["attr"] = None
-        out["kind"] = np.int8(0)
-        out["part"] = _row_part(out, ["id_a", "id_b"], num_parts)
-        return out[["id_a", "id_b", "doc", "attr", "kind", "part"]]
+    def _pair_cols(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        a = t.column("id_a").to_numpy(zero_copy_only=False)
+        b = t.column("id_b").to_numpy(zero_copy_only=False)
+        return _unique_pairs(a, b)
 
-    def demand_rows(b: pd.DataFrame) -> pd.DataFrame:
-        pr = b[["id_a", "id_b"]].drop_duplicates()
-        part = _row_part(pr, ["id_a", "id_b"], num_parts)
-        d = pd.DataFrame(
-            {
-                "doc": pd.concat([pr["id_a"], pr["id_b"]], ignore_index=True),
-                "part": np.concatenate([part, part]),
-            }
-        ).drop_duplicates()
-        d["attr"] = None
-        d["kind"] = np.int8(1)
-        d["dpart"] = _row_part(d, ["doc"], num_parts)
-        return d[["doc", "part", "attr", "kind", "dpart"]]
-
-    def supply(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "doc": b[id_col],
-                "part": np.int64(-1),
-                "attr": b[attr_col],
-                "kind": np.int8(2),
-            }
-        )
-        out["dpart"] = _row_part(out, ["doc"], num_parts)
-        return out[["doc", "part", "attr", "kind", "dpart"]]
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sup = g.loc[g["kind"] == 2, ["doc", "attr"]]
-        dem = g.loc[g["kind"] == 1, ["doc", "part"]].drop_duplicates()
-        m = dem.merge(sup, on="doc", how="inner")
-        m = m.copy()
-        m["id_a"] = m["doc"]  # typed placeholder for the meet union
-        m["id_b"] = m["doc"]
-        m["kind"] = np.int8(2)
-        return m[["id_a", "id_b", "doc", "attr", "kind", "part"]]
-
-    def meet(g: pd.DataFrame):
-        import pyarrow as pa
-
-        blobs = g.loc[g["kind"] == 2, ["doc", "attr"]]
-        pairs = g.loc[g["kind"] == 0, ["id_a", "id_b"]].drop_duplicates()
-        m = pairs.merge(
-            blobs.rename(columns={"doc": "id_a", "attr": "attr_a"}), on="id_a"
-        ).merge(
-            blobs.rename(columns={"doc": "id_b", "attr": "attr_b"}), on="id_b"
-        )
-        out = verify_rows(m)
-        # typed Arrow out: empty partitions otherwise emit object-dtype
-        # pandas blocks that trip Ray's block-size estimator ("cannot
-        # call `vectorize` on size 0 inputs") and produce schemaless
-        # RefBundles. The id type (string/int64) is inferred from this
-        # group's rows — the group is never empty even when every pair
-        # fails verification.
-        id_type = (
-            pa.Array.from_pandas(g["id_a"].iloc[:1]).type
-            if len(g)
-            else pa.string()
-        )
+    def pair_rows(t: pa.Table) -> pa.Table:
+        idt = t.schema.field("id_a").type
+        a, b = _pair_cols(t)
+        n = len(a)
         return pa.table(
             {
-                c: pa.Array.from_pandas(
-                    out[c],
-                    type=id_type if c in ("id_a", "id_b") else pa.float64(),
-                )
-                for c in out.columns
+                "id_a": pa.array(a, type=idt),
+                "id_b": pa.array(b, type=idt),
+                "doc": pa.nulls(n, idt),
+                "attr": pa.nulls(n, pa.large_binary()),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "part": pa.array(_hash_part(num_parts, a, b)),
+            }
+        )
+
+    def demand_rows(t: pa.Table) -> pa.Table:
+        idt = t.schema.field("id_a").type
+        a, b = _pair_cols(t)
+        part = _hash_part(num_parts, a, b)
+        doc, part2 = _unique_pairs(
+            np.concatenate([a, b]), np.concatenate([part, part])
+        )
+        n = len(doc)
+        return pa.table(
+            {
+                "doc": pa.array(doc, type=idt),
+                "part": pa.array(part2.astype(np.int64, copy=False)),
+                "attr": pa.nulls(n, pa.large_binary()),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "dpart": pa.array(_hash_part(num_parts, doc)),
+            }
+        )
+
+    def supply(t: pa.Table) -> pa.Table:
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(doc)
+        return pa.table(
+            {
+                "doc": t.column(id_col),
+                "part": pa.array(np.full(n, -1, np.int64)),
+                "attr": pc.cast(t.column(attr_col), pa.large_binary()),
+                "kind": pa.array(np.full(n, 2, np.int8)),
+                "dpart": pa.array(_hash_part(num_parts, doc)),
+            }
+        )
+
+    def attach(t: pa.Table) -> pa.Table:
+        idt = t.schema.field("doc").type
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        sup_idx = np.nonzero(kind == 2)[0]
+        dem_idx = np.nonzero(kind == 1)[0]
+        sup_doc = pc.take(t.column("doc"), pa.array(sup_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        sup_attr = pc.take(t.column("attr"), pa.array(sup_idx))
+        dem_doc = pc.take(t.column("doc"), pa.array(dem_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        dem_part = pc.take(t.column("part"), pa.array(dem_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        # demand rows are deduped per source block; dedup across blocks
+        dem_doc, dem_part = _unique_pairs(dem_doc, dem_part)
+        pos = _index_in(sup_doc, dem_doc)
+        ok = pos >= 0
+        n = int(ok.sum())
+        return pa.table(
+            {
+                "id_a": pa.nulls(n, idt),
+                "id_b": pa.nulls(n, idt),
+                "doc": pa.array(dem_doc[ok], type=idt),
+                "attr": pc.take(sup_attr, pa.array(pos[ok])),
+                "kind": pa.array(np.full(n, 2, np.int8)),
+                "part": pa.array(dem_part[ok].astype(np.int64, copy=False)),
+            }
+        )
+
+    def meet(t: pa.Table) -> pa.Table:
+        idt = t.schema.field("id_a").type
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        blob_idx = np.nonzero(kind == 2)[0]
+        pair_idx = np.nonzero(kind == 0)[0]
+        doc = pc.take(t.column("doc"), pa.array(blob_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        attr = pc.take(t.column("attr"), pa.array(blob_idx))
+        ids_a = pc.take(t.column("id_a"), pa.array(pair_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        ids_b = pc.take(t.column("id_b"), pa.array(pair_idx)).to_numpy(
+            zero_copy_only=False
+        )
+        ids_a, ids_b = _unique_pairs(ids_a, ids_b)
+        pos_a = _index_in(doc, ids_a)
+        pos_b = _index_in(doc, ids_b)
+        ok = (pos_a >= 0) & (pos_b >= 0)
+        ids_a, ids_b = ids_a[ok], ids_b[ok]
+        attr_a = pc.take(attr, pa.array(pos_a[ok]))
+        attr_b = pc.take(attr, pa.array(pos_b[ok]))
+        keep, scores = verify_rows(ids_a, ids_b, attr_a, attr_b)
+        return pa.table(
+            {
+                "id_a": pa.array(ids_a[keep], type=idt),
+                "id_b": pa.array(ids_b[keep], type=idt),
+                score_col: pa.array(
+                    np.asarray(scores, np.float64), type=pa.float64()
+                ),
             }
         )
 
     attr_routed = (
-        candidates.map_batches(demand_rows, batch_format="pandas")
-        .union(attrs.map_batches(supply, batch_format="pandas"))
+        candidates.map_batches(demand_rows, batch_format="pyarrow")
+        .union(attrs.map_batches(supply, batch_format="pyarrow"))
         .groupby("dpart")
-        .map_groups(attach, batch_format="pandas")
+        .map_groups(attach, batch_format="pyarrow")
     )
     return (
-        candidates.map_batches(pair_rows, batch_format="pandas")
+        candidates.map_batches(pair_rows, batch_format="pyarrow")
         .union(attr_routed)
         .groupby("part")
-        .map_groups(meet, batch_format="pandas")
+        .map_groups(meet, batch_format="pyarrow")
     )
 
 
@@ -665,22 +818,18 @@ def minhash_lsh_dedup(
         .map_groups(bucket_pairs_part, batch_format="pandas")
     )
 
-    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
-        if len(m) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        sa = np.frombuffer(b"".join(m["attr_a"]), dtype=np.uint64).reshape(len(m), n_perm)
-        sb = np.frombuffer(b"".join(m["attr_b"]), dtype=np.uint64).reshape(len(m), n_perm)
+    def verify_rows(ids_a, ids_b, attr_a, attr_b):
+        if len(ids_a) == 0:
+            return np.zeros(0, bool), np.empty(0)
+        sa = _blob_matrix(attr_a, np.uint64)
+        sb = _blob_matrix(attr_b, np.uint64)
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": m["id_a"].to_numpy()[keep],
-                "id_b": m["id_b"].to_numpy()[keep],
-                "est_jaccard": est[keep],
-            }
-        )
+        return keep, est[keep]
 
-    verified = _gather_verify_pairs(candidates, reps, id_col, "sig", verify_rows)
+    verified = _gather_verify_pairs(
+        candidates, reps, id_col, "sig", verify_rows, score_col="est_jaccard"
+    )
     clusters = _close_clusters(verified, id_col)
     members = _dup_members(members_ds, id_col)
     return _expand_exact_members(clusters, members, id_col)
@@ -784,21 +933,19 @@ def ngram_jaccard_dedup(
         .map_groups(bucket_pairs_part, batch_format="pandas")
     )
 
-    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
-        oa, ob, oj = [], [], []
-        for a_id, b_id, sa, sb in zip(
-            m["id_a"], m["id_b"], m["attr_a"], m["attr_b"]
-        ):
-            jac = jaccard(
-                np.frombuffer(sa, dtype=np.uint64), np.frombuffer(sb, dtype=np.uint64)
-            )
-            if jac >= threshold:
-                oa.append(a_id)
-                ob.append(b_id)
-                oj.append(jac)
-        return pd.DataFrame({"id_a": oa, "id_b": ob, "jaccard": oj})
+    def verify_rows(ids_a, ids_b, attr_a, attr_b):
+        ua, oa = _blob_u64_views(attr_a)
+        ub, ob = _blob_u64_views(attr_b)
+        n = len(ids_a)
+        js = np.empty(n)
+        for i in range(n):
+            js[i] = jaccard(ua[oa[i] : oa[i + 1]], ub[ob[i] : ob[i + 1]])
+        keep = js >= threshold
+        return keep, js[keep]
 
-    verified = _gather_verify_pairs(candidates, reps, id_col, "shingles", verify_rows)
+    verified = _gather_verify_pairs(
+        candidates, reps, id_col, "shingles", verify_rows, score_col="jaccard"
+    )
     clusters = _close_clusters(verified, id_col)
     members = _dup_members(members_ds, id_col)
     return _expand_exact_members(clusters, members, id_col)
@@ -996,26 +1143,18 @@ def embedding_cosine_dedup(
         .map_groups(bucket_pairs_part, batch_format="pandas")
     )
 
-    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
-        if len(m) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        a = np.frombuffer(b"".join(m["attr_a"]), dtype=np.float64).reshape(
-            len(m), -1
-        )
-        b2 = np.frombuffer(b"".join(m["attr_b"]), dtype=np.float64).reshape(
-            len(m), -1
-        )
+    def verify_rows(ids_a, ids_b, attr_a, attr_b):
+        if len(ids_a) == 0:
+            return np.zeros(0, bool), np.empty(0)
+        a = _blob_matrix(attr_a, np.float64)
+        b2 = _blob_matrix(attr_b, np.float64)
         cos = np.einsum("ij,ij->i", a, b2)
         keep = cos >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": m["id_a"].to_numpy()[keep],
-                "id_b": m["id_b"].to_numpy()[keep],
-                "cosine": cos[keep],
-            }
-        )
+        return keep, cos[keep]
 
-    verified = _gather_verify_pairs(candidates, units, id_col, "unit", verify_rows)
+    verified = _gather_verify_pairs(
+        candidates, units, id_col, "unit", verify_rows, score_col="cosine"
+    )
     return _close_clusters(verified, id_col)
 
 
@@ -1253,23 +1392,18 @@ def jaccard_similarity_join(
         order, candidates.count(),
     )
 
-    def verify_rows(m: pd.DataFrame) -> pd.DataFrame:
-        oa, ob, oj = [], [], []
-        for a_id, b_id, sa, sb in zip(
-            m["id_a"], m["id_b"], m["attr_a"], m["attr_b"]
-        ):
-            jac = jaccard(
-                np.frombuffer(sa, dtype=np.uint64),
-                np.frombuffer(sb, dtype=np.uint64),
-            )
-            if jac >= threshold:
-                oa.append(a_id)
-                ob.append(b_id)
-                oj.append(jac)
-        return pd.DataFrame({"id_a": oa, "id_b": ob, "jac": oj})
+    def verify_rows(ids_a, ids_b, attr_a, attr_b):
+        ua, oa = _blob_u64_views(attr_a)
+        ub, ob = _blob_u64_views(attr_b)
+        n = len(ids_a)
+        js = np.empty(n)
+        for i in range(n):
+            js[i] = jaccard(ua[oa[i] : oa[i + 1]], ub[ob[i] : ob[i + 1]])
+        keep = js >= threshold
+        return keep, js[keep]
 
     verified = _gather_verify_pairs(
-        candidates, reps, id_col, "shingles", verify_rows
+        candidates, reps, id_col, "shingles", verify_rows, score_col="jac"
     ).to_pandas()
     if "id_a" not in verified.columns:  # zero candidates survived
         verified = pd.DataFrame({"id_a": [], "id_b": [], "jac": []})
