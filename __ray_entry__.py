@@ -419,7 +419,7 @@ WITH RECURSIVE meas AS (
          value AS result
   FROM events
 ),
-nsub AS (
+nsub AS MATERIALIZED (
   SELECT parameter_id, subject_id, ANY_VALUE(site_idx) AS site_idx,
          COUNT(*) AS n_i
   FROM meas GROUP BY 1, 2
@@ -429,7 +429,7 @@ cand AS (
   SELECT parameter_id, UNNEST(generate_series(3, CAST(kmax AS INT))) AS k
   FROM rmax
 ),
-elig AS (
+elig AS MATERIALIZED (
   SELECT c.parameter_id, c.k,
          (SELECT COUNT(*) FROM nsub n
           WHERE n.parameter_id = c.parameter_id
@@ -725,7 +725,7 @@ _TX_SCREEN_CTE = """
                   ORDER BY rank) AS INT) AS ord
       FROM (SELECT DISTINCT parameter_id, rank FROM meas)
     ),
-    mo AS (
+    mo AS MATERIALIZED (
       SELECT m.parameter_id, m.subject_id, m.site_idx, r.ord, m.result
       FROM meas m JOIN rankmap r
         ON r.parameter_id = m.parameter_id AND r.rank = m.rank
@@ -735,14 +735,14 @@ _TX_SCREEN_CTE = """
       SELECT parameter_id, UNNEST(generate_series(3, CAST(kmax AS INT))) AS k
       FROM kmaxs
     ),
-    eligk AS (
+    eligk AS MATERIALIZED (
       SELECT m.parameter_id, c.k, m.subject_id, COUNT(*) AS n_in_k,
              ANY_VALUE(m.site_idx) AS site_idx
       FROM mo m JOIN cand c
         ON c.parameter_id = m.parameter_id AND m.ord <= c.k
       GROUP BY 1, 2, 3
     ),
-    elig AS (
+    elig AS MATERIALIZED (
       SELECT c.parameter_id, c.k,
              (SELECT COUNT(*) FROM eligk e
               WHERE e.parameter_id = c.parameter_id AND e.k = c.k
@@ -1005,7 +1005,7 @@ def _closure_sql() -> str:
     """Shared tail: undirected closure over `pr(id_a, id_b)` ->
     (doc_id, cluster_id = min reachable id)."""
     return """
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pr
       UNION ALL SELECT id_b AS a, id_a AS b FROM pr
     ),
@@ -1751,7 +1751,7 @@ def oracle_sql() -> dict[str, str]:
       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
     ),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pr
       UNION ALL SELECT id_b AS a, id_a AS b FROM pr
     ),
@@ -2120,7 +2120,7 @@ def oracle_sql() -> dict[str, str]:
       FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
       WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
     ),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pr
       UNION ALL
       SELECT id_b AS a, id_a AS b FROM pr
@@ -2165,7 +2165,7 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1, 2
     ),
     pr AS (SELECT id_a, id_b FROM ham WHERE ham <= 3),
-    ed AS (
+    ed AS MATERIALIZED (
       SELECT id_a AS a, id_b AS b FROM pr
       UNION ALL
       SELECT id_b AS a, id_a AS b FROM pr
@@ -2365,7 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         # sharded greedy first-fit sequence packing (PACK_CTX=160,
         # shard = doc_id % 8), recursive walk per shard
         "pack_sequences": """
-    WITH RECURSIVE docs AS (
+    WITH RECURSIVE docs AS MATERIALIZED (
       SELECT doc_id, doc_id % 8 AS shard,
              LEAST(LEN(LIST_FILTER(regexp_split_to_array(text, '\\s+'),
                                    x -> x <> '')), 160) AS tok,

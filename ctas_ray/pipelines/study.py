@@ -203,6 +203,34 @@ def _series_group(
     return pd.concat(out_frames, ignore_index=True).reindex(columns=cols)
 
 
+_SERIES_SALT_PARTS = 64
+
+
+def _series_salt(batch: pd.DataFrame, part_ref) -> pd.DataFrame:
+    """Balanced int64 partition key per series for the feature exchange.
+    The driver knows every series id, so parts are dealt round-robin —
+    perfectly balanced, no hash collisions until #series > #parts."""
+    part_of = ray.get(part_ref) if not isinstance(part_ref, dict) else part_ref
+    out = batch.copy(deep=False)
+    out["part"] = batch["timeseries_id"].map(part_of).astype(np.int64)
+    return out
+
+
+def _series_partition(part: pd.DataFrame, meta_ref) -> pd.DataFrame:
+    """One call per PARTITION: split into series groups locally and run
+    ``_series_group`` on each (never one exchange group per series)."""
+    meta = ray.get(meta_ref) if not isinstance(meta_ref, dict) else meta_ref
+    cols = ["timeseries_id", "subject_id", "feature", "value", "kind"]
+    outs = [
+        _series_group(g, meta)
+        for _, g in part.groupby("timeseries_id", sort=True)
+    ]
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(outs, ignore_index=True)
+
+
 def _decorate(batch: pd.DataFrame, lookup_ref) -> pd.DataFrame:
     """Attach site/country/region + subject_count_min + ref_group via
     broadcast dict lookups (J2/J3).
@@ -231,13 +259,17 @@ def _score_group(
 ) -> pd.DataFrame:
     """Per-(timeseries, feature, ref_group) scoring with the eligibility
     gates (A5, R/ctas.R:200-207)."""
-    tsid = group["timeseries_id"].iloc[0]
-    feature = group["feature"].iloc[0]
-    ref_group = group["ref_group"].iloc[0]
     ks_cols = ["timeseries_id", "feature", "ref_group", "site", "pvalue_kstest",
                "kstest_statistic", "region", "country", "subj_count"]
     n_sites = group["site"].nunique()
     n = len(group)
+    if n == 0:
+        if method == "ks":
+            return pd.DataFrame(columns=ks_cols)
+        return pd.DataFrame(columns=["timeseries_id", "feature", "ref_group"])
+    tsid = group["timeseries_id"].iloc[0]
+    feature = group["feature"].iloc[0]
+    ref_group = group["ref_group"].iloc[0]
     # module registries don't travel to workers: the caller ships a
     # snapshot through the task closure
     SCORING_REGISTRY = scoring_registry or {}
@@ -1167,8 +1199,26 @@ def _finish_study(
         "extra_features": dict(FEATURE_REGISTRY),
     }
     meta_ref = ray.put(meta)
-    series_out = assigned.groupby("timeseries_id").map_groups(
-        functools.partial(_series_group, meta_ref=meta_ref), batch_format="pandas"
+    # per-PARTITION dispatch (module convention): deal each series a
+    # balanced int part and process ALL of a partition's series in one
+    # UDF call — the exchange sorts an int64 key instead of globally
+    # sorting the exploded rows by a string series id, group dispatch is
+    # per-partition, and no partition is empty or doubly-loaded until
+    # #series exceeds #parts
+    n_parts = max(1, min(_SERIES_SALT_PARTS, len(series)))
+    part_ref = ray.put(
+        {t: i % n_parts for i, t in enumerate(series["timeseries_id"])}
+    )
+    series_out = (
+        assigned.map_batches(
+            functools.partial(_series_salt, part_ref=part_ref),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(
+            functools.partial(_series_partition, meta_ref=meta_ref),
+            batch_format="pandas",
+        )
     )
     # consumed by BOTH the feature and the PCA branches: pin the blocks
     # once instead of re-executing the explode+group lineage per branch.
@@ -1268,19 +1318,43 @@ def _finish_study(
 
     # scoring inner-joins subjects (R/ctas.R:196): rows whose subject is
     # absent from the subjects table never reach the gates or scorers
-    scoring_in = decorated.map_batches(
-        lambda b: b[b["site"].notna()], batch_format="pandas"
+    def _score_salt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[b["site"].notna()]
+        h = pd.util.hash_pandas_object(
+            out[["timeseries_id", "feature", "ref_group"]], index=False
+        ).to_numpy()
+        out = out.copy(deep=False)
+        out["part"] = (h % np.uint64(_SERIES_SALT_PARTS)).astype(np.int64)
+        return out
+
+    score_fn = functools.partial(
+        _score_group,
+        method=cfg.site_scoring_method,
+        jitter_sd=cfg.ks_jitter_sd,
+        jitter_seed=cfg.ks_jitter_seed,
+        scoring_registry=dict(_SCORING_REGISTRY),
     )
-    scored = scoring_in.groupby(["timeseries_id", "feature", "ref_group"]).map_groups(
-        functools.partial(
-            _score_group,
-            method=cfg.site_scoring_method,
-            jitter_sd=cfg.ks_jitter_sd,
-            jitter_seed=cfg.ks_jitter_seed,
-            scoring_registry=dict(_SCORING_REGISTRY),
-        ),
-        batch_format="pandas",
-    ).to_pandas()
+
+    def _score_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # per-PARTITION dispatch: one int-keyed exchange, all of a
+        # partition's (series, feature, ref_group) groups in one call
+        outs = [
+            score_fn(g)
+            for _, g in part.groupby(
+                ["timeseries_id", "feature", "ref_group"], sort=True
+            )
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return score_fn(part.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
+    scored = (
+        decorated.map_batches(_score_salt, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_score_partition, batch_format="pandas")
+        .to_pandas()
+    )
     _tick("scoring")
 
     # ---- driver: FDR barrier + output shaping ----
