@@ -151,6 +151,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m": q.rollup_1m,
         "rollup_1h": q.rollup_1h,
         "rollup_1d": q.rollup_1d,
+        # weekly retention tier: the cascade extended one level
+        # (1m -> 1h -> 1d -> 1w); equality vs the direct weekly rollup
+        # proves the four-level cascade exact
+        "rollup_1w": q.rollup_1w,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -1607,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m_incremental": rollup_sql(60_000_000),
         "rollup_1h": rollup_sql(3_600_000_000),
         "rollup_1d": rollup_sql(86_400_000_000),
+        "rollup_1w": rollup_sql(604_800_000_000),
         "gapfill_locf_1m": f"""
     WITH {turns_cte},
     points AS (

@@ -999,6 +999,47 @@ def rollup_1d(sf_dir: str) -> pd.DataFrame:
     return _rollup_tier(sf_dir, "tier_1d")
 
 
+@functools.lru_cache(maxsize=4)
+def _tier_frames_weekly(sf_dir: str) -> dict[str, pd.DataFrame]:
+    """Four-level cascade (1m -> 1h -> 1d -> 1w): the weekly retention
+    tier rides the same fused single-exchange path, each tier cascaded
+    FROM the previous tier's rows (A10), never from raw."""
+    import tempfile
+
+    from .rollup import run_rollup_events
+
+    out_dir = tempfile.mkdtemp(prefix="ctas_tiers_w_")
+    paths = run_rollup_events(
+        sf_dir, out_dir, RollupConfig(tiers_s=(60, 3600, 86400, 604800))
+    )
+    return {
+        name: rd.read_parquet(paths[name]).to_pandas()
+        for name in ("tier_1d", "tier_1w")
+    }
+
+
+def rollup_1w(sf_dir: str) -> pd.DataFrame:
+    """[graft] Weekly retention tier — the cascade extended one level
+    (1d -> 1w, epoch-aligned 604800s buckets). Hash-verified against a
+    direct events->weekly-bucket SQL aggregation, which also proves the
+    four-level cascade equals the direct rollup."""
+    t = _tier_frames_weekly(sf_dir)["tier_1w"]
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
 GAPFILL_TIER_STEP_S = 15  # finer than the 60s tier => 4 grid points/bucket
 
 
@@ -4283,7 +4324,7 @@ def _quartiles_q4(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def sax_symbols(sf_dir: str) -> pd.DataFrame:
+def sax_symbols(sf_dir: str, as_dataset: bool = False):
     """[graft] SAX symbolization (Lin et al. 2003) completing the
     downsample family: PAA segments (8 turns) mapped to a 4-letter
     alphabet by the parameter's GLOBAL quartiles. Two streaming passes:
@@ -4338,13 +4379,15 @@ def sax_symbols(sf_dir: str) -> pd.DataFrame:
         out["symbol"] = sym
         return out
 
-    out = (
+    symbols = (
         _salted(ev)
         .groupby("part")
         .map_groups(_paa_partition, batch_format="pandas")
         .map_batches(symbolize, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:  # scale consumption: caller aggregates, no collect
+        return symbols
+    out = symbols.to_pandas()
     return out.sort_values(["parameter_id", "subject_id", "seg"]).reset_index(
         drop=True
     )
@@ -5091,19 +5134,21 @@ def _cdc_latest_partition(part: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def cdc_latest_state(sf_dir: str) -> pd.DataFrame:
+def cdc_latest_state(sf_dir: str, as_dataset: bool = False):
     """[graft] CDC / upsert merge: materialize the last-writer-wins
     state table from an append-only op log — newest (ts, event_id) op
     per (parameter, subject) wins, a null value is a DELETE tombstone
     (the key leaves the state). The semantics every keyed mirror of a
     mutable source needs; one salted exchange, per-segment last-row
     selection."""
-    out = (
+    latest = (
         _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
         .groupby("part")
         .map_groups(_cdc_latest_partition, batch_format="pandas")
-        .to_pandas()
     )
+    if as_dataset:  # scale consumption: caller aggregates, no collect
+        return latest
+    out = latest.to_pandas()
     return out.sort_values(["parameter_id", "subject_id"]).reset_index(drop=True)
 
 
@@ -5640,7 +5685,7 @@ def boilerplate_ngrams(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["g"]).reset_index(drop=True)
 
 
-def global_midrank_values(sf_dir: str) -> pd.DataFrame:
+def global_midrank_values(sf_dir: str, as_dataset: bool = False):
     """[graft] Rank-based normalization as a distributed stage: every
     measurement mapped to its doubled midrank within the parameter's
     GLOBAL distribution — the quantile-transform feature every
@@ -5700,7 +5745,10 @@ def global_midrank_values(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ev.map_batches(assign, batch_format="pandas").to_pandas()
+    assigned = ev.map_batches(assign, batch_format="pandas")
+    if as_dataset:  # scale consumption: caller aggregates, no collect
+        return assigned
+    out = assigned.to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
 
 

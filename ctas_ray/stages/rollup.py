@@ -40,7 +40,7 @@ __all__ = [
     "with_derived_stats",
 ]
 
-_TIER_NAMES = {60: "1m", 3600: "1h", 86400: "1d"}
+_TIER_NAMES = {60: "1m", 3600: "1h", 86400: "1d", 604800: "1w"}
 
 
 def tier_name(width_s: int) -> str:
