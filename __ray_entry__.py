@@ -155,6 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (1m -> 1h -> 1d -> 1w); equality vs the direct weekly rollup
         # proves the four-level cascade exact
         "rollup_1w": q.rollup_1w,
+        # compaction rewrite (unaffected-prior union delta) == from-raw
+        "rollup_1m_compacted": q.rollup_1m_compacted,
+        # passage-level (windowed substring) dedup screen — hash-verified
+        "substring_dup_windows": q.substring_dup_windows,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -298,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "int8_recall": q.int8_recall,
         # product-quantization codes, integer-exact per subspace — hash-verified
         "pq_codebook_assignments": q.pq_codebook_assignments,
+        # PQ ADC top-k search (integer LUT ranking) — hash-verified
+        "pq_adc_topk": q.pq_adc_topk,
         # per-series liveness (last report vs feed head) — hash-verified
         "stale_series_flags": q.stale_series_flags,
         # latest value's exact rank within its own history — hash-verified
@@ -936,11 +942,16 @@ def _kmeans_sql(k: int, iters: int) -> str:
     return "WITH " + "".join(parts)
 
 
-def _pq_sql(k: int, iters: int) -> str:
+def _pq_sql(k: int, iters: int, adc_topk: int | None = None) -> str:
     """Unrolled product-quantization oracle: the _kmeans_sql chain run
     independently per contiguous half-subspace (same seeding — the k
     smallest vec_ids — same exact-integer arithmetic), joined on
-    vec_id. Mirrors stages/clustering.py:pq_assignments exactly."""
+    vec_id. Mirrors stages/clustering.py:pq_assignments exactly.
+
+    With ``adc_topk`` set, the tail instead re-derives the ADC search
+    (stages/clustering.py:pq_adc_topk): the min-vec_id query's
+    per-subspace LUT from the FINAL centroids, distance
+    lut0[code0] + lut1[code1], top-k by (dist, vec_id)."""
 
     def chain(sfx: str) -> str:
         parts = [f"""
@@ -984,7 +995,7 @@ def _pq_sql(k: int, iters: int) -> str:
     )""")
         return "".join(parts)
 
-    return f"""WITH qall AS (
+    prefix = f"""WITH qall AS (
       SELECT vec_id,
              UNNEST(range(len(embedding))) AS dim,
              UNNEST(list_transform(embedding,
@@ -995,7 +1006,9 @@ def _pq_sql(k: int, iters: int) -> str:
     h AS (SELECT len(embedding) // 2 AS half FROM embeddings LIMIT 1),
     qA AS (SELECT vec_id, dim, qv FROM qall, h WHERE dim < half),
     qB AS (SELECT vec_id, dim - half AS dim, qv FROM qall, h
-           WHERE dim >= half),{chain("A")},{chain("B")}
+           WHERE dim >= half),{chain("A")},{chain("B")}"""
+    if adc_topk is None:
+        return f"""{prefix}
     SELECT a.vec_id,
            CAST(a.cluster AS BIGINT) AS code0,
            CAST(a.d2 AS BIGINT) AS dist2_0,
@@ -1003,6 +1016,27 @@ def _pq_sql(k: int, iters: int) -> str:
            CAST(b.d2 AS BIGINT) AS dist2_1
     FROM aFA a JOIN aFB b USING (vec_id)
     WHERE a.rk = 1 AND b.rk = 1 ORDER BY a.vec_id"""
+    return f"""{prefix},
+    qmin AS (SELECT MIN(vec_id) AS qid FROM embeddings),
+    lutA AS (
+      SELECT c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM cent{iters}A c
+      JOIN (SELECT dim, qv FROM qA, qmin WHERE vec_id = qid) q USING (dim)
+      GROUP BY 1
+    ),
+    lutB AS (
+      SELECT c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM cent{iters}B c
+      JOIN (SELECT dim, qv FROM qB, qmin WHERE vec_id = qid) q USING (dim)
+      GROUP BY 1
+    )
+    SELECT a.vec_id, CAST(la.d2 + lb.d2 AS BIGINT) AS adc_dist2
+    FROM aFA a
+    JOIN aFB b USING (vec_id)
+    JOIN lutA la ON la.cluster = a.cluster
+    JOIN lutB lb ON lb.cluster = b.cluster
+    WHERE a.rk = 1 AND b.rk = 1
+    ORDER BY adc_dist2, a.vec_id LIMIT {adc_topk}"""
 
 
 def _closure_sql() -> str:
@@ -1612,6 +1646,24 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h": rollup_sql(3_600_000_000),
         "rollup_1d": rollup_sql(86_400_000_000),
         "rollup_1w": rollup_sql(604_800_000_000),
+        "rollup_1m_compacted": rollup_sql(60_000_000),
+        "substring_dup_windows": """
+    WITH wins AS (
+      SELECT doc_id, SUBSTRING(text, i, 32) AS w
+      FROM documents,
+           UNNEST(generate_series(1, LENGTH(text) - 31, 16)) AS t(i)
+      WHERE LENGTH(text) >= 32
+    ),
+    wh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+      FROM wins
+    ),
+    shared AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2)
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM wh w JOIN shared s USING (h)
+    GROUP BY 1 ORDER BY 1""",
+
         "gapfill_locf_1m": f"""
     WITH {turns_cte},
     points AS (
@@ -3077,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
     FROM v JOIN m USING (event_type) JOIN d USING (event_type)
     GROUP BY 1, 2 ORDER BY 1, 2""",
         "pq_codebook_assignments": _pq_sql(4, 2),
+        "pq_adc_topk": _pq_sql(4, 2, adc_topk=10),
         # liveness: per-series MAX ts vs the global feed head
         "stale_series_flags": """
     WITH v AS (

@@ -2873,6 +2873,57 @@ def rollup_1m_incremental(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
 
 
+def rollup_1m_compacted(sf_dir: str) -> pd.DataFrame:
+    """Compaction exactness as an external check: same split as
+    rollup_1m_incremental but with ``materialize=True`` — the ingest
+    REWRITES a self-contained tier store (unaffected prior rows union
+    recomputed delta) instead of leaving a merge-on-read view. The
+    oracle is the same direct-from-raw SQL as rollup_1m: equality
+    proves compaction == from-scratch, bit-for-bit."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from .rollup import ingest_events_increment, run_rollup_events
+
+    ev = pq_.read_table(f"{sf_dir}/events.parquet")
+    ts = ev["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    cut = np.quantile(ts, 0.5)
+    root = tempfile.mkdtemp(prefix="ctas_compact_")
+    d_old, d_full = os.path.join(root, "old"), os.path.join(root, "full")
+    os.makedirs(d_old)
+    os.makedirs(d_full)
+    import pyarrow as pa_
+
+    pq_.write_table(ev.filter(pa_.array(ts <= cut)), f"{d_old}/events.parquet")
+    pq_.write_table(ev, f"{d_full}/events.parquet")
+    inc = os.path.join(root, "increment.parquet")
+    pq_.write_table(ev.filter(pa_.array(ts > cut)), inc)
+
+    cfg = RollupConfig()
+    prior = run_rollup_events(d_old, os.path.join(root, "prior"), cfg)
+    merged = ingest_events_increment(
+        d_full, inc, prior, os.path.join(root, "merged"), cfg,
+        materialize=True,
+    )
+    t = rd.read_parquet(merged["tier_1m"]).to_pandas()
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
+
+
 DECON_NGRAM = 8          # token n-gram width for contamination matching
 DECON_HOLDOUT_MAX = 20   # doc_id < this = the "eval set" stand-in
 
@@ -4984,6 +5035,27 @@ def pq_codebook_assignments(sf_dir: str) -> pd.DataFrame:
     return pq_assignments(emb, dim=dim, k=4, iters=2)
 
 
+def pq_adc_topk(sf_dir: str) -> pd.DataFrame:
+    """[graft] PQ asymmetric-distance top-k search: fit the same
+    integer-exact codebooks as pq_codebook_assignments, build the
+    min-vec_id query's per-subspace LUT, rank every vector by
+    lut0[code0] + lut1[code1] (pure int64), top-10 by (dist, id).
+    Hash-verified — the SQL oracle re-derives codebooks, codes, LUT
+    and ranking (stages/clustering.py:pq_adc_topk)."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.clustering import pq_adc_topk as adc
+
+    dim = len(
+        pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+    )
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return adc(emb, dim=dim, k=4, iters=2, topk=10)
+
+
 def _stale_partition(part: pd.DataFrame) -> pd.DataFrame:
     g = part[part["value"].notna()]
     if len(g) == 0:
@@ -6326,6 +6398,19 @@ def neardup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"size": h.index.to_numpy(np.int64), "n_clusters": h.to_numpy(np.int64)}
     )
+
+
+def substring_dup_windows(sf_dir: str) -> pd.DataFrame:
+    """[graft] Passage-level dedup screen: md5-hashed 32-char windows
+    at stride 16; docs sharing any window with another doc are flagged
+    with their shared-window count (stages/dedup.py:
+    substring_duplicate_windows). Hash-verified."""
+    from ..stages.dedup import substring_duplicate_windows
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return substring_duplicate_windows(docs)
 
 
 def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:

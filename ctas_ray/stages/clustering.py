@@ -37,7 +37,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-__all__ = ["kmeans_quantized", "pq_assignments"]
+__all__ = ["kmeans_quantized", "pq_assignments", "pq_adc_topk"]
 
 
 def _quantize(col: pd.Series) -> np.ndarray:
@@ -64,7 +64,8 @@ def _kmeans_spans(
     iters: int,
     id_col: str,
     vec_col: str,
-) -> pd.DataFrame:
+    return_centroids: bool = False,
+):
     """Fused Lloyd's over one or more contiguous coordinate spans of the
     embedding. Each dataset pass quantizes a batch ONCE and serves every
     span; per-span arithmetic is exactly :mod:`kmeans_quantized`'s
@@ -157,7 +158,10 @@ def _kmeans_spans(
         return pd.DataFrame(out)
 
     out = ds.map_batches(final, batch_format="pandas").to_pandas()
-    return out.sort_values(id_col).reset_index(drop=True)
+    out = out.sort_values(id_col).reset_index(drop=True)
+    if return_centroids:
+        return out, cents
+    return out
 
 
 def kmeans_quantized(
@@ -201,7 +205,8 @@ def pq_assignments(
     half = dim // 2
     out = _kmeans_spans(
         ds, [(0, half), (half, dim)], k, iters, id_col, vec_col
-    ).rename(
+    )
+    out = out.rename(
         columns={
             "code_0": "code0",
             "dist2_0": "dist2_0",
@@ -210,3 +215,71 @@ def pq_assignments(
         }
     )
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def pq_adc_topk(
+    ds: rd.Dataset,
+    dim: int,
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """[graft] PQ asymmetric-distance (ADC) top-k search — the search
+    rung that goes with :func:`pq_assignments`' memory rung: fit the
+    integer-exact PQ codebooks, build the query's per-subspace distance
+    LUT once on the driver (k entries per span), then one distributed
+    pass computes each vector's code pair and its ADC distance
+    lut0[code0] + lut1[code1] as pure int64 table lookups — the classic
+    IVF-ADC inner loop (Jegou et al. 2011) over 2*log2(k)-bit codes
+    instead of full vectors. Per-batch top-k (dist asc, id asc) then a
+    tiny driver merge; only k rows ship per batch.
+
+    The query vector is the corpus row with the smallest id — fully
+    deterministic, so the whole search (codebooks, codes, LUT, ranking)
+    is VALUE-EXACT against an unrolled SQL oracle."""
+    half = dim // 2
+    spans = [(0, half), (half, dim)]
+    _, cents = _kmeans_spans(
+        ds, spans, k, iters, id_col, vec_col, return_centroids=True
+    )
+
+    def qhead(b: pd.DataFrame) -> pd.DataFrame:
+        return b.nsmallest(1, id_col)[[id_col, vec_col]]
+
+    qrow = ds.map_batches(qhead, batch_format="pandas").to_pandas()
+    qrow = qrow.nsmallest(1, id_col)
+    qvec = _quantize(qrow[vec_col])[0]
+    # per-span LUT: exact int64 squared-L2 from the query's span slice
+    # to each centroid — k entries per span, broadcast with the cents
+    luts = [
+        ((qvec[lo:hi][None, :] - cents[si]) ** 2).sum(axis=1)
+        for si, (lo, hi) in enumerate(spans)
+    ]
+    state = ray.put((cents, luts))
+
+    def adc_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cs, ls = ray.get(state)
+        cols = {
+            id_col: np.empty(0, np.int64),
+            "adc_dist2": np.empty(0, np.int64),
+        }
+        if len(b) == 0:
+            return pd.DataFrame(cols)
+        q = _quantize(b[vec_col])
+        dist = np.zeros(len(b), dtype=np.int64)
+        for si, (lo, hi) in enumerate(spans):
+            a, _ = _assign(q[:, lo:hi], cs[si])
+            dist += ls[si][a]
+        ids = b[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, dist))[:topk]
+        return pd.DataFrame(
+            {id_col: ids[order], "adc_dist2": dist[order]}
+        )
+
+    merged = ds.map_batches(adc_batch, batch_format="pandas").to_pandas()
+    merged = merged.sort_values(
+        ["adc_dist2", id_col], kind="mergesort"
+    ).head(topk)
+    return merged.reset_index(drop=True)

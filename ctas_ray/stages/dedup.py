@@ -67,6 +67,7 @@ __all__ = [
     "ngram_jaccard_dedup",
     "simhash_dedup",
     "embedding_cosine_dedup",
+    "substring_duplicate_windows",
     "jaccard",
 ]
 
@@ -1409,3 +1410,89 @@ def jaccard_similarity_join(
         verified = pd.DataFrame({"id_a": [], "id_b": [], "jac": []})
     members = _dup_members(members_ds, id_col)
     return _expand_pairs_with_members(verified, members, id_col)
+
+
+def substring_duplicate_windows(
+    docs: rd.Dataset,
+    *,
+    width: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = NUM_PARTS,
+) -> pd.DataFrame:
+    """[graft] Cross-document repeated-substring detection — the
+    training-data dedup primitive that catches copied PASSAGES inside
+    otherwise-distinct documents (boilerplate headers, license blocks,
+    quoted chains), which whole-document MinHash under-weights. Each
+    doc emits the md5 hash of its ``width``-char windows at ``stride``
+    (distinct per doc); windows land in hash partitions; a window held
+    by >= 2 distinct docs marks each holder. Output: (doc_id,
+    n_shared_windows) for flagged docs.
+
+    Scale shape: window rows are (uint64, id) — no text shuffles; both
+    exchanges are int-keyed per-partition dispatch; output is bounded
+    by the flagged-doc count. Token hash matches the SQL convention
+    ``('0x' || substr(md5(w), 1, 16))::UBIGINT`` so the whole operator
+    is hash-verified."""
+    import hashlib
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        hs: list[int] = []
+        for did, t in zip(b[id_col], b[text_col]):
+            n = len(t)
+            if n < width:
+                continue
+            seen = set()
+            for i in range(0, n - width + 1, stride):
+                h = int.from_bytes(
+                    hashlib.md5(t[i : i + width].encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                if h not in seen:
+                    seen.add(h)
+                    ids.append(did)
+                    hs.append(h)
+        out = pd.DataFrame(
+            {
+                id_col: np.array(ids, np.int64),
+                "h": np.array(hs, np.uint64),
+            }
+        )
+        out["part"] = (out["h"] % np.uint64(num_parts)).astype(np.int64)
+        return out
+
+    def shared_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # per-doc rows are pre-distinct, so rows-per-h counts docs
+        per_h = g.groupby("h")[id_col].size()
+        hot = per_h.index[per_h.to_numpy() >= 2]
+        sub = g[g["h"].isin(set(hot))]
+        agg = sub.groupby(id_col).size().reset_index(name="cnt")
+        agg["dpart"] = (
+            agg[id_col].to_numpy(np.int64) % np.int64(num_parts)
+        ).astype(np.int64)
+        return agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(id_col)["cnt"].sum().reset_index(name="n_shared_windows")
+        )
+
+    out = (
+        docs.map_batches(windows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(shared_partial, batch_format="pandas")
+        .groupby("dpart")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if "n_shared_windows" not in out.columns:
+        return pd.DataFrame(
+            {
+                id_col: np.empty(0, np.int64),
+                "n_shared_windows": np.empty(0, np.int64),
+            }
+        )
+    out["n_shared_windows"] = out["n_shared_windows"].astype(np.int64)
+    return out.sort_values(id_col).reset_index(drop=True)
