@@ -159,6 +159,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_compacted": q.rollup_1m_compacted,
         # passage-level (windowed substring) dedup screen — hash-verified
         "substring_dup_windows": q.substring_dup_windows,
+        # watermark / out-of-order arrival accounting — hash-verified
+        "late_event_stats": q.late_event_stats,
+        # tool-call latency attribution over the turn derivation — hash-verified
+        "tool_followup_latency": q.tool_followup_latency,
+        # 64-char-prefix template families — hash-verified
+        "doc_template_prefix_groups": q.doc_template_prefix_groups,
+        # re-order cadence per market segment — hash-verified
+        "customer_reorder_gaps": q.customer_reorder_gaps,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -1647,6 +1655,61 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d": rollup_sql(86_400_000_000),
         "rollup_1w": rollup_sql(604_800_000_000),
         "rollup_1m_compacted": rollup_sql(60_000_000),
+        "late_event_stats": """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events
+    ),
+    w AS (
+      SELECT event_type, tu,
+             COALESCE(MAX(tu) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tu)
+               AS prevmax
+      FROM e
+    )
+    SELECT event_type AS parameter_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prevmax > tu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(GREATEST(prevmax - tu, 0)) AS BIGINT) AS max_late_us
+    FROM w GROUP BY 1 ORDER BY 1""",
+        "tool_followup_latency": """
+    WITH t AS (
+      SELECT event_type, epoch_us(ts) AS tu,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) - 1 AS tix,
+             LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_tu
+      FROM events
+    )
+    SELECT prev_type AS tool,
+           CAST(COUNT(*) AS BIGINT) AS n_followups,
+           CAST(SUM(tu - prev_tu) AS BIGINT) AS sum_latency_us
+    FROM t WHERE prev_tu IS NOT NULL AND (tix - 1) % 3 = 2
+    GROUP BY 1 ORDER BY 1""",
+        "doc_template_prefix_groups": """
+    SELECT md5(SUBSTRING(text, 1, 64)) AS prefix_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        "customer_reorder_gaps": """
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             LAG(epoch_us(o_orderdate) // 86400000000) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev_day
+      FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(o.day - o.prev_day) AS BIGINT) AS sum_gap_days,
+           CAST(MAX(o.day - o.prev_day) AS BIGINT) AS max_gap_days
+    FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.prev_day IS NOT NULL
+    GROUP BY 1 ORDER BY 1""",
+
         "substring_dup_windows": """
     WITH wins AS (
       SELECT doc_id, SUBSTRING(text, i, 32) AS w

@@ -7357,3 +7357,228 @@ def supplier_acctbal_quantiles(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def late_event_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Watermark / out-of-order accounting: per parameter,
+    how many events arrive (in event_id order) with a timestamp behind
+    the conversation's running maximum, and the worst lateness. The
+    signal every streaming ingest needs before choosing a watermark
+    delay. Per-user cummax inside user-salted partitions; int64 partial
+    sums; hash-verified."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        run = (
+            pd.Series(ts).groupby(g["user_id"].to_numpy(), sort=False)
+            .cummax().to_numpy()
+        )
+        # lateness vs the running max of STRICTLY EARLIER event_ids
+        prev = np.empty_like(run)
+        first = np.r_[True, g["user_id"].to_numpy()[1:] != g["user_id"].to_numpy()[:-1]]
+        prev[first] = ts[first]  # first event of a conv is never late
+        prev[~first] = run[np.flatnonzero(~first) - 1]
+        late_us = np.maximum(prev - ts, 0)
+        d = pd.DataFrame(
+            {
+                "parameter_id": g["event_type"].to_numpy(),
+                "is_late": (late_us > 0).astype(np.int64),
+                "late_us": late_us,
+            }
+        )
+        return d.groupby("parameter_id", as_index=False).agg(
+            n_events=("is_late", "size"),
+            n_late=("is_late", "sum"),
+            max_late_us=("late_us", "max"),
+        )
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("parameter_id", as_index=False).agg(
+        n_events=("n_events", "sum"),
+        n_late=("n_late", "sum"),
+        max_late_us=("max_late_us", "max"),
+    )
+    for c in ("n_events", "n_late", "max_late_us"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("parameter_id").reset_index(drop=True)
+
+
+def tool_followup_latency(sf_dir: str) -> pd.DataFrame:
+    """[graft] Tool-call latency attribution over the transcript
+    derivation: for each tool (the event_type of a turn_idx%3==2 turn),
+    the count and exact summed latency of the turn that FOLLOWS the
+    tool turn — which tools stall the conversation. Per-conv LAG inside
+    user-salted partitions; integer sums; hash-verified."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        turn_idx = pd.Series(ts).groupby(uid, sort=False).cumcount().to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        lat = np.where(same, ts - np.r_[ts[0], ts[:-1]], 0)
+        # followup of a tool turn: previous turn has turn_idx % 3 == 2
+        prev_is_tool = np.r_[False, (turn_idx[:-1] % 3 == 2)] & same
+        d = pd.DataFrame(
+            {
+                "tool": np.r_[np.array([""], object), g["event_type"].to_numpy()[:-1]],
+                "keep": prev_is_tool,
+                "lat_us": lat,
+            }
+        )
+        d = d[d["keep"]]
+        return d.groupby("tool", as_index=False).agg(
+            n_followups=("lat_us", "size"), sum_latency_us=("lat_us", "sum")
+        )
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    if "tool" not in out.columns:
+        return pd.DataFrame(
+            {"tool": pd.Series([], dtype=str),
+             "n_followups": np.empty(0, np.int64),
+             "sum_latency_us": np.empty(0, np.int64)}
+        )
+    out = out.groupby("tool", as_index=False).agg(
+        n_followups=("n_followups", "sum"),
+        sum_latency_us=("sum_latency_us", "sum"),
+    )
+    out["n_followups"] = out["n_followups"].astype(np.int64)
+    out["sum_latency_us"] = out["sum_latency_us"].astype(np.int64)
+    return out.sort_values("tool").reset_index(drop=True)
+
+
+def doc_template_prefix_groups(sf_dir: str) -> pd.DataFrame:
+    """[graft] Template detection by exact 64-char prefix: web-scraped
+    corpora carry boilerplate-templated families that whole-document
+    hashing misses after the first divergent char. Groups with >= 2
+    docs, keyed by prefix md5; hash-verified."""
+    import hashlib
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        pref = b["text"].str.slice(0, 64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "prefix_md5": [
+                    hashlib.md5(p.encode("utf-8")).hexdigest() for p in pref
+                ],
+            }
+        )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("prefix_md5", as_index=False).agg(
+            n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min")
+        )
+        return agg[agg["n_docs"] >= 2]
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["prefix_md5"], index=False).to_numpy()
+        b = b.copy(deep=False)
+        b["part"] = (h % np.uint64(64)).astype(np.int64)
+        return b
+
+    out = (
+        docs.map_batches(keyed, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(collapse, batch_format="pandas")
+        .to_pandas()
+    )
+    if "prefix_md5" not in out.columns:
+        return pd.DataFrame(
+            {"prefix_md5": pd.Series([], dtype=str),
+             "n_docs": np.empty(0, np.int64),
+             "min_doc_id": np.empty(0, np.int64)}
+        )
+    out = out.drop(columns=["part"], errors="ignore")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["min_doc_id"] = out["min_doc_id"].astype(np.int64)
+    return out.sort_values("prefix_md5").reset_index(drop=True)
+
+
+def customer_reorder_gaps(sf_dir: str) -> pd.DataFrame:
+    """[graft] Re-order cadence per market segment: exact integer sums
+    of day gaps between a customer's consecutive orders, rolled up per
+    segment (n_gaps, sum_gap_days, max_gap_days). Customer-salted
+    partitions; hash-verified."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    import ray
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    seg_ref = ray.put(seg_of)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["part"] = (b["o_custkey"].to_numpy(np.int64) % 64).astype(np.int64)
+        return b
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref) if not isinstance(seg_ref, dict) else seg_ref
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        ck = g["o_custkey"].to_numpy(np.int64)
+        day = (
+            g["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        same = np.r_[False, ck[1:] == ck[:-1]]
+        gap = np.where(same, day - np.r_[day[0], day[:-1]], 0)
+        d = pd.DataFrame(
+            {
+                "segment": pd.Series(ck).map(seg).to_numpy(object),
+                "keep": same,
+                "gap": gap,
+            }
+        )
+        d = d[d["keep"]]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"segment": pd.Series([], dtype=str),
+                 "n_gaps": np.empty(0, np.int64),
+                 "sum_gap_days": np.empty(0, np.int64),
+                 "max_gap_days": np.empty(0, np.int64)}
+            )
+        return d.groupby("segment", as_index=False).agg(
+            n_gaps=("gap", "size"),
+            sum_gap_days=("gap", "sum"),
+            max_gap_days=("gap", "max"),
+        )
+
+    out = (
+        orders.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("segment", as_index=False).agg(
+        n_gaps=("n_gaps", "sum"),
+        sum_gap_days=("sum_gap_days", "sum"),
+        max_gap_days=("max_gap_days", "max"),
+    )
+    for c in ("n_gaps", "sum_gap_days", "max_gap_days"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("segment").reset_index(drop=True)
