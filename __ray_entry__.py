@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_template_prefix_groups": q.doc_template_prefix_groups,
         # re-order cadence per market segment — hash-verified
         "customer_reorder_gaps": q.customer_reorder_gaps,
+        # Q4-shaped EXISTS semi-join (late orders per priority) — hash-verified
+        "tpch_q4_order_priority": q.tpch_q4_order_priority,
+        # Q12-shaped join aggregate (late lines per returnflag) — hash-verified
+        "returnflag_ship_delay": q.returnflag_ship_delay,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -1693,6 +1697,29 @@ def oracle_sql() -> dict[str, str]:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
     FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        "tpch_q4_order_priority": """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+              > 30 * 86400000000
+      )
+    GROUP BY 1 ORDER BY 1""",
+        "returnflag_ship_delay": """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS urgent_late,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS other_late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+          > 30 * 86400000000
+    GROUP BY 1 ORDER BY 1""",
         "customer_reorder_gaps": """
     WITH o AS (
       SELECT o_custkey,

@@ -7582,3 +7582,161 @@ def customer_reorder_gaps(sf_dir: str) -> pd.DataFrame:
     for c in ("n_gaps", "sum_gap_days", "max_gap_days"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("segment").reset_index(drop=True)
+
+
+Q4_WINDOW = ("1996-01-01", "1996-04-01")  # one quarter, TPC-H Q4 style
+SHIP_DELAY_DAYS = 30
+
+
+def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q4-shaped EXISTS semi-join: orders placed in one
+    quarter counted per priority when at least one of their lineitems
+    shipped more than SHIP_DELAY_DAYS after the order date. Both sides
+    hash-partition on orderkey % 64 into ONE union exchange (kind-tagged
+    rows, the repo's gather pattern); per-partition merge computes the
+    EXISTS and emits per-priority partials. Hash-verified."""
+    lo = np.datetime64(Q4_WINDOW[0], "us").astype(np.int64)
+    hi = np.datetime64(Q4_WINDOW[1], "us").astype(np.int64)
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        keep = (od >= lo) & (od < hi)
+        b = b[keep]
+        return pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].to_numpy(np.int64),
+                "ts_us": od[keep],
+                "prio": b["o_orderpriority"].to_numpy(object),
+                "kind": np.zeros(int(keep.sum()), np.int8),
+                "part": (b["o_orderkey"].to_numpy(np.int64) % 64),
+            }
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(np.int64),
+                "ts_us": b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64),
+                "prio": np.full(len(b), "", object),
+                "kind": np.ones(len(b), np.int8),
+                "part": (b["l_orderkey"].to_numpy(np.int64) % 64),
+            }
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0:
+            return pd.DataFrame(
+                {"o_orderpriority": pd.Series([], dtype=str),
+                 "late_orders": np.empty(0, np.int64)}
+            )
+        odate = pd.Series(o["ts_us"].to_numpy(), index=o["okey"].to_numpy())
+        lm = l[l["okey"].isin(set(odate.index))]
+        lat = lm["ts_us"].to_numpy() - odate.reindex(lm["okey"]).to_numpy()
+        hot = set(lm["okey"].to_numpy()[lat > SHIP_DELAY_DAYS * 86_400_000_000])
+        sel = o[o["okey"].isin(hot)]
+        return (
+            sel.groupby("prio").size().reset_index(name="late_orders")
+            .rename(columns={"prio": "o_orderpriority"})
+        )
+
+    out = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("o_orderpriority", as_index=False)["late_orders"].sum()
+    out["late_orders"] = out["late_orders"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
+    """[graft] Q12-shaped join aggregate: per returnflag, lineitems
+    shipped more than SHIP_DELAY_DAYS after their order's date, split
+    by urgent-vs-other priority. Same one-exchange kind-tagged gather
+    as tpch_q4_order_priority. Hash-verified."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_returnflag"],
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["o_orderkey"].to_numpy(np.int64),
+                "ts_us": b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64),
+                "tag": b["o_orderpriority"].to_numpy(object),
+                "kind": np.zeros(len(b), np.int8),
+                "part": (b["o_orderkey"].to_numpy(np.int64) % 64),
+            }
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "okey": b["l_orderkey"].to_numpy(np.int64),
+                "ts_us": b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64),
+                "tag": b["l_returnflag"].to_numpy(object),
+                "kind": np.ones(len(b), np.int8),
+                "part": (b["l_orderkey"].to_numpy(np.int64) % 64),
+            }
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        cols = {
+            "l_returnflag": pd.Series([], dtype=str),
+            "urgent_late": np.empty(0, np.int64),
+            "other_late": np.empty(0, np.int64),
+        }
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(cols)
+        odate = pd.Series(o["ts_us"].to_numpy(), index=o["okey"].to_numpy())
+        oprio = pd.Series(o["tag"].to_numpy(), index=o["okey"].to_numpy())
+        lm = l[l["okey"].isin(set(odate.index))]
+        if len(lm) == 0:
+            return pd.DataFrame(cols)
+        lat = lm["ts_us"].to_numpy() - odate.reindex(lm["okey"]).to_numpy()
+        late = lm[lat > SHIP_DELAY_DAYS * 86_400_000_000].copy()
+        if len(late) == 0:
+            return pd.DataFrame(cols)
+        urgent = (
+            oprio.reindex(late["okey"]).to_numpy(object) == "1-URGENT"
+        )
+        late["urgent_late"] = urgent.astype(np.int64)
+        late["other_late"] = (~urgent).astype(np.int64)
+        return (
+            late.groupby("tag", as_index=False)[["urgent_late", "other_late"]]
+            .sum()
+            .rename(columns={"tag": "l_returnflag"})
+        )
+
+    out = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("l_returnflag", as_index=False)[
+        ["urgent_late", "other_late"]
+    ].sum()
+    out["urgent_late"] = out["urgent_late"].astype(np.int64)
+    out["other_late"] = out["other_late"].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
