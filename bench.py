@@ -207,6 +207,11 @@ def main() -> None:
         timed("pq_codes", lambda: q.pq_codebook_assignments(sf_dir))
         timed("concurrency_peak", lambda: q.session_concurrency_peak(sf_dir))
         timed("global_midranks", lambda: q.global_midrank_values(sf_dir))
+        # round-3 surface (representative slice)
+        timed("rollup_1w", lambda: q.rollup_1w(sf_dir))
+        timed("pq_adc_topk", lambda: q.pq_adc_topk(sf_dir))
+        timed("substring_dedup", lambda: q.substring_dup_windows(sf_dir))
+        timed("late_event_stats", lambda: q.late_event_stats(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(
