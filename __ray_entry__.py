@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4_order_priority": q.tpch_q4_order_priority,
         # Q12-shaped join aggregate (late lines per returnflag) — hash-verified
         "returnflag_ship_delay": q.returnflag_ship_delay,
+        # downtime analysis read FROM the persisted 1m tier store — hash-verified
+        "tier_gap_analysis": q.tier_gap_analysis,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -1697,6 +1699,39 @@ def oracle_sql() -> dict[str, str]:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
     FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        "tier_gap_analysis": """
+    WITH turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS turn_ix,
+             CAST(COALESCE(LENGTH(props), 0) AS DOUBLE) AS text_len,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+               AS turn_latency_us
+      FROM events
+    ),
+    chan AS (
+      SELECT conv_id, ts_us, 'text_len' AS channel FROM turns
+      UNION ALL
+      SELECT conv_id, ts_us, 'turn_latency_us'
+      FROM turns WHERE turn_latency_us IS NOT NULL
+    ),
+    mins AS (
+      SELECT DISTINCT conv_id, channel, ts_us // 60000000 AS minute
+      FROM chan
+    ),
+    lagged AS (
+      SELECT conv_id, channel, minute,
+             minute - LAG(minute) OVER (PARTITION BY conv_id, channel
+                 ORDER BY minute) AS gap
+      FROM mins
+    )
+    SELECT conv_id, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(minute) - MIN(minute) AS BIGINT) AS span_minutes,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_minutes
+    FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""",
         "tpch_q4_order_priority": """
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS late_orders

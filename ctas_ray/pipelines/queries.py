@@ -951,14 +951,20 @@ def _tier_dirs(sf_dir: str) -> str:
 
 
 @functools.lru_cache(maxsize=4)
+def _tier_paths(sf_dir: str) -> dict:
+    """Persisted-store paths for the cached cascade run (one extra
+    pipeline execution into _tier_dirs' directory, memoized)."""
+    from .rollup import run_rollup_events
+
+    return run_rollup_events(sf_dir, _tier_dirs(sf_dir), RollupConfig())
+
+
+@functools.lru_cache(maxsize=4)
 def _tier_frames(sf_dir: str) -> dict[str, pd.DataFrame]:
     """Run the cascade ONCE (the same fused single-exchange path the
     bench headline uses) and cache the tier frames for the per-tier
     query entries — so the SQL oracle validates the bench pipeline."""
-    from .rollup import run_rollup_events
-
-    out_dir = _tier_dirs(sf_dir)
-    paths = run_rollup_events(sf_dir, out_dir, RollupConfig())
+    paths = _tier_paths(sf_dir)
     out = {
         name: rd.read_parquet(paths[name]).to_pandas()
         for name in ("tier_1m", "tier_1h", "tier_1d")
@@ -7740,3 +7746,51 @@ def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
     out["urgent_late"] = out["urgent_late"].astype(np.int64)
     out["other_late"] = out["other_late"].astype(np.int64)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def tier_gap_analysis(sf_dir: str) -> pd.DataFrame:
+    """[graft] Downtime analysis OVER THE PERSISTED TIER STORE: read
+    the 1m tier parquet (not raw events), and per (conv, channel)
+    report bucket count, span in minutes, and the largest gap between
+    consecutive populated minute buckets. The query pattern every
+    retention store serves ("which series went quiet, for how long") —
+    and it exercises the tier files as a source. Conv-salted partition
+    dispatch, integer arithmetic; the oracle re-derives the buckets
+    from raw events. Hash-verified."""
+    tiers = rd.read_parquet(_tier_paths(sf_dir)["tier_1m"])
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["conv_id"], index=False).to_numpy()
+        b = b.copy(deep=False)
+        b["part"] = (h % np.uint64(64)).astype(np.int64)
+        return b
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "channel", "bucket"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        chan = g["channel"].to_numpy(object)
+        b = g["bucket"].to_numpy(np.int64) // 60_000_000  # minute index
+        same = np.r_[False, (conv[1:] == conv[:-1]) & (chan[1:] == chan[:-1])]
+        gap = np.where(same, b - np.r_[b[0], b[:-1]], 0)
+        d = pd.DataFrame(
+            {"conv_id": conv, "channel": chan, "minute": b, "gap": gap}
+        )
+        agg = d.groupby(["conv_id", "channel"], as_index=False).agg(
+            n_buckets=("minute", "size"),
+            mn=("minute", "min"),
+            mx=("minute", "max"),
+            max_gap_minutes=("gap", "max"),
+        )
+        agg["span_minutes"] = agg["mx"] - agg["mn"]
+        return agg[["conv_id", "channel", "n_buckets", "span_minutes",
+                    "max_gap_minutes"]]
+
+    out = (
+        tiers.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_buckets", "span_minutes", "max_gap_minutes"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["conv_id", "channel"]).reset_index(drop=True)
