@@ -5021,15 +5021,13 @@ def int8_recall(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
-def pq_codebook_assignments(sf_dir: str) -> pd.DataFrame:
-    """[graft] Product-quantization codes over the embeddings table:
-    two contiguous subspaces, integer-exact k=4 / 2-iteration Lloyd's
-    per subspace (stages/clustering.py:pq_assignments). Hash-verified
-    against the kmeans-style UNROLLED SQL oracle run per subspace —
-    codes AND exact int64 residual distances match bit-for-bit."""
+@functools.lru_cache(maxsize=4)
+def _pq_fit(sf_dir: str):
+    """One PQ fit per sf_dir shared by the codes and ADC queries:
+    (codes frame, final centroids, dim)."""
     import pyarrow.parquet as pq_
 
-    from ..stages.clustering import pq_assignments
+    from ..stages.clustering import _kmeans_spans
 
     dim = len(
         pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
@@ -5038,7 +5036,25 @@ def pq_codebook_assignments(sf_dir: str) -> pd.DataFrame:
     emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return pq_assignments(emb, dim=dim, k=4, iters=2)
+    half = dim // 2
+    codes, cents = _kmeans_spans(
+        emb, [(0, half), (half, dim)], 4, 2, "vec_id", "embedding",
+        return_centroids=True,
+    )
+    return codes, cents, dim
+
+
+def pq_codebook_assignments(sf_dir: str) -> pd.DataFrame:
+    """[graft] Product-quantization codes over the embeddings table:
+    two contiguous subspaces, integer-exact k=4 / 2-iteration Lloyd's
+    per subspace (stages/clustering.py:pq_assignments). Hash-verified
+    against the kmeans-style UNROLLED SQL oracle run per subspace —
+    codes AND exact int64 residual distances match bit-for-bit."""
+    codes, _cents, _dim = _pq_fit(sf_dir)
+    out = codes.rename(
+        columns={"code_0": "code0", "code_1": "code1"}
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def pq_adc_topk(sf_dir: str) -> pd.DataFrame:
@@ -5048,18 +5064,13 @@ def pq_adc_topk(sf_dir: str) -> pd.DataFrame:
     lut0[code0] + lut1[code1] (pure int64), top-10 by (dist, id).
     Hash-verified — the SQL oracle re-derives codebooks, codes, LUT
     and ranking (stages/clustering.py:pq_adc_topk)."""
-    import pyarrow.parquet as pq_
-
     from ..stages.clustering import pq_adc_topk as adc
 
-    dim = len(
-        pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        .column("embedding")[0]
-    )
+    _codes, cents, dim = _pq_fit(sf_dir)
     emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return adc(emb, dim=dim, k=4, iters=2, topk=10)
+    return adc(emb, dim=dim, k=4, iters=2, topk=10, cents=cents)
 
 
 def _stale_partition(part: pd.DataFrame) -> pd.DataFrame:

@@ -225,6 +225,7 @@ def pq_adc_topk(
     topk: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list | None = None,
 ) -> pd.DataFrame:
     """[graft] PQ asymmetric-distance (ADC) top-k search — the search
     rung that goes with :func:`pq_assignments`' memory rung: fit the
@@ -241,9 +242,10 @@ def pq_adc_topk(
     is VALUE-EXACT against an unrolled SQL oracle."""
     half = dim // 2
     spans = [(0, half), (half, dim)]
-    _, cents = _kmeans_spans(
-        ds, spans, k, iters, id_col, vec_col, return_centroids=True
-    )
+    if cents is None:
+        _, cents = _kmeans_spans(
+            ds, spans, k, iters, id_col, vec_col, return_centroids=True
+        )
 
     def qhead(b: pd.DataFrame) -> pd.DataFrame:
         return b.nsmallest(1, id_col)[[id_col, vec_col]]
