@@ -173,6 +173,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_ship_delay": q.returnflag_ship_delay,
         # downtime analysis read FROM the persisted 1m tier store — hash-verified
         "tier_gap_analysis": q.tier_gap_analysis,
+        # per-dimension embedding health partials — hash-verified
+        "embedding_dim_stats": q.embedding_dim_stats,
+        # fill distribution read from the persisted 1m store — hash-verified
+        "tier_fill_histogram": q.tier_fill_histogram,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -1699,6 +1703,46 @@ def oracle_sql() -> dict[str, str]:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
     FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        "embedding_dim_stats": """
+    WITH q AS (
+      SELECT UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+               AS qv
+      FROM embeddings
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(qv) AS BIGINT) AS sum_e6,
+           CAST(MIN(qv) AS BIGINT) AS min_e6,
+           CAST(MAX(qv) AS BIGINT) AS max_e6
+    FROM q GROUP BY 1 ORDER BY 1""",
+        "tier_fill_histogram": """
+    WITH turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             epoch_us(ts) AS ts_us,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+               AS turn_latency_us
+      FROM events
+    ),
+    chan AS (
+      SELECT conv_id, ts_us, 'text_len' AS channel FROM turns
+      UNION ALL
+      SELECT conv_id, ts_us, 'turn_latency_us'
+      FROM turns WHERE turn_latency_us IS NOT NULL
+    ),
+    mins AS (
+      SELECT DISTINCT conv_id, channel, ts_us // 60000000 AS minute
+      FROM chan
+    ),
+    hours AS (
+      SELECT conv_id, channel, minute // 60 AS hour, COUNT(*) AS fill
+      FROM mins GROUP BY 1, 2, 3
+    )
+    SELECT channel, CAST(fill AS BIGINT) AS fill,
+           CAST(COUNT(*) AS BIGINT) AS n_conv_hours
+    FROM hours GROUP BY 1, 2 ORDER BY 1, 2""",
         "tier_gap_analysis": """
     WITH turns AS (
       SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,

@@ -7805,3 +7805,88 @@ def tier_gap_analysis(sf_dir: str) -> pd.DataFrame:
     for c in ("n_buckets", "span_minutes", "max_gap_minutes"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["conv_id", "channel"]).reset_index(drop=True)
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Per-dimension embedding health (feature-drift QA): count,
+    e6-quantized sum / min / max per coordinate. One streaming pass of
+    int64 column partials per block; the driver merge is O(blocks x
+    dim). Hash-verified."""
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            [np.asarray(e, dtype=np.float32) for e in b["embedding"]]
+        ).astype(np.float64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        dim = q.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(dim, dtype=np.int64),
+                "n": np.full(dim, len(q), np.int64),
+                "sum_e6": q.sum(axis=0),
+                "min_e6": q.min(axis=0),
+                "max_e6": q.max(axis=0),
+            }
+        )
+
+    out = emb.map_batches(partials, batch_format="pandas").to_pandas()
+    out = out.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), sum_e6=("sum_e6", "sum"),
+        min_e6=("min_e6", "min"), max_e6=("max_e6", "max"),
+    )
+    for c in ("n", "sum_e6", "min_e6", "max_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+def tier_fill_histogram(sf_dir: str) -> pd.DataFrame:
+    """[graft] Tier completeness profile READ FROM THE PERSISTED 1m
+    STORE: for every (conv, channel, hour) with any data, how many of
+    its 60 minute buckets are populated — the fill distribution a
+    retention planner uses to pick tier widths. Output (channel, fill,
+    n_conv_hours). Hash-verified against a raw-events re-derivation."""
+    tiers = rd.read_parquet(_tier_paths(sf_dir)["tier_1m"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(object),
+                "channel": b["channel"].to_numpy(object),
+                "hour": b["bucket"].to_numpy(np.int64) // 3_600_000_000,
+            }
+        )
+        # tier rows are unique per (conv, channel, minute bucket)
+        g = d.groupby(["conv_id", "channel", "hour"]).size().reset_index(
+            name="fill"
+        )
+        g["part"] = (
+            pd.util.hash_pandas_object(
+                g["conv_id"].astype(str) + "|" + g["channel"].astype(str)
+                + "|" + g["hour"].astype(str),
+                index=False,
+            ).to_numpy() % np.uint64(64)
+        ).astype(np.int64)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # a (conv, channel, hour) may span blocks: sum fills, then count
+        merged = g.groupby(["conv_id", "channel", "hour"], as_index=False)[
+            "fill"
+        ].sum()
+        return merged.groupby(["channel", "fill"]).size().reset_index(
+            name="n_conv_hours"
+        )
+
+    out = (
+        tiers.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby(["channel", "fill"], as_index=False)["n_conv_hours"].sum()
+    out["fill"] = out["fill"].astype(np.int64)
+    out["n_conv_hours"] = out["n_conv_hours"].astype(np.int64)
+    return out.sort_values(["channel", "fill"]).reset_index(drop=True)
