@@ -938,31 +938,31 @@ def ks_statistic_by_site(sf_dir: str) -> pd.DataFrame:
 
 
 @functools.lru_cache(maxsize=4)
-def _tier_dirs(sf_dir: str) -> str:
-    """Run the cascade ONCE into a temp dir and cache its location —
-    shared by the per-tier frame queries and the retention read."""
+def _tier_run(sf_dir: str) -> tuple[str, dict]:
+    """Run the cascade ONCE into a temp dir and cache (out_dir, paths) —
+    shared by the per-tier frame queries, the retention read, and the
+    tier-consuming analytics. (Named to avoid pipelines/rollup.py's
+    unrelated _tier_paths(out_dir, name) helper.)"""
     import tempfile
 
     from .rollup import run_rollup_events
 
     out_dir = tempfile.mkdtemp(prefix="ctas_tiers_")
-    run_rollup_events(sf_dir, out_dir, RollupConfig())
-    return out_dir
+    paths = run_rollup_events(sf_dir, out_dir, RollupConfig())
+    return out_dir, paths
 
 
-@functools.lru_cache(maxsize=4)
+def _tier_dirs(sf_dir: str) -> str:
+    return _tier_run(sf_dir)[0]
+
+
 def _tier_paths(sf_dir: str) -> dict:
-    """Persisted-store paths for the cached cascade run (one extra
-    pipeline execution into _tier_dirs' directory, memoized)."""
-    from .rollup import run_rollup_events
-
-    return run_rollup_events(sf_dir, _tier_dirs(sf_dir), RollupConfig())
+    return _tier_run(sf_dir)[1]
 
 
 @functools.lru_cache(maxsize=4)
 def _tier_frames(sf_dir: str) -> dict[str, pd.DataFrame]:
-    """Run the cascade ONCE (the same fused single-exchange path the
-    bench headline uses) and cache the tier frames for the per-tier
+    """Collect the cached cascade run's tier frames for the per-tier
     query entries — so the SQL oracle validates the bench pipeline."""
     paths = _tier_paths(sf_dir)
     out = {
@@ -7591,6 +7591,13 @@ def customer_reorder_gaps(sf_dir: str) -> pd.DataFrame:
         .map_groups(partials, batch_format="pandas")
         .to_pandas()
     )
+    if "segment" not in out.columns:  # a 0-row Dataset collects columnless
+        return pd.DataFrame(
+            {"segment": pd.Series([], dtype=str),
+             "n_gaps": np.empty(0, np.int64),
+             "sum_gap_days": np.empty(0, np.int64),
+             "max_gap_days": np.empty(0, np.int64)}
+        )
     out = out.groupby("segment", as_index=False).agg(
         n_gaps=("n_gaps", "sum"),
         sum_gap_days=("sum_gap_days", "sum"),
@@ -7673,6 +7680,11 @@ def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
         .map_groups(meet, batch_format="pandas")
         .to_pandas()
     )
+    if "o_orderpriority" not in out.columns:  # 0-row collect is columnless
+        return pd.DataFrame(
+            {"o_orderpriority": pd.Series([], dtype=str),
+             "late_orders": np.empty(0, np.int64)}
+        )
     out = out.groupby("o_orderpriority", as_index=False)["late_orders"].sum()
     out["late_orders"] = out["late_orders"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
@@ -7751,6 +7763,12 @@ def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
         .map_groups(meet, batch_format="pandas")
         .to_pandas()
     )
+    if "l_returnflag" not in out.columns:  # 0-row collect is columnless
+        return pd.DataFrame(
+            {"l_returnflag": pd.Series([], dtype=str),
+             "urgent_late": np.empty(0, np.int64),
+             "other_late": np.empty(0, np.int64)}
+        )
     out = out.groupby("l_returnflag", as_index=False)[
         ["urgent_late", "other_late"]
     ].sum()

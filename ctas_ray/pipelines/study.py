@@ -263,18 +263,13 @@ def _score_group(
                "kstest_statistic", "region", "country", "subj_count"]
     n_sites = group["site"].nunique()
     n = len(group)
-    if n == 0:
-        if method == "ks":
-            return pd.DataFrame(columns=ks_cols)
-        return pd.DataFrame(columns=["timeseries_id", "feature", "ref_group"])
-    tsid = group["timeseries_id"].iloc[0]
-    feature = group["feature"].iloc[0]
-    ref_group = group["ref_group"].iloc[0]
     # module registries don't travel to workers: the caller ships a
     # snapshot through the task closure
     SCORING_REGISTRY = scoring_registry or {}
 
-    if n_sites < 2 or n < group["subject_count_min"].iloc[0] or not (n_sites < n):
+    def _empty_for_method() -> pd.DataFrame:
+        # the per-METHOD empty schema (gate failure AND the n == 0 case
+        # from _score_partition's all-gated fallback share it)
         if method == "ks":
             return pd.DataFrame(columns=ks_cols)
         if method == "avg_feat_value":
@@ -285,6 +280,15 @@ def _score_group(
             )
         return pd.DataFrame(columns=["timeseries_id", "feature", "ref_group", "entity",
                                      "groupFctr", "mean", "median", "sd", "z_score", "p_value"])
+
+    if n == 0:
+        return _empty_for_method()
+    tsid = group["timeseries_id"].iloc[0]
+    feature = group["feature"].iloc[0]
+    ref_group = group["ref_group"].iloc[0]
+
+    if n_sites < 2 or n < group["subject_count_min"].iloc[0] or not (n_sites < n):
+        return _empty_for_method()
     if method == "ks":
         res = score_sites_ks(
             group, feature, ref_group, jitter_sd=jitter_sd, jitter_seed=jitter_seed,
