@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q.embedding_dim_stats,
         # fill distribution read from the persisted 1m store — hash-verified
         "tier_fill_histogram": q.tier_fill_histogram,
+        # persisted-store 1m->1h consistency audit — hash-verified
+        "tier_cascade_audit": q.tier_cascade_audit,
         "gapfill_locf_1m": q.gapfill_locf_1m,              # F10 (LOCF)
         "gapfill_linear_1m": q.gapfill_linear_1m,          # F10 (linear)
         "rollup_1m_gapfilled": q.rollup_1m_gapfilled,      # F10 wired pre-tier-1
@@ -1703,6 +1705,28 @@ def oracle_sql() -> dict[str, str]:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
     FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1""",
+        "tier_cascade_audit": """
+    WITH turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             epoch_us(ts) AS ts_us,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+               AS turn_latency_us
+      FROM events
+    ),
+    chan AS (
+      SELECT conv_id, ts_us, 'text_len' AS channel FROM turns
+      UNION ALL
+      SELECT conv_id, ts_us, 'turn_latency_us'
+      FROM turns WHERE turn_latency_us IS NOT NULL
+    ),
+    hrs AS (
+      SELECT DISTINCT conv_id, channel, ts_us // 3600000000 AS hour
+      FROM chan
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM hrs GROUP BY 1 ORDER BY 1""",
         "embedding_dim_stats": """
     WITH q AS (
       SELECT UNNEST(range(len(embedding))) AS dim,

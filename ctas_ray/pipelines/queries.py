@@ -7908,3 +7908,74 @@ def tier_fill_histogram(sf_dir: str) -> pd.DataFrame:
     out["fill"] = out["fill"].astype(np.int64)
     out["n_conv_hours"] = out["n_conv_hours"].astype(np.int64)
     return out.sort_values(["channel", "fill"]).reset_index(drop=True)
+
+
+def tier_cascade_audit(sf_dir: str) -> pd.DataFrame:
+    """[graft] Store-consistency audit over the PERSISTED tiers: read
+    the 1m AND 1h parquet, re-aggregate the 1m rows hour-wise with the
+    engine's own merge kernel (partition_merge_tiers — canonical-order
+    float sums), and compare against the stored 1h rows per (conv,
+    channel, hour). The post-compaction / post-ingest invariant check
+    an operator runs before trusting a store. Output per channel:
+    hours checked, hours mismatched (0 on a healthy store). Conv-salted
+    partition dispatch; the oracle derives the expected hour counts
+    from raw events and pins n_mismatch = 0. Hash-verified."""
+    from ..stages.rollup import TIER_PARTIAL_COLUMNS, partition_merge_tiers
+
+    paths = _tier_paths(sf_dir)
+    m1 = read_parquet_clean(paths["tier_1m"], columns=TIER_PARTIAL_COLUMNS)
+    h1 = read_parquet_clean(paths["tier_1h"], columns=TIER_PARTIAL_COLUMNS)
+
+    def tag(kind):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy(deep=False)
+            b["kind"] = np.int8(kind)
+            h = pd.util.hash_pandas_object(
+                b["conv_id"].astype(str), index=False
+            ).to_numpy()
+            b["part"] = (h % np.uint64(64)).astype(np.int64)
+            return b
+
+        return fn
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        fine = g[g["kind"] == 0].drop(columns=["kind", "part"])
+        stored = g[g["kind"] == 1].drop(columns=["kind", "part"])
+        expect = partition_merge_tiers(fine, 3600)
+        key = ["conv_id", "channel", "bucket"]
+        cmp_cols = ["count", "sum", "min", "max", "first_val", "last_val"]
+        m = expect.merge(
+            stored, on=key, how="outer", suffixes=("_e", "_s"),
+            indicator=True,
+        )
+        both = m["_merge"] == "both"
+        ok = both.to_numpy()
+        for c in cmp_cols:
+            ok = ok & (
+                m[f"{c}_e"].to_numpy(np.float64)
+                == m[f"{c}_s"].to_numpy(np.float64)
+            )
+        d = pd.DataFrame(
+            {
+                "channel": m["channel"].to_numpy(object),
+                "checked": np.ones(len(m), np.int64),
+                "mismatch": (~ok).astype(np.int64),
+            }
+        )
+        return d.groupby("channel", as_index=False).agg(
+            n_hours=("checked", "sum"), n_mismatch=("mismatch", "sum")
+        )
+
+    out = (
+        m1.map_batches(tag(0), batch_format="pandas")
+        .union(h1.map_batches(tag(1), batch_format="pandas"))
+        .groupby("part")
+        .map_groups(audit, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("channel", as_index=False).agg(
+        n_hours=("n_hours", "sum"), n_mismatch=("n_mismatch", "sum")
+    )
+    out["n_hours"] = out["n_hours"].astype(np.int64)
+    out["n_mismatch"] = out["n_mismatch"].astype(np.int64)
+    return out.sort_values("channel").reset_index(drop=True)
