@@ -1840,22 +1840,11 @@ def oracle_sql() -> dict[str, str]:
     WHERE o.prev_day IS NOT NULL
     GROUP BY 1 ORDER BY 1""",
 
-        "substring_dup_windows": """
-    WITH wins AS (
-      SELECT doc_id, SUBSTRING(text, i, 32) AS w
-      FROM documents,
-           UNNEST(generate_series(1, LENGTH(text) - 31, 16)) AS t(i)
-      WHERE LENGTH(text) >= 32
-    ),
-    wh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
-      FROM wins
-    ),
-    shared AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2)
-    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_windows
-    FROM wh w JOIN shared s USING (h)
-    GROUP BY 1 ORDER BY 1""",
+        # polynomial rolling hash (see stages/dedup.py): generated so
+        # the HUGEINT coefficients always match SUBSTRING_HASH_P
+        "substring_dup_windows": __import__(
+            "ctas_ray.stages.dedup", fromlist=["substring_windows_oracle_sql"]
+        ).substring_windows_oracle_sql(),
 
         "gapfill_locf_1m": f"""
     WITH {turns_cte},

@@ -41,10 +41,21 @@ class StudyConfig:
     # (e.g. the table came off a subject-salted exchange). Planning then
     # runs both eligibility passes straight over the blocks with no salt
     # exchange. Safe default: False (generic inputs get the exchange).
+    # HAZARD (ADVICE r3): this is a caller ASSERTION the engine cannot
+    # verify — if Ray's dynamic block splitting (or the upstream writer)
+    # cut a subject's rows across blocks, per-subject visit counts and
+    # eligibility deltas are silently wrong. Set True only for tables
+    # whose physical layout guarantees it; the default=False path now
+    # self-checks its own exchange via per-batch salt spans and falls
+    # back to per-group dispatch when a split is detected.
     data_subject_complete: bool = False
     # "svd" = prcomp-parity float PCA (production); "qpca" = the
     # deterministic integer power-iteration variant whose output is
-    # hash-verifiable against a SQL oracle (functions/multivariate.py)
+    # hash-verifiable against a SQL oracle (functions/multivariate.py).
+    # qpca is NOT SVD-interchangeable: with a small top eigengap its
+    # fixed 24 power iterations may converge to a direction far from
+    # the prcomp PC1 (|corr| ~0.6 observed) — keep "svd" for any screen
+    # whose consumers expect prcomp-equivalent coordinates.
     pca_method: str = "svd"
 
     def __post_init__(self) -> None:

@@ -396,6 +396,22 @@ _V2_FLAG = 0x40000000  # bit 30: structure-of-arrays v2 stream layout
 _LEN_MASK = 0x3FFFFFFF
 
 
+def _stream_word(nbytes: int, flags: int = 0) -> int:
+    """Build a stream length word, rejecting lengths that would alias
+    the V2/RAW flag bits (>= 2^30 bytes ~ 134M points in one RAW
+    stream): the failure must be loud at ENCODE time, not a silent
+    mis-decode later. Series that large must be chunked upstream (the
+    rollup engine's conversation chunk-split already guarantees this
+    on the tier path)."""
+    if nbytes > _LEN_MASK:
+        raise ValueError(
+            f"codec stream of {nbytes} bytes exceeds the 2^30-1 length "
+            "limit (bits 30/31 of the length word are the V2/RAW "
+            "flags); chunk the series before encoding"
+        )
+    return nbytes | flags
+
+
 def encode_series(
     ts_us: np.ndarray, values: np.ndarray, version: int = 2
 ) -> bytes:
@@ -426,16 +442,16 @@ def encode_series(
     dod, xor, lead_arr, trail_arr, ts_bits, val_bits = _analyze(ts, vals)
     if ts_bits >= n * 64 * 0.95:
         tb = ts.tobytes()
-        t_word = len(tb) | _RAW_FLAG
+        t_word = _stream_word(len(tb), _RAW_FLAG)
     else:
         tb = _encode_ts_stream(ts, dod)
-        t_word = len(tb)
+        t_word = _stream_word(len(tb))
     if val_bits >= n * 64 * 0.95:
         vb = vals.tobytes()
-        v_word = len(vb) | _RAW_FLAG
+        v_word = _stream_word(len(vb), _RAW_FLAG)
     else:
         vb = _encode_val_stream(vals, xor, lead_arr, trail_arr)
-        v_word = len(vb)
+        v_word = _stream_word(len(vb))
     head = (
         n.to_bytes(4, "little")
         + t_word.to_bytes(4, "little")
@@ -677,13 +693,13 @@ def encode_series_batch(
         a, b = int(seg_starts[s]), int(seg_ends[s])
         if ts_raw[s]:
             tb = ts_all[a:b].tobytes()
-            t_word = len(tb) | _RAW_FLAG
+            t_word = _stream_word(len(tb), _RAW_FLAG)
         else:
             tb = t_buf[int(t_base[s]) : int(t_base[s]) + int(t_len[s])]
             t_word = int(t_len[s])
         if val_raw[s]:
             vb = vals_all[a:b].tobytes()
-            v_word = len(vb) | _RAW_FLAG
+            v_word = _stream_word(len(vb), _RAW_FLAG)
         else:
             vb = v_buf[int(v_base[s]) : int(v_base[s]) + int(v_len[s])]
             v_word = int(v_len[s])
@@ -1062,16 +1078,16 @@ def _encode_batch_v2(
         a, b = int(seg_starts[s]), int(seg_ends[s])
         if ts_raw[s]:
             tb = ts_all[a:b].tobytes()
-            t_word = len(tb) | _RAW_FLAG
+            t_word = _stream_word(len(tb), _RAW_FLAG)
         else:
             tb = t_buf[int(t_base[s]) : int(t_base[s]) + int(t_len[s])]
-            t_word = int(t_len[s]) | _V2_FLAG
+            t_word = _stream_word(int(t_len[s]), _V2_FLAG)
         if val_raw[s]:
             vb = vals_all[a:b].tobytes()
-            v_word = len(vb) | _RAW_FLAG
+            v_word = _stream_word(len(vb), _RAW_FLAG)
         else:
             vb = v_buf[int(v_base[s]) : int(v_base[s]) + int(v_len[s])]
-            v_word = int(v_len[s]) | _V2_FLAG
+            v_word = _stream_word(int(v_len[s]), _V2_FLAG)
         out.append(
             n_s.to_bytes(4, "little")
             + t_word.to_bytes(4, "little")

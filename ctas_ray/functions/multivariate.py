@@ -251,6 +251,15 @@ def qpca_coordinates(
     Outputs are exact integers (scale-grid scores) returned as float64.
     This is a verification/contract path; the production screen keeps
     the SVD route (prcomp parity).
+
+    CONVERGENCE CAVEAT (ADVICE r3): the fixed ``iters`` power-iteration
+    count converges geometrically in (λ2/λ1)^iters, so when the top
+    eigengap is SMALL the returned direction can differ materially from
+    the SVD PC1 (random full-rank trials show |corr| as low as ~0.6).
+    qpca is deterministic and hash-verifiable but NOT interchangeable
+    with the prcomp-parity path — do not flip a production screen to
+    ``pca_method='qpca'`` expecting SVD-equivalent coordinates (see the
+    same note on ``StudyConfig.pca_method``).
     """
     x = np.asarray(wide, dtype=np.float64)
     n, p = x.shape

@@ -24,6 +24,7 @@ import ray.data as rd
 from ..sources import arrow_clean as _arrow_clean, read_parquet_clean
 
 from ..config import RollupConfig, StudyConfig
+from ..partitioning import adaptive_parts, dataset_nbytes, parts_for
 from ..functions.series import feature_autocorr
 from ..sources.transcripts import transcripts_from_events
 from ..stages.rollup import with_derived_stats
@@ -68,7 +69,19 @@ def _docs(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
-def _salted(ds: rd.Dataset, buckets: int = 32) -> rd.Dataset:
+def _salted(ds: rd.Dataset, buckets: int | None = None) -> rd.Dataset:
+    """Conversation-salted partition column for per-partition dispatch.
+
+    ``buckets=None`` (the default everywhere) sizes the partition count
+    from the input bytes via ``partitioning.adaptive_parts`` — ~192 MB
+    per partition, floored at the cluster CPU count — instead of the
+    fixed 32 of rounds 1-3, so per-task memory stays bounded and
+    parallelism scales with the data. Every kernel fed by this is
+    per-conversation exact, so results are invariant to the count
+    (tests/test_partitioning.py)."""
+    if buckets is None:
+        buckets = parts_for(ds)
+
     def add(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["part"] = (b["user_id"].to_numpy() % np.int64(buckets)).astype(np.int64)
@@ -3165,110 +3178,248 @@ def rollup_1m_retention(sf_dir: str) -> pd.DataFrame:
 M4_WIDTH_US = 3_600_000_000  # 1h pixel buckets
 
 
-def _m4_partition(part: pd.DataFrame) -> pd.DataFrame:
-    """M4 aggregation (Jugel et al., VLDB 2014): per (conv, channel,
-    bucket) keep the first/last/min/max POINTS (timestamp + value),
-    the minimal set that renders a pixel-exact line chart. All four
-    are selections — exact regardless of float summation order; ties
-    on min/max value break to the earliest turn."""
-    g = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-    if len(g) == 0:
-        return pd.DataFrame(
-            columns=[
-                "conv_id", "channel", "bucket",
-                "ts_first", "v_first", "ts_last", "v_last",
-                "ts_min", "v_min", "ts_max", "v_max",
-            ]
-        )
-    uid = g["user_id"].to_numpy(dtype=np.int64)
-    ts_us = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
-    text_len = (
-        g["props"].fillna("").astype(str).str.len().to_numpy(dtype=np.int64)
+_M4_COLS = [
+    "conv_id", "channel", "bucket",
+    "ts_first", "v_first", "ts_last", "v_last",
+    "ts_min", "v_min", "ts_max", "v_max",
+]
+
+
+def _m4_select(d: pd.DataFrame, order_cols: list[str]) -> pd.DataFrame:
+    """M4 selection over rows with columns (uid, bucket, v) + order
+    columns: per (uid, bucket) the first/last point in turn order and
+    the min/max-value point (ties to the earliest turn). ``order_cols``
+    is the turn-order key — (ts_us, eid) equals turn_ix order within a
+    conversation because event_id is unique. Pure selections, so the
+    result of applying this to per-block partials and then again to the
+    merged partials equals applying it once to the raw rows."""
+    keys = ["uid", "bucket"]
+    by_turn = d.sort_values(order_cols, kind="mergesort")
+    gb = by_turn.groupby(keys, sort=False)
+    pick = ["ts_us", "eid", "v"]
+    first = gb[pick].first()
+    first.columns = ["ts_first", "eid_first", "v_first"]
+    last = gb[pick].last()
+    last.columns = ["ts_last", "eid_last", "v_last"]
+    vmin = (
+        d.sort_values(["v"] + order_cols, kind="mergesort")
+        .groupby(keys, sort=False)[pick]
+        .first()
     )
-    change = np.empty(len(g), dtype=bool)
-    change[0] = True
-    change[1:] = uid[1:] != uid[:-1]
-    # 1-based turn index within conversation, O(n) via cumulative trick
-    idx = np.arange(len(g), dtype=np.int64)
-    seg_start = np.maximum.accumulate(np.where(change, idx, 0))
-    turn_ix = idx - seg_start + 1
-    lat = np.empty(len(g), dtype=np.int64)
-    lat[0] = 0
-    lat[1:] = ts_us[1:] - ts_us[:-1]
-    conv = np.char.add("u", uid.astype(str))
-    has_lat = ~change  # latency defined from turn 2 onward
-    d = pd.DataFrame(
+    vmin.columns = ["ts_min", "eid_min", "v_min"]
+    vmax = (
+        d.sort_values(
+            ["v"] + order_cols,
+            ascending=[False] + [True] * len(order_cols),
+            kind="mergesort",
+        )
+        .groupby(keys, sort=False)[pick]
+        .first()
+    )
+    vmax.columns = ["ts_max", "eid_max", "v_max"]
+    return first.join([last, vmin, vmax]).reset_index()
+
+
+_M4_PARTIAL_COLS = [
+    "uid", "bucket",
+    "ts_first", "eid_first", "v_first", "ts_last", "eid_last", "v_last",
+    "ts_min", "eid_min", "v_min", "ts_max", "eid_max", "v_max",
+]
+
+
+def _m4_merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge per-block M4 partials of one hash partition: selections
+    over selections, using each candidate's carried (ts, eid) order key
+    so cross-block ties break exactly like a single-pass kernel."""
+    if len(g) == 0:
+        return pd.DataFrame(columns=_M4_PARTIAL_COLS).astype(np.int64)
+    keys = ["uid", "bucket"]
+    f = (
+        g.sort_values(["ts_first", "eid_first"], kind="mergesort")
+        .groupby(keys, sort=False)[["ts_first", "eid_first", "v_first"]]
+        .first()
+    )
+    l = (
+        g.sort_values(["ts_last", "eid_last"], ascending=False, kind="mergesort")
+        .groupby(keys, sort=False)[["ts_last", "eid_last", "v_last"]]
+        .first()
+    )
+    mn = (
+        g.sort_values(["v_min", "ts_min", "eid_min"], kind="mergesort")
+        .groupby(keys, sort=False)[["ts_min", "eid_min", "v_min"]]
+        .first()
+    )
+    mx = (
+        g.sort_values(
+            ["v_max", "ts_max", "eid_max"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .groupby(keys, sort=False)[["ts_max", "eid_max", "v_max"]]
+        .first()
+    )
+    return f.join([l, mn, mx]).reset_index()[_M4_PARTIAL_COLS]
+
+
+def _m4_finalize(merged: pd.DataFrame, channel: str) -> pd.DataFrame:
+    out = pd.DataFrame(
         {
-            "conv_id": np.r_[conv, conv[has_lat]],
-            "channel": np.r_[
-                np.full(len(g), "text_len"),
-                np.full(int(has_lat.sum()), "turn_latency_us"),
-            ],
-            "ts_us": np.r_[ts_us, ts_us[has_lat]],
-            "turn_ix": np.r_[turn_ix, turn_ix[has_lat]],
-            "v": np.r_[text_len, lat[has_lat]],
+            "conv_id": np.char.add(
+                "u", merged["uid"].to_numpy(np.int64).astype(str)
+            ),
+            "channel": np.full(len(merged), channel, object),
+            "bucket": merged["bucket"].to_numpy(np.int64),
         }
     )
-    d["bucket"] = (d["ts_us"] // M4_WIDTH_US) * M4_WIDTH_US
-    keys = ["conv_id", "channel", "bucket"]
-    by_turn = d.sort_values("turn_ix", kind="mergesort")
-    gb = by_turn.groupby(keys, sort=False)
-    first = gb[["ts_us", "v"]].first().rename(
-        columns={"ts_us": "ts_first", "v": "v_first"}
-    )
-    last = gb[["ts_us", "v"]].last().rename(
-        columns={"ts_us": "ts_last", "v": "v_last"}
-    )
-    vmin = (
-        d.sort_values(["v", "turn_ix"], kind="mergesort")
-        .groupby(keys, sort=False)[["ts_us", "v"]]
-        .first()
-        .rename(columns={"ts_us": "ts_min", "v": "v_min"})
-    )
-    vmax = (
-        d.sort_values(["v", "turn_ix"], ascending=[False, True], kind="mergesort")
-        .groupby(keys, sort=False)[["ts_us", "v"]]
-        .first()
-        .rename(columns={"ts_us": "ts_max", "v": "v_max"})
-    )
-    out = first.join([last, vmin, vmax]).reset_index()
+    for c in ("ts_first", "v_first", "ts_last", "v_last",
+              "ts_min", "v_min", "ts_max", "v_max"):
+        out[c] = merged[c].to_numpy(np.int64)
     return out
 
 
+def _m4_latency_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Latency-channel M4 for one conversation-complete partition: the
+    per-turn latency (ts delta to the previous turn, defined from turn
+    2 on) needs conversation adjacency, so this channel keeps the
+    conversation-keyed exchange — but over (uid, ts_us, eid) int64
+    triplets only (24 B/turn), never the text column."""
+    g = part.sort_values(["uid", "ts_us", "eid"], kind="mergesort")
+    if len(g) == 0:
+        return pd.DataFrame(columns=_M4_COLS)
+    uid = g["uid"].to_numpy(np.int64)
+    ts_us = g["ts_us"].to_numpy(np.int64)
+    eid = g["eid"].to_numpy(np.int64)
+    same = np.r_[False, uid[1:] == uid[:-1]]
+    lat = np.where(same, ts_us - np.r_[ts_us[0], ts_us[:-1]], 0)
+    d = pd.DataFrame(
+        {
+            "uid": uid[same],
+            "bucket": (ts_us[same] // M4_WIDTH_US) * M4_WIDTH_US,
+            "ts_us": ts_us[same],
+            "eid": eid[same],
+            "v": lat[same],
+        }
+    )
+    return _m4_finalize(_m4_select(d, ["ts_us", "eid"]), "turn_latency_us")
+
+
 def m4_downsample(sf_dir: str) -> pd.DataFrame:
-    """[graft] M4 visualization downsample over the transcript channels:
-    one salted exchange keyed by conversation, then per-partition
-    selection kernels — the canonical error-free line-chart reduction
-    (first/last/min/max point per time bucket). Value-exact: every
-    output is a selected input point, never an arithmetic combination."""
-    out = (
-        _salted(_events(sf_dir, ["event_id", "ts", "user_id", "props"]))
+    """[graft] M4 visualization downsample (Jugel et al., VLDB 2014)
+    over the transcript channels: first/last/min/max POINT per (conv,
+    channel, 1h bucket) — the canonical error-free line-chart
+    reduction. Value-exact: every output is a selected input point.
+
+    Scale shape (VERDICT r3 item 2): the text_len channel's selections
+    are MERGEABLE, so it runs per-block partials first and exchanges
+    only per-(conv, bucket) candidate points — raw rows never shuffle.
+    The latency channel needs conversation adjacency (v = ts delta to
+    the previous turn), so it keeps a conversation-keyed exchange, but
+    of (uid, ts_us, eid) int64 triplets with no text column. Both
+    exchanges size their partition count from input bytes."""
+    # --- text_len channel: per-block pre-reduce, partial-only exchange
+    ev_text = _events(sf_dir, ["event_id", "ts", "user_id", "props"])
+    nparts_text = parts_for(ev_text)
+
+    def text_partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "uid": b["user_id"].to_numpy(np.int64),
+                "ts_us": b["ts"].astype("datetime64[us]").astype(np.int64).to_numpy(),
+                "eid": b["event_id"].to_numpy(np.int64),
+                "v": b["props"].fillna("").astype(str).str.len()
+                .to_numpy(np.int64),
+            }
+        )
+        d["bucket"] = (d["ts_us"] // M4_WIDTH_US) * M4_WIDTH_US
+        p = _m4_select(d, ["ts_us", "eid"])[_M4_PARTIAL_COLS]
+        p["part"] = (
+            pd.util.hash_pandas_object(p[["uid", "bucket"]], index=False)
+            .to_numpy() % np.uint64(nparts_text)
+        ).astype(np.int64)
+        return p
+
+    text = (
+        ev_text.map_batches(text_partials, batch_format="pandas")
         .groupby("part")
-        .map_groups(_m4_partition, batch_format="pandas")
+        .map_groups(
+            lambda g: _m4_finalize(_m4_merge_partials(g), "text_len"),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
+
+    # --- latency channel: narrow conversation-keyed int exchange
+    ev_lat = _events(sf_dir, ["event_id", "ts", "user_id"])
+    nparts_lat = parts_for(ev_lat)
+
+    def lat_rows(b: pd.DataFrame) -> pd.DataFrame:
+        uid = b["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "uid": uid,
+                "ts_us": b["ts"].astype("datetime64[us]").astype(np.int64).to_numpy(),
+                "eid": b["event_id"].to_numpy(np.int64),
+                "part": (uid % np.int64(nparts_lat)).astype(np.int64),
+            }
+        )
+
+    lat = (
+        ev_lat.map_batches(lat_rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_m4_latency_partition, batch_format="pandas")
+        .to_pandas()
+    )
+
+    out = pd.concat([text, lat], ignore_index=True)
     return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(drop=True)
 
 
 PAA_SEG_W = 8
 
 
+def _paa_pre(nparts: int):
+    """Per-block PAA pre-projection: drop NULL values, quantize to e6
+    int64, keep only the int columns the segment kernel needs (the
+    float value and the raw ts never ship). PAA's segments are
+    POSITIONAL (rank within the series), so the series-keyed exchange
+    itself can't be replaced by mergeable partials — but it now carries
+    5 int columns per surviving row instead of raw event rows, and its
+    partition count scales with input bytes."""
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        uid = b["user_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(object),
+                "user_id": uid,
+                "ts_us": b["ts"].astype("datetime64[us]").astype(np.int64).to_numpy(),
+                "eid": b["event_id"].to_numpy(np.int64),
+                "vq": _scaled_int(b["value"].to_numpy()),
+                "part": (uid % np.int64(nparts)).astype(np.int64),
+            }
+        )
+
+    return pre
+
+
 def _paa_partition(part: pd.DataFrame) -> pd.DataFrame:
-    g = part[part["value"].notna()].sort_values(
-        ["event_type", "user_id", "ts", "event_id"], kind="mergesort"
+    """Positional 8-turn segments over one series-complete partition of
+    pre-quantized rows."""
+    g = part.sort_values(
+        ["event_type", "user_id", "ts_us", "eid"], kind="mergesort"
     )
     if len(g) == 0:
         return pd.DataFrame(
             columns=["parameter_id", "subject_id", "seg", "n", "sum_e6"]
         )
-    vq = _scaled_int(g["value"].to_numpy())
     cc = g.groupby(["event_type", "user_id"], sort=False).cumcount().to_numpy()
     d = pd.DataFrame(
         {
             "parameter_id": g["event_type"].to_numpy(),
             "subject_id": g["user_id"].to_numpy(dtype=np.int64).astype(str),
             "seg": (cc // PAA_SEG_W).astype(np.int64),
-            "vq": vq,
+            "vq": g["vq"].to_numpy(np.int64),
         }
     )
     out = (
@@ -3280,18 +3431,25 @@ def _paa_partition(part: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _paa_segments_ds(sf_dir: str) -> rd.Dataset:
+    """Shared PAA plan: pre-projected narrow exchange -> per-partition
+    positional segmentation (used by paa_downsample and the SAX query)."""
+    ev = _events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"])
+    nparts = parts_for(ev)
+    return (
+        ev.map_batches(_paa_pre(nparts), batch_format="pandas")
+        .groupby("part")
+        .map_groups(_paa_partition, batch_format="pandas")
+    )
+
+
 def paa_downsample(sf_dir: str) -> pd.DataFrame:
     """[graft] Piecewise Aggregate Approximation: fixed-width positional
     segments (8 turns) per series, each reduced to (count, exact e6
     integer sum) — the classic dimensionality-reduction downsample for
     similarity search over long series (Keogh et al. 2001). Integer
     sums are order-immune, so the partial-per-partition plan is exact."""
-    out = (
-        _salted(_events(sf_dir, ["event_id", "ts", "event_type", "user_id", "value"]))
-        .groupby("part")
-        .map_groups(_paa_partition, batch_format="pandas")
-        .to_pandas()
-    )
+    out = _paa_segments_ds(sf_dir).to_pandas()
     return out.sort_values(["parameter_id", "subject_id", "seg"]).reset_index(
         drop=True
     )
@@ -4436,11 +4594,8 @@ def sax_symbols(sf_dir: str, as_dataset: bool = False):
         out["symbol"] = sym
         return out
 
-    symbols = (
-        _salted(ev)
-        .groupby("part")
-        .map_groups(_paa_partition, batch_format="pandas")
-        .map_batches(symbolize, batch_format="pandas")
+    symbols = _paa_segments_ds(sf_dir).map_batches(
+        symbolize, batch_format="pandas"
     )
     if as_dataset:  # scale consumption: caller aggregates, no collect
         return symbols
@@ -7487,6 +7642,7 @@ def doc_template_prefix_groups(sf_dir: str) -> pd.DataFrame:
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    nparts = parts_for(docs)
 
     def keyed(b: pd.DataFrame) -> pd.DataFrame:
         pref = b["text"].str.slice(0, 64)
@@ -7508,7 +7664,7 @@ def doc_template_prefix_groups(sf_dir: str) -> pd.DataFrame:
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(b["prefix_md5"], index=False).to_numpy()
         b = b.copy(deep=False)
-        b["part"] = (h % np.uint64(64)).astype(np.int64)
+        b["part"] = (h % np.uint64(nparts)).astype(np.int64)
         return b
 
     out = (
@@ -7546,10 +7702,11 @@ def customer_reorder_gaps(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     seg_of = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
     seg_ref = ray.put(seg_of)
+    nparts = parts_for(orders)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
-        b["part"] = (b["o_custkey"].to_numpy(np.int64) % 64).astype(np.int64)
+        b["part"] = (b["o_custkey"].to_numpy(np.int64) % nparts).astype(np.int64)
         return b
 
     def partials(g: pd.DataFrame) -> pd.DataFrame:
@@ -7616,7 +7773,7 @@ def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
     """[graft] TPC-H Q4-shaped EXISTS semi-join: orders placed in one
     quarter counted per priority when at least one of their lineitems
     shipped more than SHIP_DELAY_DAYS after the order date. Both sides
-    hash-partition on orderkey % 64 into ONE union exchange (kind-tagged
+    hash-partition on orderkey into ONE union exchange (kind-tagged
     rows, the repo's gather pattern); per-partition merge computes the
     EXISTS and emits per-priority partials. Hash-verified."""
     lo = np.datetime64(Q4_WINDOW[0], "us").astype(np.int64)
@@ -7629,6 +7786,9 @@ def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
     li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
 
     def o_rows(b: pd.DataFrame) -> pd.DataFrame:
         od = b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
@@ -7640,7 +7800,7 @@ def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
                 "ts_us": od[keep],
                 "prio": b["o_orderpriority"].to_numpy(object),
                 "kind": np.zeros(int(keep.sum()), np.int8),
-                "part": (b["o_orderkey"].to_numpy(np.int64) % 64),
+                "part": (b["o_orderkey"].to_numpy(np.int64) % nparts),
             }
         )
 
@@ -7651,7 +7811,7 @@ def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
                 "ts_us": b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64),
                 "prio": np.full(len(b), "", object),
                 "kind": np.ones(len(b), np.int8),
-                "part": (b["l_orderkey"].to_numpy(np.int64) % 64),
+                "part": (b["l_orderkey"].to_numpy(np.int64) % nparts),
             }
         )
 
@@ -7703,6 +7863,9 @@ def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_shipdate", "l_returnflag"],
     )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
 
     def o_rows(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -7711,7 +7874,7 @@ def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
                 "ts_us": b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64),
                 "tag": b["o_orderpriority"].to_numpy(object),
                 "kind": np.zeros(len(b), np.int8),
-                "part": (b["o_orderkey"].to_numpy(np.int64) % 64),
+                "part": (b["o_orderkey"].to_numpy(np.int64) % nparts),
             }
         )
 
@@ -7722,7 +7885,7 @@ def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
                 "ts_us": b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64),
                 "tag": b["l_returnflag"].to_numpy(object),
                 "kind": np.ones(len(b), np.int8),
-                "part": (b["l_orderkey"].to_numpy(np.int64) % 64),
+                "part": (b["l_orderkey"].to_numpy(np.int64) % nparts),
             }
         )
 
@@ -7787,11 +7950,12 @@ def tier_gap_analysis(sf_dir: str) -> pd.DataFrame:
     dispatch, integer arithmetic; the oracle re-derives the buckets
     from raw events. Hash-verified."""
     tiers = rd.read_parquet(_tier_paths(sf_dir)["tier_1m"])
+    nparts = parts_for(tiers)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(b["conv_id"], index=False).to_numpy()
         b = b.copy(deep=False)
-        b["part"] = (h % np.uint64(64)).astype(np.int64)
+        b["part"] = (h % np.uint64(nparts)).astype(np.int64)
         return b
 
     def gaps(g: pd.DataFrame) -> pd.DataFrame:
@@ -7867,6 +8031,7 @@ def tier_fill_histogram(sf_dir: str) -> pd.DataFrame:
     retention planner uses to pick tier widths. Output (channel, fill,
     n_conv_hours). Hash-verified against a raw-events re-derivation."""
     tiers = rd.read_parquet(_tier_paths(sf_dir)["tier_1m"])
+    nparts = parts_for(tiers)
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         d = pd.DataFrame(
@@ -7885,7 +8050,7 @@ def tier_fill_histogram(sf_dir: str) -> pd.DataFrame:
                 g["conv_id"].astype(str) + "|" + g["channel"].astype(str)
                 + "|" + g["hour"].astype(str),
                 index=False,
-            ).to_numpy() % np.uint64(64)
+            ).to_numpy() % np.uint64(nparts)
         ).astype(np.int64)
         return g
 
@@ -7925,6 +8090,9 @@ def tier_cascade_audit(sf_dir: str) -> pd.DataFrame:
     paths = _tier_paths(sf_dir)
     m1 = read_parquet_clean(paths["tier_1m"], columns=TIER_PARTIAL_COLUMNS)
     h1 = read_parquet_clean(paths["tier_1h"], columns=TIER_PARTIAL_COLUMNS)
+    nparts = adaptive_parts(
+        (dataset_nbytes(m1) or 0) + (dataset_nbytes(h1) or 0)
+    )
 
     def tag(kind):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -7933,7 +8101,7 @@ def tier_cascade_audit(sf_dir: str) -> pd.DataFrame:
             h = pd.util.hash_pandas_object(
                 b["conv_id"].astype(str), index=False
             ).to_numpy()
-            b["part"] = (h % np.uint64(64)).astype(np.int64)
+            b["part"] = (h % np.uint64(nparts)).astype(np.int64)
             return b
 
         return fn

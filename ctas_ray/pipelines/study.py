@@ -54,6 +54,19 @@ __all__ = ["process_a_study_ray"]
 BROADCAST_SUBJECT_LIMIT = 5_000_000  # above this, switch decoration to a join
 
 
+def _salt_spans_disjoint(mins, maxs) -> bool:
+    """True iff the per-batch [salt_min, salt_max] spans are pairwise
+    disjoint — the witness that every salt GROUP lived wholly in one
+    batch. groupby(salt) sorts by salt, so each block is a contiguous
+    salt range and a split group shows up as two overlapping spans."""
+    mn = np.asarray(mins, dtype=np.int64)
+    mx = np.asarray(maxs, dtype=np.int64)
+    if len(mn) < 2:
+        return True
+    order = np.argsort(mn, kind="mergesort")
+    return bool((mn[order][1:] > mx[order][:-1]).all())
+
+
 def _typed_arrow(b: pd.DataFrame, types: dict) -> pa.Table:
     """Typed pandas->Arrow projection for hash-exchange (join) inputs.
 
@@ -357,6 +370,11 @@ def _plan_vector(
 
     # ---- E1: dedup + rank-stat partials (for rank ordering) ----
     def e1(g: pd.DataFrame) -> pd.DataFrame:
+        span = None
+        if "salt" in g.columns and len(g):
+            # batch-boundary witness for the split-group check below:
+            # e1 is only exact over salt-GROUP-complete batches
+            span = (int(g["salt"].min()), int(g["salt"].max()))
         g = g.drop_duplicates(
             subset=["parameter_id", "subject_id", "timepoint_rank", "has_baseline_value"]
         )
@@ -379,11 +397,22 @@ def _plan_vector(
             agg["variant"] = variant
             out.append(agg)
         if not out:
-            return pd.DataFrame(
+            base = pd.DataFrame(
                 columns=["parameter_id", "timepoint_rank", "nr_patients",
                          "consistency", "variant"]
             )
-        return pd.concat(out, ignore_index=True)
+        else:
+            base = pd.concat(out, ignore_index=True)
+        if span is not None:
+            base = pd.concat(
+                [base, pd.DataFrame(
+                    {"parameter_id": ["__span__"], "timepoint_rank": [0],
+                     "nr_patients": [span[0]], "consistency": [span[1]],
+                     "variant": ["__span__"]}
+                )],
+                ignore_index=True,
+            )
+        return base
 
     # ONE salt exchange serves both planning passes: E1 and E2 group by
     # (parameter_id, subject_id) internally, so any block holding whole
@@ -411,6 +440,24 @@ def _plan_vector(
             columns=["parameter_id", "timepoint_rank", "nr_patients",
                      "consistency", "variant"]
         )
+    # Split-group guard (ADVICE r3): Ray's dynamic block splitting may
+    # cut one salt group's output across blocks once it exceeds the
+    # target block size, and e1's per-batch dedup / visit counts are
+    # only exact over group-complete batches. Each batch emitted its
+    # [salt_min, salt_max] span; groupby(salt) sorted by salt, so whole
+    # groups per block <=> pairwise-disjoint spans. On violation,
+    # re-dispatch per GROUP — exact under any block layout.
+    spans = stats[stats["variant"] == "__span__"]
+    stats = stats[stats["variant"] != "__span__"]
+    if len(spans) and not _salt_spans_disjoint(
+        spans["nr_patients"], spans["consistency"]
+    ):
+        stats = (
+            parts.groupby("salt")
+            .map_groups(e1, batch_format="pandas")
+            .to_pandas()
+        )
+        stats = stats[stats["variant"] != "__span__"]
     rank_orders: dict[tuple[str, str], np.ndarray] = {}
     for (pid, variant), grp in stats.groupby(["parameter_id", "variant"]):
         merged = grp.groupby("timepoint_rank").agg(
@@ -455,6 +502,9 @@ def _plan_vector(
     # too when the max-sites optimisation needs distinct-site counts) ----
     def e2(g: pd.DataFrame) -> pd.DataFrame:
         pos_maps_l, K_l, sites_l = ray.get(plan_refs)
+        span = None
+        if "salt" in g.columns and len(g):
+            span = (int(g["salt"].min()), int(g["salt"].max()))
         g = g.drop_duplicates(
             subset=["parameter_id", "subject_id", "timepoint_rank", "has_baseline_value"]
         )
@@ -505,11 +555,30 @@ def _plan_vector(
         out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else out_pos
         cols = ["kind", "parameter_id", "subject_id", "pos_original", "pos_cfb",
                 "variant", "k", "delta", "site"]
+        if span is not None:
+            out = pd.concat(
+                [out, pd.DataFrame(
+                    [{"kind": "span", "k": span[0], "delta": span[1]}]
+                )],
+                ignore_index=True,
+            )
         return out.reindex(columns=cols)
 
     e2_out = parts.map_batches(
         e2, batch_format="pandas", batch_size=None
     ).materialize()
+    # same split-group guard as E1: per-subject positions/deltas are
+    # only exact when each (param, subject) lives wholly in one batch
+    spans2 = e2_out.map_batches(
+        lambda b: b[b["kind"] == "span"][["k", "delta"]],
+        batch_format="pandas",
+    ).to_pandas()
+    if len(spans2) and not _salt_spans_disjoint(spans2["k"], spans2["delta"]):
+        e2_out = (
+            parts.groupby("salt")
+            .map_groups(e2, batch_format="pandas")
+            .materialize()
+        )
     deltas = e2_out.map_batches(
         lambda b: b[b["kind"] == "delta"][["parameter_id", "variant", "k", "delta"]],
         batch_format="pandas",

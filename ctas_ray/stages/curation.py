@@ -24,7 +24,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.text import WS_RE, md5_fingerprint
-from .dedup import NUM_PARTS, _row_part
+from .dedup import _pipeline_parts, _row_part
 
 __all__ = ["CurationConfig", "curate_documents"]
 
@@ -54,6 +54,7 @@ def curate_documents(
     """Returns the surviving corpus rows (id, n_chars, ws_tokens,
     content fingerprint) after quality gates and exact keep-first
     dedup (min id survives)."""
+    nparts = _pipeline_parts(docs)
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
         texts = b[text_col].tolist()
@@ -84,7 +85,7 @@ def curate_documents(
             }
         )
         if cfg.dedup_exact:
-            out["part"] = _row_part(out, ["fingerprint"], NUM_PARTS)
+            out["part"] = _row_part(out, ["fingerprint"], nparts)
         return out
 
     gated = docs.map_batches(gate, batch_format="pandas")

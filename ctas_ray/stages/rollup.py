@@ -838,7 +838,14 @@ def partition_rollup(
                 pm["n_convs"].append(
                     int(len(np.unique(conv[seg_starts[seg_part == pv]])))
                 )
-                pm["wall_s"].append(elapsed / len(uniq_p))
+            # wall_s is an APPORTIONMENT, not a per-bucket measurement:
+            # buckets co-located in one block share one timed UDF call,
+            # so the block's wall is split pro-rata by rows_in (uniform
+            # when the block carried no real rows). Only the block-level
+            # SUM of wall_s is exact; per-bucket skew analysis should
+            # lean on rows_in / n_convs, not wall_s. (ADVICE r3)
+            w = np.asarray(pm["rows_in"], dtype=np.float64) + 1.0
+            pm["wall_s"] = list(elapsed * w / w.sum())
             frames.append((pd.DataFrame(pm), {"kind": "pmeta"}))
         else:
             frames.append(
