@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_ship_delay": q.returnflag_ship_delay,
         # downtime analysis read FROM the persisted 1m tier store — hash-verified
         "tier_gap_analysis": q.tier_gap_analysis,
+        # time-bounded variant: bucket predicate prunes row groups at the
+        # read (files-read < total, tests/test_tier_pushdown.py) — hash-verified
+        "tier_gap_analysis_since": q.tier_gap_analysis_since,
         # per-dimension embedding health partials — hash-verified
         "embedding_dim_stats": q.embedding_dim_stats,
         # fill distribution read from the persisted 1m store — hash-verified
@@ -1788,6 +1791,49 @@ def oracle_sql() -> dict[str, str]:
     mins AS (
       SELECT DISTINCT conv_id, channel, ts_us // 60000000 AS minute
       FROM chan
+    ),
+    lagged AS (
+      SELECT conv_id, channel, minute,
+             minute - LAG(minute) OVER (PARTITION BY conv_id, channel
+                 ORDER BY minute) AS gap
+      FROM mins
+    )
+    SELECT conv_id, channel,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(minute) - MIN(minute) AS BIGINT) AS span_minutes,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_minutes
+    FROM lagged GROUP BY 1, 2 ORDER BY 1, 2""",
+
+        # same derivation, minute buckets filtered to >= the retention
+        # horizon (the engine side pushes the same bound into the
+        # parquet read as a row-group predicate)
+        "tier_gap_analysis_since": """
+    WITH turns AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+             epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS turn_ix,
+             CAST(COALESCE(LENGTH(props), 0) AS DOUBLE) AS text_len,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+               AS turn_latency_us
+      FROM events
+    ),
+    chan AS (
+      SELECT conv_id, ts_us, 'text_len' AS channel FROM turns
+      UNION ALL
+      SELECT conv_id, ts_us, 'turn_latency_us'
+      FROM turns WHERE turn_latency_us IS NOT NULL
+    ),
+    horizon AS (
+      SELECT ((MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+               * 3 // 5) // 60000000) * 60000000 AS h_us
+      FROM events
+    ),
+    mins AS (
+      SELECT DISTINCT conv_id, channel, ts_us // 60000000 AS minute
+      FROM chan
+      WHERE ts_us // 60000000 >= (SELECT h_us FROM horizon) // 60000000
     ),
     lagged AS (
       SELECT conv_id, channel, minute,

@@ -106,6 +106,11 @@ class RollupConfig:
     # back to raw points, logged)
     gapfill_tiers: bool = False
     salt_buckets: int = 64  # salted-hash partition count for conv_id
+    # parquet row-group size for tier writes: blocks are sorted
+    # bucket-major before the write, so row-group min/max stats on
+    # ``bucket`` satisfy time-range predicates (read_tier start/end_us
+    # prunes row groups at storage). ~131k rows ~ 10 MB per group.
+    tier_row_group_rows: int = 131_072
     max_turns_per_chunk: int = 100_000  # long-conv sub-split threshold
     rolling_window: int = 8  # rolling mean/sd window (turns)
     archive_text: bool = False  # per-turn text blocks (byte-exact codec)

@@ -7940,7 +7940,9 @@ def returnflag_ship_delay(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
-def tier_gap_analysis(sf_dir: str) -> pd.DataFrame:
+def tier_gap_analysis(
+    sf_dir: str, since_us: int | None = None
+) -> pd.DataFrame:
     """[graft] Downtime analysis OVER THE PERSISTED TIER STORE: read
     the 1m tier parquet (not raw events), and per (conv, channel)
     report bucket count, span in minutes, and the largest gap between
@@ -7948,8 +7950,20 @@ def tier_gap_analysis(sf_dir: str) -> pd.DataFrame:
     retention store serves ("which series went quiet, for how long") —
     and it exercises the tier files as a source. Conv-salted partition
     dispatch, integer arithmetic; the oracle re-derives the buckets
-    from raw events. Hash-verified."""
-    tiers = rd.read_parquet(_tier_paths(sf_dir)["tier_1m"])
+    from raw events. Hash-verified.
+
+    Reads ONLY (conv_id, channel, bucket) from the store, and with
+    ``since_us`` the bucket range becomes a parquet row-group predicate
+    at the read (VERDICT r3 item 10) — out-of-horizon row groups never
+    leave storage (tests/test_tier_pushdown.py shows the pruning)."""
+    import pyarrow.compute as pc
+
+    flt = None if since_us is None else pc.field("bucket") >= since_us
+    tiers = read_parquet_clean(
+        _tier_paths(sf_dir)["tier_1m"],
+        columns=["conv_id", "channel", "bucket"],
+        filter=flt,
+    )
     nparts = parts_for(tiers)
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
@@ -7987,6 +8001,16 @@ def tier_gap_analysis(sf_dir: str) -> pd.DataFrame:
     for c in ("n_buckets", "span_minutes", "max_gap_minutes"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["conv_id", "channel"]).reset_index(drop=True)
+
+
+def tier_gap_analysis_since(sf_dir: str) -> pd.DataFrame:
+    """[graft] Time-bounded tier_gap_analysis: only minute buckets at or
+    after the deterministic retention horizon are READ — the bucket
+    predicate prunes parquet row groups at the storage layer, so query
+    cost tracks the asked-for window, not store history (VERDICT r3
+    item 10). Hash-verified (oracle re-derives from raw events with the
+    same horizon cutoff)."""
+    return tier_gap_analysis(sf_dir, since_us=_retention_horizon_us(sf_dir))
 
 
 def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
@@ -8029,8 +8053,13 @@ def tier_fill_histogram(sf_dir: str) -> pd.DataFrame:
     STORE: for every (conv, channel, hour) with any data, how many of
     its 60 minute buckets are populated — the fill distribution a
     retention planner uses to pick tier widths. Output (channel, fill,
-    n_conv_hours). Hash-verified against a raw-events re-derivation."""
-    tiers = rd.read_parquet(_tier_paths(sf_dir)["tier_1m"])
+    n_conv_hours). Hash-verified against a raw-events re-derivation.
+    Reads only the three key columns from the store (column pruning at
+    the parquet read, VERDICT r3 item 10)."""
+    tiers = read_parquet_clean(
+        _tier_paths(sf_dir)["tier_1m"],
+        columns=["conv_id", "channel", "bucket"],
+    )
     nparts = parts_for(tiers)
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:

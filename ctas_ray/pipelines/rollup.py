@@ -79,6 +79,32 @@ def _stage0(transcripts: rd.Dataset, cfg: RollupConfig, verify_roundtrip: bool) 
     )
 
 
+def _sort_block_for_tier_write(t):
+    """Bucket-major intra-block order before a tier parquet write:
+    row-group min/max stats on ``bucket`` then satisfy time-range
+    predicates, so read_tier(start_us/end_us) and the time-bounded
+    tier analytics prune row groups at storage. (kind, tier) lead the
+    key so the hive partition split stays contiguous. Exactness is
+    unaffected: every persisted-tier consumer re-sorts or groups
+    (merge_tier_partials, partition_cascade, the hash queries)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = [c for c in ("kind", "tier", "bucket") if c in t.column_names]
+    if not keys or t.num_rows <= 1:
+        return t
+    cols = {}
+    for c in keys:
+        arr = t[c]
+        if pa.types.is_dictionary(arr.type):  # sort keys: decode dicts
+            arr = arr.cast(arr.type.value_type)
+        cols[c] = arr
+    idx = pc.sort_indices(
+        pa.table(cols), sort_keys=[(c, "ascending") for c in keys]
+    )
+    return t.take(idx)
+
+
 def _cascade(partials: rd.Dataset, cfg: RollupConfig) -> rd.Dataset:
     """Conv-salted exchange -> ALL retention tiers in one partition pass
     (output has a ``tier`` column)."""
@@ -229,7 +255,17 @@ def run_rollup(
         # the tiers step below never copies them — it only cascades the
         # (few) multi-chunk t1 leftovers. Non-tier kinds get the hive
         # null partition dir, which readers prune via columns=.
-        grouped.write_parquet(stage0, partition_cols=["kind", "tier"])
+        # Blocks are sorted bucket-major first so each row group's
+        # bucket min/max is tight — time-range predicates (read_tier
+        # start/end_us, tier_gap_analysis since_us) then prune row
+        # groups at storage instead of scan-and-filter.
+        grouped.map_batches(
+            _sort_block_for_tier_write, batch_format="pyarrow"
+        ).write_parquet(
+            stage0,
+            partition_cols=["kind", "tier"],
+            row_group_size=cfg.tier_row_group_rows,
+        )
         _record("stage0", stage0, time.perf_counter() - t0)
     paths["blobs"] = os.path.join(stage0, "kind=blob")
     paths["stage0"] = stage0
@@ -285,7 +321,13 @@ def run_rollup(
             lower = read_parquet_clean(
                 t1_dir, columns=TIER_PARTIAL_COLUMNS
             ).map_batches(_coerce_partial_types, batch_format="pyarrow")
-            _cascade(lower, cfg).write_parquet(tiers_dir, partition_cols=["tier"])
+            _cascade(lower, cfg).map_batches(
+                _sort_block_for_tier_write, batch_format="pyarrow"
+            ).write_parquet(
+                tiers_dir,
+                partition_cols=["tier"],
+                row_group_size=cfg.tier_row_group_rows,
+            )
             _record("tiers", tiers_dir, time.perf_counter() - t0)
         else:
             # nothing to merge: every conversation was inline-cascaded in
