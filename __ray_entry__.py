@@ -33,27 +33,23 @@ def entry() -> Any:
     return tiers["tier_1m"]
 
 
-# The driver samples the FIRST 50 dict entries for its oracle check, so
-# ordering is evidence placement: flagship hash-oracled pipelines first,
-# the (documented, pytest-pinned) rows-only entries last.  The set below
-# mirrors tests/test_driver_contract.py::ROWS_ONLY_ALLOWED.
-_ROWS_ONLY_LAST = [
-    "codec_blobs",
-    "embedding_neardup",
-    "ivf_topk_similarity",
-    "ivf_recall",
-    "media_features",
-    "study_screen_sitescores",
-    "study_screen_features",
-    "approx_distinct_counts",
-    "heavy_tokens_mg",
-    "int8_recall",
-]
+# Driver-window rotation (VERDICT r3 item 6 + ADVICE r3): the driver
+# samples the FIRST 50 dict entries of queries() for its per-round
+# oracle check. Rounds 1-3 pinned the same flagship 50 into that window
+# (so the driver verified them twice) and displaced the documented
+# rows-only entries past it, which biased the driver's sample. Round 4
+# rotates the window to the entries the driver has NOT yet checked, in
+# plain alphabetical order with NO rows-only displacement — the
+# rows-only exemption is carried openly by
+# tests/test_driver_contract.py::ROWS_ONLY_ALLOWED, and rows-only
+# entries that fall inside the window get the driver's weaker
+# rows-only record, visibly. Two already-verified canaries stay first
+# so every round re-proves the flagship rollup + screen path.
+_WINDOW_CANARIES = ["rollup_1m", "transcript_screen_iqr_sitescores"]
 
-# Hash-verified flagship rows pinned into the driver's first-50 window:
-# the transcript/study screens, all retention-tier variants, the dedup
-# cluster family, the relational shapes and the core ctas kernels.
-_PRIORITY_FIRST = [
+# the 50 entries CORRECTNESS_r03.json already hash-verified (the
+# round-3 window) — rotated to the BACK of the dict this round
+_R3_DRIVER_CHECKED = [
     "transcript_screen_iqr_sitescores",
     "transcript_screen_ks_statistics",
     "study_screen_plan",
@@ -104,8 +100,6 @@ _PRIORITY_FIRST = [
     "global_value_quantiles",
     "session_windows",
     "asof_join_clicks",
-    "range_join_purchases",
-    "window_funnel",
 ]
 
 
@@ -425,12 +419,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_acctbal_quantiles": q.supplier_acctbal_quantiles,
     }
 
-    ordered: dict[str, Callable[[str], Any]] = {k: d[k] for k in _PRIORITY_FIRST}
-    rows_only = set(_ROWS_ONLY_LAST)
+    prev = [k for k in _R3_DRIVER_CHECKED if k not in _WINDOW_CANARIES]
+    ordered: dict[str, Callable[[str], Any]] = {
+        k: d[k] for k in _WINDOW_CANARIES
+    }
     ordered.update(
-        (k, v) for k, v in d.items() if k not in ordered and k not in rows_only
+        (k, d[k]) for k in sorted(d) if k not in ordered and k not in prev
     )
-    ordered.update((k, d[k]) for k in _ROWS_ONLY_LAST)
+    ordered.update((k, d[k]) for k in prev if k in d)
     assert len(ordered) == len(d)
     return ordered
 

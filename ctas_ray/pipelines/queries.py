@@ -1616,12 +1616,18 @@ def media_features(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=4)
 def _events_study_tables(sf_dir: str, site_mode: str = "crc32"):
     """Events -> (data, subjects, parameters) study tables.
 
     ``site_mode``: 'crc32' (rows-only screen queries) or 'mod12'
     (user_id % 12 — SQL-expressible, used by the hash-verified
-    study-screen oracle queries)."""
+    study-screen oracle queries).
+
+    Cached per (sf_dir, site_mode): the derivation exchange (the one
+    pass over raw events) is shared across every screen variant run in
+    one session (VERDICT r3 item 4) — ``data`` is a MATERIALIZED
+    Dataset, so variants re-read pinned blocks instead of re-deriving."""
     import zlib
 
     def to_measurements(part: pd.DataFrame) -> pd.DataFrame:
