@@ -165,6 +165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4_order_priority": q.tpch_q4_order_priority,
         # Q12-shaped join aggregate (late lines per returnflag) — hash-verified
         "returnflag_ship_delay": q.returnflag_ship_delay,
+        # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
+        # on-read; cascade-exact vs direct-from-raw) — hash-verified
+        "rollup_6h_from_1h": q.rollup_6h_from_1h,
+        # exact inter-turn-gap quantiles (watermark/SLA sizing) — hash-verified
+        "turn_gap_quantiles": q.turn_gap_quantiles,
         # downtime analysis read FROM the persisted 1m tier store — hash-verified
         "tier_gap_analysis": q.tier_gap_analysis,
         # time-bounded variant: bucket predicate prunes row groups at the
@@ -1666,6 +1671,45 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d": rollup_sql(86_400_000_000),
         "rollup_1w": rollup_sql(604_800_000_000),
         "rollup_1m_compacted": rollup_sql(60_000_000),
+        "rollup_6h_from_1h": rollup_sql(21_600_000_000),
+
+        # type-7 quantiles of the inter-turn gap in exact integer space:
+        # med2 = 2*median; p95_x20 = (20-f)*v[lo] + f*v[hi] with
+        # t = 19*(n-1), lo = t//20, hi = ceil(t/20), f = t%20 (ties
+        # safe: equal-rank values are equal)
+        "turn_gap_quantiles": """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events
+    ),
+    g AS (
+      SELECT event_type AS parameter_id,
+             tu - LAG(tu) OVER (PARTITION BY user_id
+                 ORDER BY tu, event_id) AS gap_us
+      FROM e
+    ),
+    gaps AS (SELECT parameter_id, gap_us FROM g WHERE gap_us IS NOT NULL),
+    s AS (
+      SELECT parameter_id, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY parameter_id
+                 ORDER BY gap_us) - 1 AS r,
+             COUNT(*) OVER (PARTITION BY parameter_id) AS n
+      FROM gaps
+    )
+    SELECT parameter_id,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN n % 2 = 1 AND r = (n - 1) // 2
+                           THEN 2 * gap_us
+                         WHEN n % 2 = 0
+                              AND r IN (n // 2 - 1, n // 2) THEN gap_us
+                         ELSE 0 END) AS BIGINT) AS med2_gap_us,
+           CAST(SUM((CASE WHEN r = (19 * (n - 1)) // 20
+                            THEN (20 - (19 * (n - 1)) % 20) * gap_us
+                          ELSE 0 END)
+                  + (CASE WHEN r = ((19 * (n - 1)) + 19) // 20
+                            THEN ((19 * (n - 1)) % 20) * gap_us
+                          ELSE 0 END)) AS BIGINT) AS p95_x20_gap_us
+    FROM s GROUP BY 1 ORDER BY 1""",
+
         "late_event_stats": """
     WITH e AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS tu FROM events

@@ -29,7 +29,11 @@ import os
 # ~128-256 MB of in-memory input per partition: large enough to amortize
 # per-task dispatch, small enough that one partition's pandas frame plus
 # its groupby temporaries fits comfortably in a worker heap.
-TARGET_PARTITION_BYTES = 192 * 1024 * 1024
+# CTAS_RAY_TARGET_PARTITION_BYTES overrides it (stress legs prove result
+# invariance by running the same job at two settings).
+TARGET_PARTITION_BYTES = int(
+    os.environ.get("CTAS_RAY_TARGET_PARTITION_BYTES", 192 * 1024 * 1024)
+)
 
 # Backstop only — at 100 TB in-memory this still yields ~550k partitions
 # of 192 MB, far below it.

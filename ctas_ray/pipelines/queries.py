@@ -8009,6 +8009,129 @@ def tier_gap_analysis(
     return out.sort_values(["conv_id", "channel"]).reset_index(drop=True)
 
 
+def rollup_6h_from_1h(sf_dir: str) -> pd.DataFrame:
+    """[graft] Downsample-on-read: serve an ad-hoc 6h rollup FROM THE
+    PERSISTED 1h TIER — the continuous-aggregate serving path for a
+    width the store never materialized. Only tier PARTIAL rows move
+    (never raw events): conv-salted exchange, canonical-order merge
+    (partition_merge_tiers, same kernel as the cascade), so the result
+    equals a direct 6h aggregation of the raw turns — which is exactly
+    what the oracle computes. Hash-verified."""
+    from ..stages.rollup import TIER_PARTIAL_COLUMNS, partition_merge_tiers
+
+    h1 = read_parquet_clean(
+        _tier_paths(sf_dir)["tier_1h"], columns=TIER_PARTIAL_COLUMNS
+    )
+    nparts = parts_for(h1)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            b["conv_id"].astype(str), index=False
+        ).to_numpy()
+        b = b.copy(deep=False)
+        b["part"] = (h % np.uint64(nparts)).astype(np.int64)
+        return b
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return partition_merge_tiers(g.drop(columns=["part"]), 21_600)
+
+    t = (
+        h1.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "conv_id": t["conv_id"],
+            "channel": t["channel"],
+            "bucket": t["bucket"].astype(np.int64),
+            "n": t["count"].astype(np.int64),
+            "sum_val": t["sum"].astype(np.int64),
+            "min_val": t["min"].astype(np.int64),
+            "max_val": t["max"].astype(np.int64),
+            "first_val": t["first_val"].astype(np.int64),
+            "last_val": t["last_val"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["conv_id", "channel", "bucket"]).reset_index(
+        drop=True
+    )
+
+
+def turn_gap_quantiles(sf_dir: str) -> pd.DataFrame:
+    """[graft] Watermark-delay / SLA sizing: the exact doubled median
+    and 20x p95 of the inter-turn gap (timestamp delta to the previous
+    turn of the SAME conversation, turn order) per parameter — the
+    distribution that picks a streaming window/watermark delay, where
+    a max alone over-provisions. Per-conv gaps inside user-salted
+    partitions, then a frequency-map exchange keyed by parameter;
+    type-7 quantiles in exact integer space (med2 = 2*median,
+    p95_x20 = 20*Q95). Hash-verified."""
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        gap = np.where(same, ts - np.r_[ts[0], ts[:-1]], 0)
+        d = pd.DataFrame(
+            {
+                "parameter_id": g["event_type"].to_numpy()[same],
+                "late_us": gap[same],
+            }
+        )
+        return d.groupby(["parameter_id", "late_us"], as_index=False).size()
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["parameter_id", "n_gaps", "med2_gap_us", "p95_x20_gap_us"]
+        if "parameter_id" not in g.columns or len(g) == 0:
+            return pd.DataFrame(columns=cols).astype(
+                {"n_gaps": np.int64, "med2_gap_us": np.int64,
+                 "p95_x20_gap_us": np.int64}
+            )
+        rows = []
+        for pid, sub in g.groupby("parameter_id", sort=True):
+            d = sub.groupby("late_us", as_index=False)["size"].sum()
+            d = d.sort_values("late_us")
+            v = d["late_us"].to_numpy(np.int64)
+            c = d["size"].to_numpy(np.int64)
+            n = int(c.sum())
+            cum = np.cumsum(c)
+
+            def at(rank0: int) -> int:
+                return int(v[np.searchsorted(cum, rank0 + 1)])
+
+            t = 19 * (n - 1)
+            lo, hi, f20 = t // 20, -(-t // 20), t % 20
+            rows.append(
+                (pid, n, _weighted_med2(v, c),
+                 (20 - f20) * at(lo) + f20 * at(hi))
+            )
+        return pd.DataFrame(
+            rows, columns=cols
+        ).astype({"n_gaps": np.int64, "med2_gap_us": np.int64,
+                  "p95_x20_gap_us": np.int64})
+
+    out = (
+        _salted(ev)
+        .groupby("part")
+        .map_groups(partials, batch_format="pandas")
+        .groupby("parameter_id")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+    )
+    if "parameter_id" not in out.columns:
+        return pd.DataFrame(
+            {"parameter_id": pd.Series([], dtype=str),
+             "n_gaps": np.empty(0, np.int64),
+             "med2_gap_us": np.empty(0, np.int64),
+             "p95_x20_gap_us": np.empty(0, np.int64)}
+        )
+    return out.sort_values("parameter_id").reset_index(drop=True)
+
+
 def tier_gap_analysis_since(sf_dir: str) -> pd.DataFrame:
     """[graft] Time-bounded tier_gap_analysis: only minute buckets at or
     after the deterministic retention horizon are READ — the bucket

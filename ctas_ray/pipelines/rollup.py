@@ -83,16 +83,42 @@ def _sort_block_for_tier_write(t):
     """Bucket-major intra-block order before a tier parquet write:
     row-group min/max stats on ``bucket`` then satisfy time-range
     predicates, so read_tier(start_us/end_us) and the time-bounded
-    tier analytics prune row groups at storage. (kind, tier) lead the
-    key so the hive partition split stays contiguous. Exactness is
+    tier analytics prune row groups at storage. Exactness is
     unaffected: every persisted-tier consumer re-sorts or groups
-    (merge_tier_partials, partition_cascade, the hash queries)."""
+    (merge_tier_partials, partition_cascade, the hash queries).
+
+    Only the kind='tier'/'t1' rows are reordered — blob/textblob rows
+    carry large binary payloads that a whole-block take() would gather
+    byte-for-byte for zero pruning benefit (their reads are keyed by
+    conversation, not time). Kinds stay contiguous so the hive
+    (kind, tier) partition split is unaffected."""
+    import os
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    keys = [c for c in ("kind", "tier", "bucket") if c in t.column_names]
-    if not keys or t.num_rows <= 1:
+    if os.environ.get("CTAS_RAY_TIER_WRITE_SORT") == "0":
+        return t  # diagnostic kill-switch (A/B in BENCH protocols)
+    if "bucket" not in t.column_names or t.num_rows <= 1:
         return t
+    if "kind" in t.column_names:
+        kind = t["kind"]
+        if pa.types.is_dictionary(kind.type):
+            kind = kind.cast(kind.type.value_type)
+        is_tier = pc.is_in(
+            kind, value_set=pa.array(["tier", "t1"], type=pa.string())
+        )
+        n_tier = pc.sum(pc.cast(is_tier, pa.int64())).as_py() or 0
+        if n_tier == 0:
+            return t
+        if n_tier < t.num_rows:
+            tier_part = t.filter(is_tier)
+            rest = t.filter(pc.invert(is_tier))
+            return pa.concat_tables(
+                [_sort_block_for_tier_write(tier_part), rest],
+                promote_options="default",
+            )
+    keys = [c for c in ("kind", "tier", "bucket") if c in t.column_names]
     cols = {}
     for c in keys:
         arr = t[c]

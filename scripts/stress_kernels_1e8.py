@@ -89,13 +89,36 @@ def main() -> int:
     ]:
         t0 = time.perf_counter()
         out = fn(sf_dir)
-        n_out = out.count() if isinstance(out, rd.Dataset) else len(out)
+        checksum = None
+        if os.environ.get("CTAS_STRESS_HASH"):
+            # order-insensitive u64 checksum of the FULL result (sum of
+            # per-row hashes over name-sorted columns, reduced per block)
+            # — run the leg at two CTAS_RAY_TARGET_PARTITION_BYTES
+            # settings and compare: identical checksums prove the
+            # kernels are partition-count invariant at 10^8 rows
+            def _blk_hash(b: pd.DataFrame) -> pd.DataFrame:
+                h = pd.util.hash_pandas_object(
+                    b[sorted(b.columns)], index=False
+                ).to_numpy().sum(dtype=np.uint64)
+                return pd.DataFrame({"h": [h]})
+
+            if isinstance(out, rd.Dataset):
+                hs = out.map_batches(_blk_hash, batch_format="pandas").to_pandas()
+                checksum = int(hs["h"].to_numpy(np.uint64).sum(dtype=np.uint64))
+                n_out = -1
+            else:
+                checksum = int(_blk_hash(out)["h"].iloc[0])
+                n_out = len(out)
+        else:
+            n_out = out.count() if isinstance(out, rd.Dataset) else len(out)
         wall = time.perf_counter() - t0
         r = rss_gb()
         line = (
             f"{name:24s} wall {wall:7.1f}s  out_rows {n_out:>9}  "
             f"driver_rss {r:.2f} GB"
         )
+        if checksum is not None:
+            line += f"  checksum {checksum:#018x}"
         if r > RSS_LIMIT_GB:
             failures.append(name)
             line += f"  ** RSS over {RSS_LIMIT_GB} GB limit **"
