@@ -182,7 +182,21 @@ def main() -> None:
             shutil.rmtree(out2, ignore_errors=True)
 
         rollup_from_transcripts()
-        timed("study_screen", lambda: q.study_screen_sitescores(sf_dir))
+
+        # steady-state study_screen: min-of-2 COLD runs (both the screen
+        # memo and its derivation cache are cleared between runs, so the
+        # second run re-executes the full 12-stage pipeline) — the first
+        # run in a session additionally pays one-time worker/kernel
+        # warmup that is not the screen's cost. Same protocol note in
+        # BASELINE.md; single-shot numbers on this box vary ~40%.
+        def study_once() -> float:
+            q._study_screen.cache_clear()
+            q._events_study_tables.cache_clear()
+            t0 = time.perf_counter()
+            q.study_screen_sitescores(sf_dir)
+            return time.perf_counter() - t0
+
+        timings["study_screen"] = round(min(study_once() for _ in range(2)), 3)
         timed("series_features_basic", lambda: q.series_features_basic(sf_dir))
         timed("minhash_dedup", lambda: q.minhash_clusters(sf_dir))
         timed("topk_similarity", lambda: q.topk_similarity(sf_dir))

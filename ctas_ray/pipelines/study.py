@@ -293,7 +293,10 @@ def _series_partition(part: pd.DataFrame, meta_ref) -> pd.DataFrame:
     meta = ray.get(meta_ref) if not isinstance(meta_ref, dict) else meta_ref
     cols = ["timeseries_id", "subject_id", "feature", "value", "kind"]
     outs = [
-        _series_group(g.drop(columns=["fgroup"]), meta, fgroup=fg)
+        _series_group(
+            g.drop(columns=["fgroup"]), meta,
+            fgroup=None if fg == "__all__" else fg,
+        )
         for (_, fg), g in part.groupby(["timeseries_id", "fgroup"], sort=True)
     ]
     outs = [o for o in outs if len(o)]
@@ -1342,10 +1345,25 @@ def _finish_study(
     # series id, group dispatch is per-partition, and splitting each
     # series across its feature groups runs the quadratic kernels of
     # one series concurrently (VERDICT r3 item 4)
+    # Feature-group splitting pays a ~4x fatter exchange to run one
+    # series' quadratic kernels concurrently — worth it exactly when
+    # those kernels dominate (many subjects per series: LOF/own-site
+    # are O(subjects^2)). Below the threshold the kernels are
+    # milliseconds and the fatter exchange is pure loss, so each series
+    # stays one un-replicated group ("__all__").
+    split_min = int(
+        __import__("os").environ.get(
+            "CTAS_RAY_FGROUP_SPLIT_MIN_SUBJECTS", "5000"
+        )
+    )
+    do_split = len(subjects) >= split_min
     pairs = [
         (t, fg)
         for t in series["timeseries_id"]
-        for fg in _feature_groups(meta["series"][t]["features"])
+        for fg in (
+            _feature_groups(meta["series"][t]["features"])
+            if do_split else ["__all__"]
+        )
     ]
     n_parts = max(1, min(_SERIES_SALT_PARTS, len(pairs)))
     by_tsid: dict[str, list] = {}
