@@ -165,6 +165,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4_order_priority": q.tpch_q4_order_priority,
         # Q12-shaped join aggregate (late lines per returnflag) — hash-verified
         "returnflag_ship_delay": q.returnflag_ship_delay,
+        # Q7-shaped volume shipping between two nations — hash-verified
+        "tpch_q7_volume_shipping": q.tpch_q7_volume_shipping,
+        # Q10-shaped returned-item revenue top-20 customers — hash-verified
+        "tpch_q10_returned_revenue": q.tpch_q10_returned_revenue,
+        # Q14-shaped promo revenue share per month (int num/denom) — hash-verified
+        "tpch_q14_promo_share": q.tpch_q14_promo_share,
+        # Q15-shaped top supplier by quarter revenue (ties all) — hash-verified
+        "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
+        # Q22-shaped idle high-balance customers per nation — hash-verified
+        "tpch_q22_idle_customers": q.tpch_q22_idle_customers,
+        # exact integer covariance partials per dim pair — hash-verified
+        "embedding_covariance_upper": q.embedding_covariance_upper,
+        # greedy MMR diverse top-k over a relevance pool — hash-verified
+        "mmr_diverse_topk": q.mmr_diverse_topk,
+        # per-anchor hard negatives (contrastive mining) — hash-verified
+        "hard_negative_mining": q.hard_negative_mining,
+        # per-user merged-interval activity coverage — hash-verified
+        "interval_union_coverage": q.interval_union_coverage,
+        # 6h-window trending event types (top-3 per window) — hash-verified
+        "windowed_topk_event_types": q.windowed_topk_event_types,
+        # seasonal day-over-day hourly-volume deltas — hash-verified
+        "hourly_seasonal_delta": q.hourly_seasonal_delta,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -1063,6 +1085,66 @@ def _pq_sql(k: int, iters: int, adc_topk: int | None = None) -> str:
     ORDER BY adc_dist2, a.vec_id LIMIT {adc_topk}"""
 
 
+def _mmr_sql(k: int = 8, pool: int = 32) -> str:
+    """Unrolled greedy MMR selection (k steps over a top-`pool`
+    relevance candidate set) in pure SQL: integer e3-grid dot products
+    (exact in DOUBLE — every term < 2^53), argmax per step with
+    vec_id tiebreak, matching ctas_ray.pipelines.queries.mmr_diverse_topk."""
+    # every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference, and the sel{i} chain references compound exponentially
+    # with depth (the round-3 recursive-oracle lesson)
+    head = f"""
+    WITH ev AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+          x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                    AS DOUBLE)) AS q
+      FROM embeddings
+    ),
+    qv AS MATERIALIZED (SELECT q FROM ev ORDER BY vec_id LIMIT 1),
+    rel AS MATERIALIZED (
+      SELECT e.vec_id, CAST(list_dot_product(e.q, qv.q) AS BIGINT) AS rel
+      FROM ev e, qv
+    ),
+    pool AS MATERIALIZED (
+      SELECT vec_id, rel FROM (
+        SELECT vec_id, rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn
+        FROM rel)
+      WHERE rn <= {pool}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(list_dot_product(ea.q, eb.q) AS BIGINT) AS sim
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN ev ea ON ea.vec_id = a.vec_id
+      JOIN ev eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS MATERIALIZED (SELECT vec_id, 2 * rel AS score
+           FROM pool ORDER BY score DESC, vec_id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+    s{i} AS MATERIALIZED (
+      SELECT p.vec_id,
+             2 * p.rel - (SELECT MAX(m.sim) FROM sims m
+                          JOIN sel{i - 1} s ON m.vb = s.vec_id
+                          WHERE m.va = p.vec_id) AS score
+      FROM pool p
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ORDER BY score DESC, p.vec_id LIMIT 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM s{i})""")
+    tails = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, "
+        f"CAST(score AS BIGINT) AS score_e6 FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return head + "".join(steps) + f"""
+    SELECT * FROM ({tails}) ORDER BY rank"""
+
+
 def _closure_sql() -> str:
     """Shared tail: undirected closure over `pr(id_a, id_b)` ->
     (doc_id, cluster_id = min reachable id)."""
@@ -1908,6 +1990,197 @@ def oracle_sql() -> dict[str, str]:
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
           > 30 * 86400000000
+    GROUP BY 1 ORDER BY 1""",
+        "interval_union_coverage": """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, t, e, LAG(e) OVER w AS pe
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+      SELECT user_id, t, e,
+             SUM(CASE WHEN pe IS NULL OR t >= pe THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS seg
+      FROM o
+    ),
+    m AS (
+      SELECT user_id, seg, MIN(t) AS st, MAX(e) AS en
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(en - st) AS BIGINT) AS covered_us
+    FROM m GROUP BY 1 ORDER BY 1""",
+        "windowed_topk_event_types": """
+    WITH c AS (
+      SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_us,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_us, CAST(rank AS BIGINT) AS rank, event_type,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_us
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM c)
+    WHERE rank <= 3 ORDER BY window_us, rank""",
+        "hourly_seasonal_delta": """
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             epoch_us(ts) % 86400000000 // 3600000000 AS hour,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_e2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT event_type, day, hour,
+             sum_e2 - LAG(sum_e2) OVER w AS delta_e2,
+             day - LAG(day) OVER w AS dgap
+      FROM h WINDOW w AS (PARTITION BY event_type, hour ORDER BY day)
+    ),
+    f AS (SELECT * FROM d WHERE dgap = 1)
+    SELECT event_type, CAST(day AS BIGINT) AS day,
+           CAST(hour AS BIGINT) AS hour,
+           CAST(delta_e2 AS BIGINT) AS delta_e2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY ABS(delta_e2) DESC, day, hour) AS rn
+      FROM f)
+    WHERE rn = 1 ORDER BY event_type""",
+        "embedding_covariance_upper": """
+    WITH q AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a.qv) AS BIGINT) AS sum_i_e3,
+           CAST(SUM(b.qv) AS BIGINT) AS sum_j_e3,
+           CAST(SUM(a.qv * b.qv) AS BIGINT) AS sum_ij_e6
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        "mmr_diverse_topk": _mmr_sql(),
+        "hard_negative_mining": """
+    WITH ev AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+                 x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5)
+                           AS BIGINT) AS DOUBLE)) AS q
+      FROM embeddings
+    ),
+    anch AS (
+      SELECT label AS anchor_label, vec_id AS avid, q AS aq FROM (
+        SELECT label, vec_id, q,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM ev)
+      WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.anchor_label, e.vec_id, e.label AS neg_label,
+             CAST(list_dot_product(e.q, a.aq) AS BIGINT) AS dot_e6
+      FROM ev e JOIN anch a
+        ON e.label <> a.anchor_label AND e.vec_id <> a.avid
+    )
+    SELECT anchor_label, CAST(rank AS BIGINT) AS rank, vec_id,
+           neg_label, dot_e6
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_label
+                                   ORDER BY dot_e6 DESC, vec_id) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY anchor_label, rank""",
+        "tpch_q7_volume_shipping": """
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, l.l_year,
+           CAST(SUM(l.rev) AS BIGINT) AS revenue_e4
+    FROM l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "tpch_q10_returned_revenue": """
+    WITH rev AS (
+      SELECT o.o_custkey AS c_custkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+                 AS revenue_e4
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT r.c_custkey, c.c_name, n.n_name,
+           CAST(r.revenue_e4 AS BIGINT) AS revenue_e4
+    FROM rev r
+    JOIN customer c ON r.c_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY r.revenue_e4 DESC, r.c_custkey LIMIT 20""",
+        "tpch_q14_promo_share": """
+    WITH l AS (
+      SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+             p.p_type,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                AS BIGINT) AS promo_rev_e4,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_e4
+    FROM l GROUP BY 1 ORDER BY 1""",
+        "tpch_q15_top_supplier": """
+    WITH r AS (
+      SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS total_revenue_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT r.s_suppkey, s.s_name,
+           CAST(r.total_revenue_e4 AS BIGINT) AS total_revenue_e4
+    FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+    WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM r)
+    ORDER BY r.s_suppkey""",
+        "tpch_q22_idle_customers": """
+    WITH cb AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_pos, SUM(bal) AS sum_pos FROM cb WHERE bal > 0
+    )
+    SELECT CAST(cb.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cb.bal) AS BIGINT) AS totbal_e2
+    FROM cb, g
+    WHERE cb.bal * g.n_pos > g.sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = cb.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY 1 ORDER BY 1""",
         "customer_reorder_gaps": """
     WITH o AS (

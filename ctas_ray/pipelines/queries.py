@@ -539,6 +539,9 @@ def token_vocabulary_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     full vocabulary never collects anywhere."""
     from ..functions.text import WS_RE
 
+    docs = _docs(sf_dir)
+    nvp = _vocab_parts(docs)
+
     def batch_counts(b: pd.DataFrame) -> pd.DataFrame:
         toks: list = []
         for text in b["text"]:
@@ -551,7 +554,7 @@ def token_vocabulary_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
         u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         part = (
             pd.util.hash_pandas_object(pd.Series(u), index=False).to_numpy()
-            % NUM_VOCAB_PARTS
+            % nvp
         ).astype(np.int64)
         return pd.DataFrame({"token": u, "n": c.astype(np.int64), "part": part})
 
@@ -561,7 +564,7 @@ def token_vocabulary_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
         return agg.head(k)
 
     out = (
-        _docs(sf_dir)
+        docs
         .map_batches(batch_counts, batch_format="pandas")
         .groupby("part")
         .map_groups(part_topk, batch_format="pandas")
@@ -571,7 +574,13 @@ def token_vocabulary_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     return out.head(k).reset_index(drop=True)
 
 
-NUM_VOCAB_PARTS = 32
+def _vocab_parts(docs: rd.Dataset) -> int:
+    """Token-keyed partition count for the vocabulary exchanges, sized
+    from the corpus bytes (vocabulary size grows with the corpus;
+    a fixed 32 caps both the parallelism and the per-partition token
+    state at 100-TB scale). Results are token-hash exact and invariant
+    to the count (tests/test_partitioning.py)."""
+    return parts_for(docs)
 
 
 def stratified_sample(sf_dir: str, rate_pct: int = 20) -> pd.DataFrame:
@@ -616,6 +625,9 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
     aggregation — postings never concentrate on the driver."""
     from ..functions.text import WS_RE
 
+    docs = _docs(sf_dir)
+    nvp = _vocab_parts(docs)
+
     def batch_pairs(b: pd.DataFrame) -> pd.DataFrame:
         toks: list = []
         dids: list = []
@@ -632,7 +644,7 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
         tok_arr = np.asarray(toks, dtype=object)
         part = (
             pd.util.hash_pandas_object(pd.Series(tok_arr), index=False).to_numpy()
-            % NUM_VOCAB_PARTS
+            % nvp
         ).astype(np.int64)
         return pd.DataFrame(
             {"token": tok_arr, "doc_id": np.asarray(dids, dtype=np.int64),
@@ -649,7 +661,7 @@ def inverted_index(sf_dir: str) -> pd.DataFrame:
         return agg
 
     out = (
-        _docs(sf_dir)
+        docs
         .map_batches(batch_pairs, batch_format="pandas")
         .groupby("part")
         .map_groups(part_index, batch_format="pandas")
@@ -2709,14 +2721,17 @@ def conv_turn_taking(sf_dir: str) -> pd.DataFrame:
             agg[c] = agg[c].astype(np.int64)
         return agg
 
+    tx = transcripts_from_events(sf_dir)
+    nparts = parts_for(tx)
+
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["part"] = (
-            pd.util.hash_pandas_object(b["conv_id"], index=False).to_numpy() % 32
+            pd.util.hash_pandas_object(b["conv_id"], index=False).to_numpy()
+            % nparts
         ).astype(np.int64)
         return b
 
-    tx = transcripts_from_events(sf_dir)
     out = (
         tx.map_batches(add_part, batch_format="pandas")
         .groupby("part")
@@ -8252,3 +8267,834 @@ def tier_cascade_audit(sf_dir: str) -> pd.DataFrame:
     out["n_hours"] = out["n_hours"].astype(np.int64)
     out["n_mismatch"] = out["n_mismatch"].astype(np.int64)
     return out.sort_values("channel").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 relational shapes: Q7 / Q10 / Q14 / Q15 / Q22
+# ---------------------------------------------------------------------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_SHIP_WINDOW = ("1995-01-01", "1997-01-01")
+
+
+def tpch_q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q7-shaped volume-shipping report: revenue shipped
+    between two nations per (supplier nation, customer nation, ship
+    year), both directions. The two FACT tables (lineitem, orders)
+    hash-partition on orderkey into ONE kind-tagged union exchange;
+    the customer->nation and supplier->nation sides are broadcast maps
+    resolved inside the scan projections (dimension lookups, never
+    shuffled). Revenue = extendedprice * (1 - discount) as exact e4
+    integers (e2 price x e2 (100-disc))."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cnat = dict(
+        zip(cust["c_custkey"].astype(int),
+            cust["c_nationkey"].astype(int).map(nname))
+    )
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    snat = dict(
+        zip(supp["s_suppkey"].astype(int),
+            supp["s_nationkey"].astype(int).map(nname))
+    )
+    pair = set(Q7_NATIONS)
+    lo = np.datetime64(Q7_SHIP_WINDOW[0], "us")
+    hi = np.datetime64(Q7_SHIP_WINDOW[1], "us")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        cn = b["o_custkey"].astype(int).map(cnat)
+        keep = cn.isin(pair).to_numpy()
+        ok = b["o_orderkey"].to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "okey": ok,
+                "nat": cn.to_numpy(object)[keep],
+                "year": np.zeros(len(ok), np.int64),
+                "rev": np.zeros(len(ok), np.int64),
+                "kind": np.zeros(len(ok), np.int8),
+                "part": ok % nparts,
+            }
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        sn = b["l_suppkey"].astype(int).map(snat)
+        d = b["l_shipdate"].to_numpy("datetime64[us]")
+        keep = sn.isin(pair).to_numpy() & (d >= lo) & (d < hi)
+        ok = b["l_orderkey"].to_numpy(np.int64)[keep]
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64)[keep], 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64)[keep], 100.0)
+        year = d[keep].astype("datetime64[Y]").astype(np.int64) + 1970
+        return pd.DataFrame(
+            {
+                "okey": ok,
+                "nat": sn.to_numpy(object)[keep],
+                "year": year,
+                "rev": price * (100 - disc),
+                "kind": np.ones(len(ok), np.int8),
+                "part": ok % nparts,
+            }
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"supp_nation": pd.Series([], dtype=object),
+                 "cust_nation": pd.Series([], dtype=object),
+                 "l_year": np.empty(0, np.int64),
+                 "revenue_e4": np.empty(0, np.int64)}
+            )
+        cn = pd.Series(o["nat"].to_numpy(), index=o["okey"].to_numpy())
+        lm = l[l["okey"].isin(set(cn.index))].copy()
+        lm["cust_nation"] = cn.reindex(lm["okey"]).to_numpy()
+        lm = lm[lm["nat"] != lm["cust_nation"]]
+        out = (
+            lm.groupby(["nat", "cust_nation", "year"], sort=False)["rev"]
+            .sum().reset_index()
+            .rename(columns={"nat": "supp_nation", "year": "l_year",
+                             "rev": "revenue_e4"})
+        )
+        out["l_year"] = out["l_year"].astype(np.int64)
+        out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+        return out
+
+    out = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    if "supp_nation" not in out.columns:  # all-partitions-empty result
+        out = pd.DataFrame(
+            {"supp_nation": pd.Series([], dtype=object),
+             "cust_nation": pd.Series([], dtype=object),
+             "l_year": np.empty(0, np.int64),
+             "revenue_e4": np.empty(0, np.int64)}
+        )
+    out = out.groupby(
+        ["supp_nation", "cust_nation", "l_year"], as_index=False
+    )["revenue_e4"].sum()
+    out["l_year"] = out["l_year"].astype(np.int64)
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"]
+    ).reset_index(drop=True)
+
+
+Q10_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def tpch_q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q10-shaped returned-item report: revenue lost to
+    returned lineitems (returnflag = 'R') for orders placed in one
+    quarter, top 20 customers by revenue (ties -> custkey asc).
+    orderkey-partitioned union exchange of the two fact scans; the
+    per-customer partials (tiny) merge on the driver; customer name /
+    nation decorate the final 20 rows from broadcast maps."""
+    import pyarrow.parquet as pq_
+
+    lo = np.datetime64(Q10_WINDOW[0], "us")
+    hi = np.datetime64(Q10_WINDOW[1], "us")
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy("datetime64[us]")
+        keep = (d >= lo) & (d < hi)
+        ok = b["o_orderkey"].to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "okey": ok,
+                "ckey": b["o_custkey"].to_numpy(np.int64)[keep],
+                "rev": np.zeros(len(ok), np.int64),
+                "kind": np.zeros(len(ok), np.int8),
+                "part": ok % nparts,
+            }
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["l_returnflag"] == "R").to_numpy()
+        ok = b["l_orderkey"].to_numpy(np.int64)[keep]
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64)[keep], 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64)[keep], 100.0)
+        return pd.DataFrame(
+            {
+                "okey": ok,
+                "ckey": np.zeros(len(ok), np.int64),
+                "rev": price * (100 - disc),
+                "kind": np.ones(len(ok), np.int8),
+                "part": ok % nparts,
+            }
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"c_custkey": np.empty(0, np.int64),
+                 "revenue_e4": np.empty(0, np.int64)}
+            )
+        ck = pd.Series(o["ckey"].to_numpy(), index=o["okey"].to_numpy())
+        lm = l[l["okey"].isin(set(ck.index))].copy()
+        lm["c_custkey"] = ck.reindex(lm["okey"]).to_numpy()
+        out = lm.groupby("c_custkey", sort=False)["rev"].sum().reset_index()
+        out = out.rename(columns={"rev": "revenue_e4"})
+        out["c_custkey"] = out["c_custkey"].astype(np.int64)
+        out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+        return out
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("c_custkey", as_index=False)["revenue_e4"].sum()
+    agg = agg.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cmap = cust.set_index("c_custkey")
+    agg["c_name"] = cmap["c_name"].reindex(agg["c_custkey"]).to_numpy()
+    agg["n_name"] = (
+        cmap["c_nationkey"].reindex(agg["c_custkey"]).astype(int).map(nname).to_numpy()
+    )
+    agg["c_custkey"] = agg["c_custkey"].astype(np.int64)
+    agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
+    return agg[
+        ["c_custkey", "c_name", "n_name", "revenue_e4"]
+    ].reset_index(drop=True)
+
+
+def tpch_q14_promo_share(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q14-shaped promotion-revenue share per ship month
+    of 1996: numerator (PROMO-part revenue) and denominator (all
+    revenue) as exact e4 integers — no float division crosses the
+    exchange, consumers divide at display time. Part type is a
+    broadcast partkey->is_promo map; one fact scan with per-block
+    partial aggregation per month."""
+    import pyarrow.parquet as pq_
+
+    part_t = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    promo = dict(
+        zip(part_t["p_partkey"].astype(int),
+            (part_t["p_type"] == "PROMO").astype(int))
+    )
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy("datetime64[us]")
+        keep = (d >= lo) & (d < hi)
+        if not keep.any():
+            return pd.DataFrame(
+                {"ship_month": np.empty(0, np.int64),
+                 "promo_rev_e4": np.empty(0, np.int64),
+                 "total_rev_e4": np.empty(0, np.int64)}
+            )
+        b = b[keep]
+        month = (
+            d[keep].astype("datetime64[M]").astype(np.int64)
+            - np.datetime64("1996-01", "M").astype(np.int64) + 1
+        )
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64), 100.0)
+        rev = price * (100 - disc)
+        isp = b["l_partkey"].astype(int).map(promo).to_numpy(np.int64)
+        d2 = pd.DataFrame(
+            {"ship_month": month, "promo_rev_e4": rev * isp,
+             "total_rev_e4": rev}
+        )
+        return d2.groupby("ship_month", as_index=False).sum()
+
+    out = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.groupby("ship_month", as_index=False)[
+        ["promo_rev_e4", "total_rev_e4"]
+    ].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("ship_month").reset_index(drop=True)
+
+
+Q15_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q15-shaped top supplier: revenue per supplier over
+    one ship quarter, return the supplier(s) achieving the global max
+    (ties all, suppkey asc). Per-block partial sums per suppkey (the
+    supplier key space is dimension-sized, so partials stay tiny);
+    the global max + tie filter run on the merged partials driver-side;
+    names decorate from the broadcast supplier table."""
+    import pyarrow.parquet as pq_
+
+    lo = np.datetime64(Q15_WINDOW[0], "us")
+    hi = np.datetime64(Q15_WINDOW[1], "us")
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy("datetime64[us]")
+        keep = (d >= lo) & (d < hi)
+        if not keep.any():
+            return pd.DataFrame(
+                {"s_suppkey": np.empty(0, np.int64),
+                 "total_revenue_e4": np.empty(0, np.int64)}
+            )
+        b = b[keep]
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64), 100.0)
+        d2 = pd.DataFrame(
+            {"s_suppkey": b["l_suppkey"].to_numpy(np.int64),
+             "total_revenue_e4": price * (100 - disc)}
+        )
+        return d2.groupby("s_suppkey", as_index=False).sum()
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("s_suppkey", as_index=False)["total_revenue_e4"].sum()
+    best = agg[agg["total_revenue_e4"] == agg["total_revenue_e4"].max()].copy()
+
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas().set_index("s_suppkey")
+    best["s_name"] = supp["s_name"].reindex(best["s_suppkey"]).to_numpy()
+    best["s_suppkey"] = best["s_suppkey"].astype(np.int64)
+    best["total_revenue_e4"] = best["total_revenue_e4"].astype(np.int64)
+    return best[["s_suppkey", "s_name", "total_revenue_e4"]].sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
+
+
+Q22_IDLE_SINCE = "2000-01-01"
+
+
+def tpch_q22_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q22-shaped idle-customer analysis: customers whose
+    account balance exceeds the global average POSITIVE balance and who
+    have placed NO orders since Q22_IDLE_SINCE, counted per nation with
+    balance totals. The above-average test is cross-multiplied integer
+    math (bal_e2 * n_pos > sum_pos_e2) so no float division is
+    compared; the no-recent-orders anti-join is a custkey-partitioned
+    union exchange of the customer rows against the orders scan's
+    distinct-custkey partials — neither side broadcasts, both scale."""
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    since = np.datetime64(Q22_IDLE_SINCE, "us")
+    nparts = adaptive_parts(
+        (dataset_nbytes(cust) or 0) + (dataset_nbytes(orders) or 0)
+    )
+
+    # pass 1: global positive-balance average as exact integer partials
+    def bal_partials(b: pd.DataFrame) -> pd.DataFrame:
+        bal = _scaled_int(b["c_acctbal"].to_numpy(np.float64), 100.0)
+        pos = bal > 0
+        return pd.DataFrame(
+            {"n_pos": [int(pos.sum())], "sum_pos_e2": [int(bal[pos].sum())]}
+        )
+
+    gp = cust.map_batches(bal_partials, batch_format="pandas").to_pandas()
+    n_pos = int(gp["n_pos"].sum())
+    sum_pos_e2 = int(gp["sum_pos_e2"].sum())
+
+    # pass 2: anti-join via union exchange on custkey
+    def c_rows(b: pd.DataFrame) -> pd.DataFrame:
+        bal = _scaled_int(b["c_acctbal"].to_numpy(np.float64), 100.0)
+        keep = bal * n_pos > sum_pos_e2
+        ck = b["c_custkey"].to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "ckey": ck,
+                "nkey": b["c_nationkey"].to_numpy(np.int64)[keep],
+                "bal_e2": bal[keep],
+                "kind": np.zeros(len(ck), np.int8),
+                "part": ck % nparts,
+            }
+        )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy("datetime64[us]")
+        ck = np.unique(b["o_custkey"].to_numpy(np.int64)[d >= since])
+        return pd.DataFrame(
+            {
+                "ckey": ck,
+                "nkey": np.zeros(len(ck), np.int64),
+                "bal_e2": np.zeros(len(ck), np.int64),
+                "kind": np.ones(len(ck), np.int8),
+                "part": ck % nparts,
+            }
+        )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["kind"] == 0]
+        has = set(g.loc[g["kind"] == 1, "ckey"].to_numpy())
+        sel = c[~c["ckey"].isin(has)]
+        if len(sel) == 0:
+            return pd.DataFrame(
+                {"c_nationkey": np.empty(0, np.int64),
+                 "n_customers": np.empty(0, np.int64),
+                 "totbal_e2": np.empty(0, np.int64)}
+            )
+        out = sel.groupby("nkey", sort=False).agg(
+            n_customers=("ckey", "size"), totbal_e2=("bal_e2", "sum")
+        ).reset_index().rename(columns={"nkey": "c_nationkey"})
+        return out
+
+    out = (
+        cust.map_batches(c_rows, batch_format="pandas")
+        .union(orders.map_batches(o_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(anti, batch_format="pandas")
+        .to_pandas()
+    )
+    if "c_nationkey" not in out.columns:  # all-partitions-empty result
+        out = pd.DataFrame(
+            {"c_nationkey": np.empty(0, np.int64),
+             "n_customers": np.empty(0, np.int64),
+             "totbal_e2": np.empty(0, np.int64)}
+        )
+    out = out.groupby("c_nationkey", as_index=False).agg(
+        n_customers=("n_customers", "sum"), totbal_e2=("totbal_e2", "sum")
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 embedding analytics: covariance partials, MMR selection,
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def _quantized_embeddings(b: pd.DataFrame, scale: float = 1000.0) -> np.ndarray:
+    """Stack a batch's embedding column into an int64 (n, d) matrix on
+    the e3 grid — e3 keeps every pairwise product term exactly
+    representable (|q| <= ~1e3 -> products <= 1e6, 64-dim sums << 2^53)
+    so float matmuls of these integers are bit-exact."""
+    m = np.stack(b["embedding"].to_numpy())
+    return np.floor(m.astype(np.float64) * scale + 0.5).astype(np.int64)
+
+
+def embedding_covariance_upper(sf_dir: str) -> pd.DataFrame:
+    """[graft] Exact integer covariance partials over the embedding
+    table: for every dim pair i <= j, the global (n, sum_i, sum_j,
+    sum_ij) on the e3 grid — the input PCA / whitening needs, reduced
+    to d*(d+1)/2 rows. Per-block partials are one int64 matmul
+    (Q^T Q upper triangle); only dim-pair partials ship, never vectors.
+    At 1e10+ rows the e3 grid keeps n * sum_ij inside int64; consumers
+    form cov = (n*sum_ij - sum_i*sum_j) / n^2 downstream."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"dim_i": np.empty(0, np.int64), "dim_j": np.empty(0, np.int64),
+                 "n": np.empty(0, np.int64), "sum_i_e3": np.empty(0, np.int64),
+                 "sum_j_e3": np.empty(0, np.int64),
+                 "sum_ij_e6": np.empty(0, np.int64)}
+            )
+        qm = _quantized_embeddings(b)
+        d = qm.shape[1]
+        g = qm.T @ qm  # int64 exact
+        s = qm.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "dim_i": (iu + 1).astype(np.int64),
+                "dim_j": (ju + 1).astype(np.int64),
+                "n": np.full(len(iu), len(b), np.int64),
+                "sum_i_e3": s[iu],
+                "sum_j_e3": s[ju],
+                "sum_ij_e6": g[iu, ju],
+            }
+        )
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["dim_i", "dim_j"], as_index=False)[
+        ["n", "sum_i_e3", "sum_j_e3", "sum_ij_e6"]
+    ].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+
+
+MMR_K = 8
+MMR_POOL = 32
+
+
+def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
+    """[graft] Maximal-marginal-relevance diverse top-k: greedy
+    selection of MMR_K vectors maximizing 2*relevance - max-similarity-
+    to-selected, over a relevance top-MMR_POOL candidate pool. All
+    scores are exact integer dot products on the e3 grid (e6 results).
+    Scale shape: the POOL is the only thing that leaves the cluster —
+    per-batch partial top-pool (dot + vector payload of pool size), a
+    driver merge, then the O(k * pool) greedy walk on 32 rows. The
+    quadratic step never touches the full dataset. Ties break to the
+    smaller vec_id at every argmax."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # query = vector with the global min vec_id (tiny driver read of one
+    # row via a filtered scan would also work; the table here is the
+    # same one we stream below)
+    ids = t.column("vec_id").to_numpy()
+    min_ix = int(np.argmin(ids))
+    qv = np.floor(
+        np.asarray(t.column("embedding")[min_ix].as_py(), np.float64) * 1000.0
+        + 0.5
+    ).astype(np.int64)
+    qref = ray.put(qv)
+
+    def pool_partial(b: pd.DataFrame) -> pd.DataFrame:
+        qv_l = ray.get(qref)
+        qm = _quantized_embeddings(b)
+        rel = qm @ qv_l
+        order = np.lexsort((b["vec_id"].to_numpy(np.int64), -rel))[:MMR_POOL]
+        sel = b.iloc[order]
+        return pd.DataFrame(
+            {
+                "vec_id": sel["vec_id"].to_numpy(np.int64),
+                "rel_e6": rel[order],
+                "qvec": [qm[i].tobytes() for i in order],
+            }
+        )
+
+    pool = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(pool_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    pool = pool.sort_values(
+        ["rel_e6", "vec_id"], ascending=[False, True], kind="mergesort"
+    ).head(MMR_POOL).reset_index(drop=True)
+    vecs = np.stack(
+        [np.frombuffer(x, np.int64) for x in pool["qvec"]]
+    )
+    rel = pool["rel_e6"].to_numpy(np.int64)
+    vids = pool["vec_id"].to_numpy(np.int64)
+    sims = vecs @ vecs.T  # pool x pool integer dots
+
+    selected: list[int] = []
+    rows = []
+    remaining = list(range(len(pool)))
+    for rank in range(1, MMR_K + 1):
+        best_ix, best_score = None, None
+        for i in remaining:
+            if selected:
+                score = 2 * rel[i] - max(sims[i, j] for j in selected)
+            else:
+                score = 2 * rel[i]
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and vids[i] < vids[best_ix])
+            ):
+                best_ix, best_score = i, score
+        selected.append(best_ix)
+        remaining.remove(best_ix)
+        rows.append(
+            {"rank": rank, "vec_id": int(vids[best_ix]),
+             "score_e6": int(best_score)}
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+HARDNEG_K = 5
+
+
+def hard_negative_mining(sf_dir: str) -> pd.DataFrame:
+    """[graft] Hard-negative mining for contrastive training: for each
+    label's anchor (min vec_id per label), the HARDNEG_K most similar
+    vectors carrying a DIFFERENT label — integer e3-grid dot products,
+    ties to the smaller vec_id. The anchor matrix broadcasts via
+    ray.put once; each batch does one (n x d) @ (d x L) matmul and
+    ships only its per-anchor top-k partials."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).to_pandas()
+    anchors = (
+        t.sort_values("vec_id").groupby("label", as_index=False).first()
+    )
+    amat = np.stack(
+        [np.floor(np.asarray(e, np.float64) * 1000.0 + 0.5).astype(np.int64)
+         for e in anchors["embedding"]]
+    )
+    albl = anchors["label"].to_numpy(np.int64)
+    aids = anchors["vec_id"].to_numpy(np.int64)
+    aref = ray.put((amat, albl, aids))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        amat_l, albl_l, aids_l = ray.get(aref)
+        qm = _quantized_embeddings(b)
+        dots = qm @ amat_l.T  # n x L
+        vid = b["vec_id"].to_numpy(np.int64)
+        lbl = b["label"].to_numpy(np.int64)
+        frames = []
+        for qi in range(len(albl_l)):
+            mask = (lbl != albl_l[qi]) & (vid != aids_l[qi])
+            if not mask.any():
+                continue
+            d = dots[mask, qi]
+            v = vid[mask]
+            lb = lbl[mask]
+            order = np.lexsort((v, -d))[:HARDNEG_K]
+            frames.append(
+                pd.DataFrame(
+                    {"anchor_label": np.full(len(order), albl_l[qi], np.int64),
+                     "vec_id": v[order], "neg_label": lb[order],
+                     "dot_e6": d[order]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"anchor_label": np.empty(0, np.int64),
+                 "vec_id": np.empty(0, np.int64),
+                 "neg_label": np.empty(0, np.int64),
+                 "dot_e6": np.empty(0, np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["anchor_label", "dot_e6", "vec_id"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    parts["rank"] = parts.groupby("anchor_label").cumcount() + 1
+    out = parts[parts["rank"] <= HARDNEG_K].reset_index(drop=True)
+    for c in ["anchor_label", "vec_id", "neg_label", "dot_e6", "rank"]:
+        out[c] = out[c].astype(np.int64)
+    return out[["anchor_label", "rank", "vec_id", "neg_label", "dot_e6"]]
+
+
+# ---------------------------------------------------------------------------
+# round-4 event-stream analytics: interval coverage, windowed top-k,
+# seasonal day-over-day deltas
+# ---------------------------------------------------------------------------
+
+COVERAGE_WINDOW_US = 300 * 1_000_000  # 5-minute activity intervals
+
+
+def interval_union_coverage(sf_dir: str) -> pd.DataFrame:
+    """[graft] Per-user activity coverage: union of [ts, ts + 5 min)
+    intervals — merged interval count and total covered microseconds
+    (the classic gaps-and-islands shape, the utilization/billing
+    primitive). One user-salted exchange; inside a partition the merge
+    is a vectorized sweep (sort by (user, ts), new-island flag where
+    the gap exceeds the window, segment-id cumsum) — no Python loop,
+    no pairwise join."""
+    ev = _events(sf_dir, columns=["user_id", "ts"])
+    nparts = parts_for(ev)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["user_id"].to_numpy() % np.int64(nparts)).astype(np.int64)
+        return b
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        end = t + COVERAGE_WINDOW_US
+        # new island where user changes or the gap to the running
+        # interval end exceeds 0; running end via per-user cummax
+        new_user = np.empty(len(u), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        # running max of interval ends within user: since ts sorted,
+        # end is monotonically increasing per user (fixed width), so
+        # prev end = end[i-1]
+        gap = np.empty(len(u), bool)
+        gap[0] = True
+        gap[1:] = t[1:] >= end[:-1]
+        island = new_user | gap
+        seg = np.cumsum(island) - 1
+        segs = pd.DataFrame({"user_id": u, "seg": seg, "start": t, "end": end})
+        agg = segs.groupby(["user_id", "seg"], sort=False).agg(
+            s=("start", "min"), e=("end", "max")
+        ).reset_index()
+        cov = agg.assign(dur=agg["e"] - agg["s"]).groupby(
+            "user_id", sort=False
+        ).agg(n_intervals=("seg", "size"), covered_us=("dur", "sum")).reset_index()
+        cov["n_intervals"] = cov["n_intervals"].astype(np.int64)
+        cov["covered_us"] = cov["covered_us"].astype(np.int64)
+        return cov
+
+    out = (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(cover, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+TOPK_WINDOW_US = 6 * 3600 * 1_000_000  # 6h tumbling windows
+
+
+def windowed_topk_event_types(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """[graft] Per-window top-k event types: 6h tumbling windows, the
+    k most frequent event types per window (ties -> type asc) — the
+    "trending now" report. Mergeable count partials per (window, type)
+    per block; the merged partial table is windows x types (tiny at
+    any scale since both are bounded), ranked on the driver."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            // TOPK_WINDOW_US * TOPK_WINDOW_US
+        )
+        d = pd.DataFrame({"window_us": w, "event_type": b["event_type"].to_numpy()})
+        g = d.groupby(["window_us", "event_type"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    parts = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["window_us", "event_type"], as_index=False)["n"].sum()
+    agg = agg.sort_values(
+        ["window_us", "n", "event_type"],
+        ascending=[True, False, True], kind="mergesort",
+    )
+    agg["rank"] = agg.groupby("window_us").cumcount() + 1
+    out = agg[agg["rank"] <= k].reset_index(drop=True)
+    out["window_us"] = out["window_us"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["window_us", "rank", "event_type", "n"]]
+
+
+def hourly_seasonal_delta(sf_dir: str) -> pd.DataFrame:
+    """[graft] Seasonal-naive day-over-day deltas on hourly volume
+    sums: for each (event_type, hour-of-day), the largest absolute
+    change between consecutive days carrying that hour (e2-quantized
+    value sums — integer-exact), with the day it happened (earliest
+    day on ties). The 'did today's 9am look like yesterday's 9am'
+    anomaly screen. Mergeable (type, day, hour) partials; the
+    day-over-day diff runs on the merged per-type frame, which is
+    bounded by days x 24 regardless of input rows."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]  # SUM skips NULLs on the SQL side
+        t = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        day = t // 86_400_000_000
+        hour = t % 86_400_000_000 // 3_600_000_000
+        v = _scaled_int(b["value"].to_numpy(np.float64), 100.0)
+        d = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(), "day": day,
+             "hour": hour, "sum_e2": v}
+        )
+        return d.groupby(
+            ["event_type", "day", "hour"], as_index=False
+        )["sum_e2"].sum()
+
+    parts = (
+        _events(sf_dir, columns=["ts", "event_type", "value"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["event_type", "day", "hour"], as_index=False)[
+        "sum_e2"
+    ].sum()
+    agg = agg.sort_values(["event_type", "hour", "day"], kind="mergesort")
+    prev_day = agg.groupby(["event_type", "hour"])["day"].shift(1)
+    prev_sum = agg.groupby(["event_type", "hour"])["sum_e2"].shift(1)
+    consecutive = (agg["day"] - prev_day) == 1
+    d = agg[consecutive].copy()
+    d["delta_e2"] = (d["sum_e2"] - prev_sum[consecutive]).astype(np.int64)
+    d["abs_delta"] = d["delta_e2"].abs()
+    d = d.sort_values(
+        ["event_type", "abs_delta", "day", "hour"],
+        ascending=[True, False, True, True], kind="mergesort",
+    )
+    out = d.groupby("event_type", as_index=False).first()[
+        ["event_type", "day", "hour", "delta_e2"]
+    ]
+    for c in ["day", "hour", "delta_e2"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
