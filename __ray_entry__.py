@@ -187,6 +187,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_topk_event_types": q.windowed_topk_event_types,
         # seasonal day-over-day hourly-volume deltas — hash-verified
         "hourly_seasonal_delta": q.hourly_seasonal_delta,
+        # per-doc corpus-hapax token exposure — hash-verified
+        "rare_token_share": q.rare_token_share,
+        # corpus-order trigram novelty per doc — hash-verified
+        "trigram_novelty": q.trigram_novelty,
+        # session-bounded event-type transition counts — hash-verified
+        "session_transition_matrix": q.session_transition_matrix,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -1991,6 +1997,51 @@ def oracle_sql() -> dict[str, str]:
     WHERE epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
           > 30 * 86400000000
     GROUP BY 1 ORDER BY 1""",
+        "rare_token_share": """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    g AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN g.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+    FROM toks t JOIN g ON t.token = g.token
+    GROUP BY 1 ORDER BY 1""",
+        "trigram_novelty": """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS tri
+      FROM toks, UNNEST(range(1, GREATEST(len(ts) - 1, 1))) AS u(i)
+    ),
+    fst AS (SELECT tri, MIN(doc_id) AS fdoc FROM tri GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN f.fdoc = t.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM tri t JOIN fst f ON t.tri = f.tri
+    GROUP BY 1 ORDER BY 1""",
+        "session_transition_matrix": """
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER w AS prev_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM o WHERE gap IS NOT NULL AND gap <= 1800000000
+    GROUP BY 1, 2 ORDER BY 1, 2""",
         "interval_union_coverage": """
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS t,

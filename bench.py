@@ -12,6 +12,11 @@ Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
 num_cpus=8 and 32 on the same input and reports both throughputs plus
 the scaling efficiency (the sandbox stand-in for the N-vs-4N-node
 criterion in BASELINE.json; see BASELINE.md).
+
+All walls here are LOAD-SENSITIVE: a concurrent job on the box inflates
+them 1.5-2x (observed round 3 vs the idle-box reruns in BASELINE.md).
+Compare numbers only across runs taken on an idle box; the median-of-5
+protocol in scripts/scaling_median.py exists for the same reason.
 """
 
 from __future__ import annotations

@@ -9098,3 +9098,183 @@ def hourly_seasonal_delta(sf_dir: str) -> pd.DataFrame:
     for c in ["day", "hour", "delta_e2"]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 corpus-rarity / novelty / session-transition analytics
+# ---------------------------------------------------------------------------
+
+
+def rare_token_share(sf_dir: str) -> pd.DataFrame:
+    """[graft] Per-document hapax exposure: total token occurrences and
+    how many are corpus-hapax (global occurrence count == 1) — the
+    rarity signal quality filters use to catch OCR noise / mojibake.
+    One token-hash exchange carries (token, doc, per-doc count)
+    partials; a partition owns each token fully, so hapax status is
+    decided locally and only per-doc counter partials return. The
+    vocabulary never concentrates anywhere."""
+    from ..functions.text import WS_RE
+
+    docs = _docs(sf_dir)
+    nvp = _vocab_parts(docs)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        dids: list = []
+        for did, text in zip(b["doc_id"], b["text"]):
+            ts = [t for t in WS_RE.split(text.strip()) if t]
+            toks.extend(ts)
+            dids.extend([did] * len(ts))
+        if not toks:
+            return pd.DataFrame(
+                {"token": np.empty(0, object), "doc_id": np.empty(0, np.int64),
+                 "n_td": np.empty(0, np.int64), "part": np.empty(0, np.int64)}
+            )
+        d = pd.DataFrame(
+            {"token": np.asarray(toks, object),
+             "doc_id": np.asarray(dids, np.int64)}
+        )
+        g = d.groupby(["token", "doc_id"], sort=False).size().rename("n_td").reset_index()
+        g["part"] = (
+            pd.util.hash_pandas_object(g["token"], index=False).to_numpy()
+            % nvp
+        ).astype(np.int64)
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", sort=False)["n_td"].transform("sum")
+        g = g.assign(hapax=((tot == 1) & (g["n_td"] == 1)).astype(np.int64))
+        out = g.groupby("doc_id", sort=False).agg(
+            n_tokens=("n_td", "sum"), n_hapax=("hapax", "sum")
+        ).reset_index()
+        return out
+
+    parts = (
+        docs
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("doc_id", as_index=False)[["n_tokens", "n_hapax"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def trigram_novelty(sf_dir: str) -> pd.DataFrame:
+    """[graft] Corpus-order trigram novelty: per document, the number
+    of distinct word 3-grams and how many appear for the FIRST time
+    (no lower doc_id carries them) — the dedup-adjacent freshness
+    curve a crawl-ordered corpus is monitored with. Same token-hash
+    exchange discipline as rare_token_share: a partition owns each
+    trigram, takes min(doc_id), and returns per-doc counter
+    partials."""
+    from ..functions.text import WS_RE
+
+    docs = _docs(sf_dir)
+    nvp = _vocab_parts(docs)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        tris: list = []
+        dids: list = []
+        for did, text in zip(b["doc_id"], b["text"]):
+            ts = [t for t in WS_RE.split(text.strip()) if t]
+            if len(ts) < 3:
+                continue
+            seen = {
+                " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+            }
+            tris.extend(seen)
+            dids.extend([did] * len(seen))
+        if not tris:
+            return pd.DataFrame(
+                {"tri": np.empty(0, object), "doc_id": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        d = pd.DataFrame(
+            {"tri": np.asarray(tris, object),
+             "doc_id": np.asarray(dids, np.int64)}
+        )
+        d["part"] = (
+            pd.util.hash_pandas_object(d["tri"], index=False).to_numpy()
+            % nvp
+        ).astype(np.int64)
+        return d
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("tri", sort=False)["doc_id"].transform("min")
+        g = g.assign(novel=(g["doc_id"] == first).astype(np.int64))
+        return g.groupby("doc_id", sort=False).agg(
+            n_trigrams=("tri", "size"), n_novel=("novel", "sum")
+        ).reset_index()
+
+    parts = (
+        docs
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("doc_id", as_index=False)[["n_trigrams", "n_novel"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SESSION_TRANSITION_GAP_US = 1800 * 1_000_000  # 30-minute session bound
+
+
+def session_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """[graft] Session-scoped event-type transition counts: consecutive
+    event pairs of the same user closer than 30 minutes — the Markov
+    transition input with session boundaries respected (unlike
+    event_bigram_counts, which chains across any gap). User-salted
+    exchange, vectorized shift inside each partition."""
+    ev = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = parts_for(ev)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["user_id"].to_numpy() % np.int64(nparts)).astype(np.int64)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        order = np.lexsort((e, t, u))
+        u, t, typ = u[order], t[order], typ[order]
+        same = np.empty(len(u), bool)
+        same[0] = False
+        same[1:] = (u[1:] == u[:-1]) & ((t[1:] - t[:-1]) <= SESSION_TRANSITION_GAP_US)
+        if not same.any():
+            return pd.DataFrame(
+                {"from_type": pd.Series([], dtype=object),
+                 "to_type": pd.Series([], dtype=object),
+                 "n": np.empty(0, np.int64)}
+            )
+        prev = np.roll(typ, 1)
+        d = pd.DataFrame(
+            {"from_type": prev[same], "to_type": typ[same]}
+        )
+        out = d.groupby(["from_type", "to_type"], sort=False).size().rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "from_type" not in parts.columns:
+        parts = pd.DataFrame(
+            {"from_type": pd.Series([], dtype=object),
+             "to_type": pd.Series([], dtype=object),
+             "n": np.empty(0, np.int64)}
+        )
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
