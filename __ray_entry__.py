@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_novelty": q.trigram_novelty,
         # session-bounded event-type transition counts — hash-verified
         "session_transition_matrix": q.session_transition_matrix,
+        # labeled-vs-heuristic language confusion matrix — hash-verified
+        "lang_confusion_matrix": q.lang_confusion_matrix,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -1089,6 +1091,48 @@ def _pq_sql(k: int, iters: int, adc_topk: int | None = None) -> str:
     JOIN lutB lb ON lb.cluster = b.cluster
     WHERE a.rk = 1 AND b.rk = 1
     ORDER BY adc_dist2, a.vec_id LIMIT {adc_topk}"""
+
+
+def _lang_confusion_sql() -> str:
+    """Stopword-profile lang-id argmax in SQL, generated from the SAME
+    inventories as functions.text.lang_id so the two can never drift.
+    Python semantics mirrored exactly: lowercase tokens, earliest
+    language wins score ties (strict > while scanning en,de,fr,es,it),
+    'und' unless best_score > 0.03 (cross-multiplied: 100*s > 3*n)."""
+    from ctas_ray.functions.text import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)  # insertion order = tie priority
+    score_cols = ",\n             ".join(
+        "len(list_filter(ts, t -> t IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang])), lang
+        )
+        for lang in langs
+    )
+    m = "GREATEST({})".format(", ".join(f"s_{lang}" for lang in langs))
+    pick = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+    WITH toks AS (
+      SELECT lang AS labeled_lang,
+             list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x <> ''), t -> lower(t)) AS ts
+      FROM documents
+    ),
+    sc AS (
+      SELECT labeled_lang, len(ts) AS n,
+             {score_cols}
+      FROM toks
+    ),
+    pick AS (
+      SELECT labeled_lang,
+             CASE WHEN n = 0 OR 100 * m <= 3 * n THEN 'und'
+                  {pick} ELSE '{langs[-1]}' END AS predicted_lang
+      FROM (SELECT *, {m} AS m FROM sc)
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pick GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
 def _mmr_sql(k: int = 8, pool: int = 32) -> str:
@@ -1997,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
     WHERE epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
           > 30 * 86400000000
     GROUP BY 1 ORDER BY 1""",
+        "lang_confusion_matrix": _lang_confusion_sql(),
         "rare_token_share": """
     WITH toks AS (
       SELECT doc_id,

@@ -9278,3 +9278,38 @@ def session_transition_matrix(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """[graft] Language-label audit: documents counted per (labeled
+    lang, heuristic-predicted lang) — the corpus-QA confusion matrix
+    that flags mislabeled or untaggable docs before lang-filtered
+    training splits. Prediction is the stopword-profile argmax of
+    functions.text.lang_id (earliest language wins ties, 'und' below
+    the 3% threshold), a pure per-doc map; only (pair, count) partials
+    leave each block."""
+    from ..functions.text import lang_id
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        pred = [lang_id(t)[0] for t in b["text"]]
+        d = pd.DataFrame(
+            {"labeled_lang": b["lang"].to_numpy(object),
+             "predicted_lang": np.asarray(pred, object)}
+        )
+        g = d.groupby(["labeled_lang", "predicted_lang"], sort=False).size()
+        return g.rename("n_docs").reset_index()
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(
+        ["labeled_lang", "predicted_lang"], as_index=False
+    )["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(
+        ["labeled_lang", "predicted_lang"]
+    ).reset_index(drop=True)
