@@ -205,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": q.props_key_stats,
         # exactly-modeled Bloom membership + false-positive audit — hash-verified
         "bloom_membership_audit": q.bloom_membership_audit,
+        # exact power-of-two time-decayed totals — hash-verified
+        "time_decayed_volume": q.time_decayed_volume,
+        # exactly-modeled Count-Min estimate-vs-truth audit — hash-verified
+        "countmin_frequency_audit": q.countmin_frequency_audit,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2131,6 +2135,55 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
            CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
     FROM documents GROUP BY 1 ORDER BY 1""",
+        "time_decayed_volume": """
+    WITH md AS (SELECT MAX(epoch_us(ts) // 86400000000) AS max_day
+                FROM events)
+    SELECT event_type,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                * (CAST(1 AS BIGINT) << CAST(30 - LEAST(
+                      md.max_day - epoch_us(ts) // 86400000000, 30)
+                   AS INTEGER))) AS BIGINT) AS decayed_e2_x2_30,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, md WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1""",
+        "countmin_frequency_audit": """
+    WITH cm AS MATERIALIZED (
+      SELECT row_ix, bucket, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT 0 AS row_ix,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+                 % 256 AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 1,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::UBIGINT
+                 % 256,
+               COUNT(*)
+        FROM events GROUP BY 2)
+      GROUP BY 1, 2
+    ),
+    tc AS MATERIALIZED (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+    ),
+    pr AS MATERIALIZED (
+      SELECT s_suppkey,
+             ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 8))::UBIGINT
+               % 256 AS b1,
+             ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 9, 8))::UBIGINT
+               % 256 AS b2
+      FROM supplier
+    )
+    SELECT p.s_suppkey,
+           CAST(LEAST(COALESCE(c0.n, 0), COALESCE(c1.n, 0)) AS BIGINT)
+               AS cm_estimate,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS true_count,
+           CAST(LEAST(COALESCE(c0.n, 0), COALESCE(c1.n, 0))
+                - COALESCE(t.n, 0) AS BIGINT) AS overestimate
+    FROM pr p
+    LEFT JOIN cm c0 ON c0.row_ix = 0 AND c0.bucket = p.b1
+    LEFT JOIN cm c1 ON c1.row_ix = 1 AND c1.bucket = p.b2
+    LEFT JOIN tc t ON t.user_id = p.s_suppkey
+    ORDER BY 1""",
         "props_key_stats": """
     WITH x AS (
       SELECT event_type,

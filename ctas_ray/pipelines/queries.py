@@ -1505,13 +1505,9 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     N_PLANTED_NEARDUP vectors are re-added at vec_id+PLANTED_ID_BASE
     with ~0.5% seeded Gaussian noise; each must cluster with its
     original, so the driver row count is structurally non-zero."""
-    import pyarrow.parquet as pq
-
     from ..stages.dedup import embedding_cosine_dedup
 
-    head = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas().sort_values("vec_id").head(N_PLANTED_NEARDUP)
+    head = _smallest_vec_rows(sf_dir, N_PLANTED_NEARDUP)
     rng = np.random.default_rng(2024)
     planted_vecs = []
     for v in head["embedding"]:
@@ -1535,14 +1531,39 @@ N_QUERIES_TOPK = 5
 TOPK_K = 10
 
 
-def _query_vectors(sf_dir: str):
-    import pyarrow.parquet as pq
+def _smallest_vec_rows(sf_dir: str, n: int) -> pd.DataFrame:
+    """The n globally-smallest vec_ids with their vectors, found
+    DISTRIBUTEDLY: each block ships its own n smallest rows (id +
+    float64-vector bytes), the driver merges n * n_blocks candidates —
+    never a full-table driver read (a 10^7-vector table is GBs).
+    Returns a frame with (vec_id, embedding) like a driver read."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("vec_id", kind="mergesort").head(n)
+        vecs = [np.asarray(v, np.float64).tobytes() for v in b["embedding"]]
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(np.int64), "vec": vecs}
+        )
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    t = t.sort_values("vec_id").head(N_QUERIES_TOPK)
-    return t["vec_id"].to_numpy(), np.stack(t["embedding"].apply(np.asarray))
+    cand = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+        .head(n)
+        .reset_index(drop=True)
+    )
+    cand["embedding"] = [np.frombuffer(v, np.float64) for v in cand["vec"]]
+    return cand[["vec_id", "embedding"]]
+
+
+def _query_vectors(sf_dir: str):
+    cand = _smallest_vec_rows(sf_dir, N_QUERIES_TOPK)
+    return (
+        cand["vec_id"].to_numpy(np.int64),
+        np.stack(list(cand["embedding"])),
+    )
 
 
 def topk_similarity(sf_dir: str) -> pd.DataFrame:
@@ -5152,10 +5173,14 @@ def _pq_fit(sf_dir: str):
 
     from ..stages.clustering import _kmeans_spans
 
-    dim = len(
-        pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        .column("embedding")[0]
-    )
+    # dim from the FIRST row group of one shard only — a full-column
+    # driver read of a 10^7-vector table just to learn the dim would
+    # be ~GBs
+    from ..sources import _first_parquet_file
+
+    one = _first_parquet_file(f"{sf_dir}/embeddings.parquet")
+    pf = pq_.ParquetFile(one)
+    dim = len(pf.read_row_group(0, columns=["embedding"]).column("embedding")[0])
     emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -8798,21 +8823,27 @@ def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
     driver merge, then the O(k * pool) greedy walk on 32 rows. The
     quadratic step never touches the full dataset. Ties break to the
     smaller vec_id at every argmax."""
-    import pyarrow.parquet as pq_
     import ray
 
-    t = pq_.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # query = vector with the global min vec_id, found DISTRIBUTEDLY
+    # (per-block one-row partials; a full-table driver read here would
+    # be GBs at 10^7 vectors)
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ix = int(np.argmin(b["vec_id"].to_numpy(np.int64)))
+        return pd.DataFrame(
+            {"vec_id": [np.int64(b["vec_id"].iloc[ix])],
+             "qvec": [_quantized_embeddings(b.iloc[[ix]])[0].tobytes()]}
+        )
+
+    mins = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(min_partial, batch_format="pandas")
+        .to_pandas()
     )
-    # query = vector with the global min vec_id (tiny driver read of one
-    # row via a filtered scan would also work; the table here is the
-    # same one we stream below)
-    ids = t.column("vec_id").to_numpy()
-    min_ix = int(np.argmin(ids))
-    qv = np.floor(
-        np.asarray(t.column("embedding")[min_ix].as_py(), np.float64) * 1000.0
-        + 0.5
-    ).astype(np.int64)
+    best = mins.iloc[int(np.argmin(mins["vec_id"].to_numpy(np.int64)))]
+    qv = np.frombuffer(best["qvec"], np.int64)
     qref = ray.put(qv)
 
     def pool_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -8884,19 +8915,34 @@ def hard_negative_mining(sf_dir: str) -> pd.DataFrame:
     ties to the smaller vec_id. The anchor matrix broadcasts via
     ray.put once; each batch does one (n x d) @ (d x L) matmul and
     ships only its per-anchor top-k partials."""
-    import pyarrow.parquet as pq_
     import ray
 
-    t = pq_.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
-    ).to_pandas()
+    # anchors (min vec_id per label) found distributedly: per-block
+    # one-row-per-label partials, tiny driver merge — never a
+    # full-table driver read
+    def anchor_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("vec_id", kind="mergesort")
+        f = b.groupby("label", as_index=False, sort=False).first()
+        return pd.DataFrame(
+            {"label": f["label"].to_numpy(np.int64),
+             "vec_id": f["vec_id"].to_numpy(np.int64),
+             "qvec": [v.tobytes() for v in _quantized_embeddings(f)]}
+        )
+
+    cand = (
+        read_parquet_clean(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(anchor_partial, batch_format="pandas")
+        .to_pandas()
+    )
     anchors = (
-        t.sort_values("vec_id").groupby("label", as_index=False).first()
+        cand.sort_values("vec_id", kind="mergesort")
+        .groupby("label", as_index=False, sort=False).first()
+        .sort_values("label")
     )
-    amat = np.stack(
-        [np.floor(np.asarray(e, np.float64) * 1000.0 + 0.5).astype(np.int64)
-         for e in anchors["embedding"]]
-    )
+    amat = np.stack([np.frombuffer(v, np.int64) for v in anchors["qvec"]])
     albl = anchors["label"].to_numpy(np.int64)
     aids = anchors["vec_id"].to_numpy(np.int64)
     aref = ray.put((amat, albl, aids))
@@ -9616,3 +9662,109 @@ def bloom_membership_audit(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def time_decayed_volume(sf_dir: str) -> pd.DataFrame:
+    """[graft] Exponentially time-decayed value totals per event type:
+    weight 2^-age_days relative to the corpus max day. Because ages
+    are bounded integer days, the decayed sum is computed EXACTLY as
+    sum(value_e2 * 2^(30 - age)) in int64 (a fixed 2^30 scale — no
+    float decay drift, order-independent, mergeable partials). Two
+    passes: a max-day scalar partial, then the decayed partials; both
+    ship per-type scalars only."""
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        return pd.DataFrame({"max_day": [int(d.max())]})
+
+    max_day = int(
+        ev.map_batches(day_partial, batch_format="pandas").to_pandas()["max_day"].max()
+    )
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        age = np.minimum(max_day - day, 30)
+        w = np.int64(1) << (30 - age).astype(np.int64)
+        v = _scaled_int(b["value"].to_numpy(np.float64), 100.0)
+        d = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(),
+             "decayed_e2_x2_30": v * w,
+             "n": np.ones(len(b), np.int64)}
+        )
+        return d.groupby("event_type", as_index=False).sum()
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CM_WIDTH = 256  # counters per row; 2 md5-derived rows
+
+
+def countmin_frequency_audit(sf_dir: str) -> pd.DataFrame:
+    """[graft] Count-Min sketch, exactly modeled: a d=2 x w=256 CM
+    sketch of event counts per user_id (mergeable per-block counter
+    partials — only 512 counters ever ship), probed with every
+    supplier key; outputs the CM estimate (min over the two rows),
+    the true count, and the overestimate. Deterministic md5-derived
+    bucket hashing makes the whole sketch SQL-reproducible — the
+    value-verified counterpart to the rows-only Misra-Gries sketch.
+    Width 256 is sized so collisions (nonzero overestimates) actually
+    occur at test scale."""
+    import ray
+
+    ev = _events(sf_dir, columns=["user_id"])
+
+    def counter_partials(b: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(b["user_id"].to_numpy(np.int64), return_counts=True)
+        h1, h2 = _bloom_positions(u)
+        rows = []
+        for row_ix, h in ((0, h1 % CM_WIDTH), (1, h2 % CM_WIDTH)):
+            d = pd.DataFrame({"row_ix": row_ix, "bucket": h, "n": c})
+            rows.append(d.groupby(["row_ix", "bucket"], as_index=False)["n"].sum())
+        return pd.concat(rows, ignore_index=True)
+
+    counters = (
+        ev.map_batches(counter_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby(["row_ix", "bucket"], as_index=False)["n"].sum()
+    )
+    cm = np.zeros((2, CM_WIDTH), np.int64)
+    cm[counters["row_ix"].to_numpy(np.int64),
+       counters["bucket"].to_numpy(np.int64)] = counters["n"].to_numpy(np.int64)
+
+    def true_partials(b: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(b["user_id"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"user_id": u, "n": c})
+
+    true_counts = (
+        ev.map_batches(true_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("user_id", as_index=False)["n"].sum()
+    )
+    tmap = dict(zip(true_counts["user_id"].astype(int), true_counts["n"].astype(int)))
+    cref = ray.put((cm, tmap))
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        cm_l, tmap_l = ray.get(cref)
+        sk = b["s_suppkey"].to_numpy(np.int64)
+        h1, h2 = _bloom_positions(sk)
+        est = np.minimum(cm_l[0, h1 % CM_WIDTH], cm_l[1, h2 % CM_WIDTH])
+        true = np.fromiter((tmap_l.get(int(k), 0) for k in sk), np.int64, len(sk))
+        return pd.DataFrame(
+            {"s_suppkey": sk, "cm_estimate": est, "true_count": true,
+             "overestimate": est - true}
+        )
+
+    out = (
+        read_parquet_clean(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(probe, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)
