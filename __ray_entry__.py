@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_decayed_volume": q.time_decayed_volume,
         # exactly-modeled Count-Min estimate-vs-truth audit — hash-verified
         "countmin_frequency_audit": q.countmin_frequency_audit,
+        # iterative integer PageRank over the cust<->supp graph — hash-verified
+        "supplier_pagerank": q.supplier_pagerank,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -1105,6 +1107,55 @@ def _pq_sql(k: int, iters: int, adc_topk: int | None = None) -> str:
     JOIN lutB lb ON lb.cluster = b.cluster
     WHERE a.rk = 1 AND b.rk = 1
     ORDER BY adc_dist2, a.vec_id LIMIT {adc_topk}"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled integer PageRank over the customer<->supplier bipartite
+    graph — identical floor-division grid arithmetic to
+    queries.supplier_pagerank, one materialized CTE per iteration."""
+    head = """
+    WITH cs AS MATERIALIZED (
+      SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s,
+             COUNT(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, w,
+             SUM(w) OVER (PARTITION BY src) AS outw
+      FROM (
+        SELECT c AS src, s AS dst, w FROM cs
+        UNION ALL
+        SELECT s AS src, c AS dst, w FROM cs)
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges)
+    ),
+    rk0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes
+    )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    rk{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000 + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT)
+                 AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank * e.w // e.outw) AS c
+        FROM edges e JOIN rk{i - 1} r ON r.node = e.src
+        GROUP BY 1) s
+      ON s.node = n.node
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           CAST(node % 2 AS BIGINT) AS is_supplier,
+           rank
+    FROM rk{iters}
+    ORDER BY rank DESC, node LIMIT 20"""
 
 
 def _dtw_sql(n: int = 30, ref: str = "click") -> str:
@@ -2135,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
            CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
     FROM documents GROUP BY 1 ORDER BY 1""",
+        "supplier_pagerank": _pagerank_sql(),
         "time_decayed_volume": """
     WITH md AS (SELECT MAX(epoch_us(ts) // 86400000000) AS max_day
                 FROM events)

@@ -9768,3 +9768,215 @@ def countmin_frequency_audit(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-4 iterative distributed graph algorithm: integer PageRank
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PR_BASE = 150_000_000       # (1-d) * 1e9 with d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 850, 1000
+
+
+def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
+    """[graft] Integer PageRank over the customer<->supplier bipartite
+    graph (edge weight = lineitems shipped between them; both
+    directions). Every arithmetic step is floor-division integer math
+    (ranks on a 1e9 grid), so the result is deterministic, block-order
+    independent, and reproduced exactly by PAGERANK_ITERS unrolled SQL
+    iterations. Physical shape per iteration: ONE kind-tagged union
+    exchange keyed by src node joins ranks to edges and emits (dst,
+    contrib) partials; a groupby-sum yields the next rank table —
+    ranks and edges both stay distributed (nothing broadcasts, nothing
+    collects until the final bounded report). Node ids: customer c ->
+    2c, supplier s -> 2s+1."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    # ---- edge build: orderkey exchange -> (cust, supp, w) partials ----
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"okey": ok, "key": b["o_custkey"].to_numpy(np.int64),
+             "kind": np.zeros(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"okey": ok, "key": b["l_suppkey"].to_numpy(np.int64),
+             "kind": np.ones(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def edge_partial(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
+                 "w": np.empty(0, np.int64)}
+            )
+        ck = pd.Series(o["key"].to_numpy(), index=o["okey"].to_numpy())
+        lm = l[l["okey"].isin(set(ck.index))].copy()
+        cust = ck.reindex(lm["okey"]).to_numpy(np.int64)
+        supp = lm["key"].to_numpy(np.int64)
+        d = pd.DataFrame({"c": cust * 2, "s": supp * 2 + 1})
+        cs = d.groupby(["c", "s"], sort=False).size().rename("w").reset_index()
+        fwd = cs.rename(columns={"c": "src", "s": "dst"})
+        rev = cs.rename(columns={"s": "src", "c": "dst"})[["src", "dst", "w"]]
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(edge_partial, batch_format="pandas")
+        .map_batches(
+            lambda b: b.groupby(["src", "dst"], as_index=False)["w"].sum(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    # per-src total out-weight (each src's edges live in ONE partition
+    # after the edge build? no — fwd/rev split them; do a src-keyed
+    # exchange to make the iteration state src-complete)
+    def add_src_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["src"].to_numpy(np.int64) % nparts).astype(np.int64)
+        return b
+
+    def fold_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["src", "dst"], as_index=False)["w"].sum()
+        g["outw"] = g.groupby("src")["w"].transform("sum")
+        return g[["src", "dst", "w", "outw"]]
+
+    edges = (
+        edges.map_batches(add_src_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    # ---- rank iterations: union exchange (ranks ∪ edges) keyed by src ----
+    ranks = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": np.unique(np.concatenate(
+                [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)])),
+             }
+        ),
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b.assign(rank=np.int64(1_000_000_000)),
+        batch_format="pandas",
+    )
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["node"])
+
+    ranks = (
+        ranks.map_batches(
+            lambda b: b.assign(part=(b["node"].to_numpy(np.int64) % nparts)),
+            batch_format="pandas",
+        )
+        .groupby("part")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .drop_columns(["part"])
+        .materialize()
+    )
+
+    def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["node"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"src": n, "dst": np.zeros(len(n), np.int64),
+             "w": b["rank"].to_numpy(np.int64),
+             "outw": np.zeros(len(n), np.int64),
+             "kind": np.zeros(len(n), np.int8),
+             "part": n % nparts}
+        )
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": b["src"].to_numpy(np.int64),
+             "dst": b["dst"].to_numpy(np.int64),
+             "w": b["w"].to_numpy(np.int64),
+             "outw": b["outw"].to_numpy(np.int64),
+             "kind": np.ones(len(b), np.int8),
+             "part": b["src"].to_numpy(np.int64) % nparts}
+        )
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["kind"] == 0]
+        e = g[g["kind"] == 1]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {"dst": np.empty(0, np.int64), "c": np.empty(0, np.int64)}
+            )
+        rk = pd.Series(r["w"].to_numpy(np.int64), index=r["src"].to_numpy())
+        src_rank = rk.reindex(e["src"]).to_numpy(np.int64)
+        c = src_rank * e["w"].to_numpy(np.int64) // e["outw"].to_numpy(np.int64)
+        d = pd.DataFrame({"dst": e["dst"].to_numpy(np.int64), "c": c})
+        return d.groupby("dst", as_index=False)["c"].sum()
+
+    all_nodes = ranks.drop_columns(["rank"]).materialize()
+
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.map_batches(rank_rows, batch_format="pandas")
+            .union(edges.map_batches(edge_rows, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(contribs, batch_format="pandas")
+        )
+
+        def fold_ranks(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", as_index=False)["c"].sum()
+            s["rank"] = (
+                PR_BASE + PR_DAMP_NUM * s["c"].to_numpy(np.int64) // PR_DAMP_DEN
+            ).astype(np.int64)
+            return s[["node", "rank"]]
+
+        ranks = (
+            contrib.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["dst"].to_numpy(np.int64),
+                     "c": b["c"].to_numpy(np.int64)}
+                ),
+                batch_format="pandas",
+            )
+            .union(
+                all_nodes.map_batches(
+                    lambda b: pd.DataFrame(
+                        {"node": b["node"].to_numpy(np.int64),
+                         "c": np.zeros(len(b), np.int64)}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+            .map_batches(
+                lambda b: b.assign(part=(b["node"].to_numpy(np.int64) % nparts)),
+                batch_format="pandas",
+            )
+            .groupby("part")
+            .map_groups(fold_ranks, batch_format="pandas")
+            .materialize()
+        )
+
+    out = ranks.to_pandas()
+    out["is_supplier"] = (out["node"] % 2).astype(np.int64)
+    out["entity_key"] = (out["node"] // 2).astype(np.int64)
+    out = out.sort_values(
+        ["rank", "node"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["node"] = out["node"].astype(np.int64)
+    return out[["node", "entity_key", "is_supplier", "rank"]].reset_index(
+        drop=True
+    )
