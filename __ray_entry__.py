@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_frequency_audit": q.countmin_frequency_audit,
         # iterative integer PageRank over the cust<->supp graph — hash-verified
         "supplier_pagerank": q.supplier_pagerank,
+        # WAV encode->decode->window-energy round trip — hash-verified
+        "wav_window_energy": q.wav_window_energy,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2187,6 +2189,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
+        # the oracle models the GENERATION formula; the Ray side goes
+        # through real RIFF/WAVE bytes — equality proves the codec
+        "wav_window_energy": """
+    WITH s AS (
+      SELECT s_suppkey AS k, 256 + s_suppkey % 128 AS n FROM supplier
+    ),
+    x AS (
+      SELECT k, i // 64 AS window_ix,
+             (k * 7919 + i * 104729) % 65536 - 32768 AS v
+      FROM (SELECT k, UNNEST(range(0, n)) AS i FROM s)
+    )
+    SELECT k AS media_id, window_ix,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
         "time_decayed_volume": """
     WITH md AS (SELECT MAX(epoch_us(ts) // 86400000000) AS max_day
                 FROM events)

@@ -9980,3 +9980,70 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
     return out[["node", "entity_key", "is_supplier", "rank"]].reset_index(
         drop=True
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 multimodal: WAV round-trip window energy, generation-modeled
+# ---------------------------------------------------------------------------
+
+WAV_WINDOW = 64
+
+
+def wav_window_energy(sf_dir: str) -> pd.DataFrame:
+    """[graft] Audio plumbing verified end to end: a deterministic
+    int16 PCM signal per supplier key is ENCODED to a real RIFF/WAVE
+    payload (binary column, pyarrow batches), DECODED back by the
+    numpy WAV reader, and reduced to per-64-sample-window integer
+    energy (sum of squares). The SQL oracle re-derives the same
+    windows from the GENERATION formula — equality proves the WAV
+    encode/decode pair is bit-inverting and the feature math exact,
+    the hash-verifiable representative of the multimodal family
+    (media_features stays the rows-only general path)."""
+    import pyarrow as pa
+
+    from ..functions.media import decode_wav, encode_wav
+
+    def synth(b: pd.DataFrame) -> "pa.Table":
+        ks = b["s_suppkey"].to_numpy(np.int64)
+        payloads = []
+        for k in ks:
+            n = 256 + int(k) % 128
+            i = np.arange(n, dtype=np.int64)
+            v = ((k * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+            payloads.append(encode_wav(v, 8000))
+        return pa.table(
+            {"media_id": pa.array(ks, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    def energy(t: "pa.Table") -> "pa.Table":
+        ids = t.column("media_id").to_numpy()
+        out_id, out_w, out_n, out_s = [], [], [], []
+        for ix in range(len(ids)):
+            samples, _rate = decode_wav(t.column("payload")[ix].as_py())
+            # decode_wav normalizes int16 PCM by /32768 (exact: power
+            # of two), so * 32768 recovers the integer grid bit-exactly
+            v = np.rint(samples * 32768.0).astype(np.int64)
+            w = np.arange(len(v)) // WAV_WINDOW
+            d = pd.DataFrame({"w": w, "sq": v * v, "one": 1})
+            g = d.groupby("w", sort=True).agg(
+                n=("one", "sum"), s=("sq", "sum")
+            ).reset_index()
+            out_id.extend([int(ids[ix])] * len(g))
+            out_w.extend(g["w"].astype(int))
+            out_n.extend(g["n"].astype(int))
+            out_s.extend(g["s"].astype(int))
+        return pa.table(
+            {"media_id": pa.array(out_id, pa.int64()),
+             "window_ix": pa.array(out_w, pa.int64()),
+             "n_samples": pa.array(out_n, pa.int64()),
+             "sumsq": pa.array(out_s, pa.int64())}
+        )
+
+    out = (
+        read_parquet_clean(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+        .map_batches(synth, batch_format="pandas", batch_size=32)
+        .map_batches(energy, batch_format="pyarrow", batch_size=32)
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "window_ix"]).reset_index(drop=True)

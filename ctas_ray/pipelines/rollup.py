@@ -944,3 +944,84 @@ def read_rollup_at_resolution(
             lambda g: rebucket(g.drop(columns=["part"])), batch_format="pandas"
         )
     )
+
+
+def referenced_data_files(paths: dict) -> set[str]:
+    """Every parquet data file reachable from a ``paths`` mapping —
+    plain tier/blob paths, and merge-on-read increment chains walked
+    recursively through ``increment.json`` (prior AND delta branches of
+    every key, plus tombstones). The reachability set that
+    :func:`gc_orphan_files` keeps."""
+    import json
+
+    out: set[str] = set()
+    seen_views: set[str] = set()
+
+    def mark_path(p) -> None:
+        if isinstance(p, (list, tuple)):
+            for x in p:
+                mark_path(x)
+            return
+        if not isinstance(p, str):
+            return
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        out.add(os.path.realpath(os.path.join(root, f)))
+        elif os.path.isfile(p) and p.endswith(".parquet"):
+            out.add(os.path.realpath(p))
+
+    def walk(spec) -> None:
+        if isinstance(spec, dict) and "increment_view" in spec:
+            view_dir = spec["increment_view"]
+            if view_dir in seen_views:
+                return
+            seen_views.add(view_dir)
+            with open(os.path.join(view_dir, "increment.json")) as f:
+                view = json.load(f)
+            mark_path(view.get("tombstones"))
+            for branch in ("prior", "delta"):
+                b = view.get(branch)
+                if b is None:
+                    continue
+                for sub in b.values():
+                    walk(sub)
+            # a compacted (materialize=True) store in the same view dir
+            mark_path(os.path.join(view_dir, "tiers"))
+            mark_path(os.path.join(view_dir, "blobs"))
+        else:
+            mark_path(spec)
+
+    for spec in paths.values():
+        walk(spec)
+    return out
+
+
+def gc_orphan_files(
+    paths: dict, roots: list[str], *, dry_run: bool = False
+) -> list[str]:
+    """[graft] Orphan-data-file GC over a tier store (the lakehouse
+    ``remove_orphan_files`` maintenance op): delete every ``*.parquet``
+    under ``roots`` that is NOT reachable from the current ``paths``
+    view — aborted recomputes, superseded materializations, stray
+    exports. Only data files are candidates; metadata
+    (``manifest.jsonl``, ``increment.json``, tombstones) is never
+    touched, and reachability walks the FULL increment chain, so every
+    time-travel snapshot (`read_tier_asof`, any ``back``) still
+    resolves after GC. Returns the orphan list (deleted unless
+    ``dry_run``)."""
+    keep = referenced_data_files(paths)
+    orphans: list[str] = []
+    for root in roots:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.realpath(os.path.join(dirpath, f))
+                if p not in keep:
+                    orphans.append(p)
+    if not dry_run:
+        for p in orphans:
+            os.remove(p)
+    return sorted(orphans)
