@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": q.supplier_pagerank,
         # WAV encode->decode->window-energy round trip — hash-verified
         "wav_window_energy": q.wav_window_energy,
+        # bigram-LM fit + eval accuracy per context — hash-verified
+        "bigram_prediction_accuracy": q.bigram_prediction_accuracy,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2189,6 +2191,30 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
+        "bigram_prediction_accuracy": """
+    WITH tr AS MATERIALIZED (
+      SELECT event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    pairs AS MATERIALIZED (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM tr WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    model AS MATERIALIZED (
+      SELECT from_type, to_type AS predicted_type FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                                     ORDER BY n DESC, to_type) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT t.from_type, m.predicted_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN t.to_type = m.predicted_type
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM tr t JOIN model m ON t.from_type = m.from_type
+    GROUP BY 1, 2 ORDER BY 1""",
         # the oracle models the GENERATION formula; the Ray side goes
         # through real RIFF/WAVE bytes — equality proves the codec
         "wav_window_energy": """

@@ -10047,3 +10047,89 @@ def wav_window_energy(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["media_id", "window_ix"]).reset_index(drop=True)
+
+
+def bigram_prediction_accuracy(sf_dir: str) -> pd.DataFrame:
+    """[graft] Bigram language-model evaluation over the event stream:
+    fit the global bigram table (argmax next type per current type,
+    ties -> type asc), then score every user transition against the
+    prediction — the train/eval loop of a count-based LM in two
+    mergeable passes (counts are tiny partials; the fitted model
+    broadcasts into the scoring pass). Outputs per from_type:
+    transitions, correct predictions, and the predicted type."""
+    import ray
+
+    ev = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = parts_for(ev)
+
+    def add_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["part"] = (b["user_id"].to_numpy() % np.int64(nparts)).astype(np.int64)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        order = np.lexsort((e, t, u))
+        u, typ = u[order], typ[order]
+        same = np.empty(len(u), bool)
+        same[0] = False
+        same[1:] = u[1:] == u[:-1]
+        prev = np.roll(typ, 1)
+        d = pd.DataFrame({"from_type": prev[same], "to_type": typ[same]})
+        return d.groupby(["from_type", "to_type"], sort=False).size().rename(
+            "n"
+        ).reset_index()
+
+    salted = ev.map_batches(add_part, batch_format="pandas").materialize()
+    counts = (
+        salted.groupby("part")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+        .groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    )
+    counts = counts.sort_values(
+        ["from_type", "n", "to_type"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    model = dict(
+        zip(counts.drop_duplicates("from_type")["from_type"],
+            counts.drop_duplicates("from_type")["to_type"])
+    )
+    mref = ray.put(model)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        model_l = ray.get(mref)
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        order = np.lexsort((e, t, u))
+        u, typ = u[order], typ[order]
+        same = np.empty(len(u), bool)
+        same[0] = False
+        same[1:] = u[1:] == u[:-1]
+        prev = np.roll(typ, 1)
+        frm, nxt = prev[same], typ[same]
+        pred = np.asarray([model_l.get(f, "") for f in frm], object)
+        d = pd.DataFrame(
+            {"from_type": frm,
+             "n_transitions": np.ones(len(frm), np.int64),
+             "n_correct": (pred == nxt).astype(np.int64)}
+        )
+        return d.groupby("from_type", as_index=False).sum()
+
+    parts = (
+        salted.groupby("part")
+        .map_groups(score, batch_format="pandas")
+        .to_pandas()
+        .groupby("from_type", as_index=False).sum()
+    )
+    parts["predicted_type"] = parts["from_type"].map(model)
+    parts["n_transitions"] = parts["n_transitions"].astype(np.int64)
+    parts["n_correct"] = parts["n_correct"].astype(np.int64)
+    return parts[
+        ["from_type", "predicted_type", "n_transitions", "n_correct"]
+    ].sort_values("from_type").reset_index(drop=True)

@@ -1025,3 +1025,34 @@ def gc_orphan_files(
         for p in orphans:
             os.remove(p)
     return sorted(orphans)
+
+
+def forget_conversations(
+    prior_paths: dict, conv_ids: list[str], out_dir: str
+) -> dict:
+    """[graft] Right-to-be-forgotten erase over the tier store: a
+    pure-tombstone increment (delta=None) whose merge-on-read view is
+    the prior store MINUS the named conversations — O(1) metadata
+    write, nothing rewritten, effective immediately for every reader
+    of the returned paths. Physical removal follows the store's normal
+    lifecycle: a materialize/compaction pass drops the rows from the
+    data files, and :func:`gc_orphan_files` reclaims superseded files.
+    NOTE the retention caveat: prior snapshots (time travel into the
+    pre-erase chain) still contain the data until compaction + GC —
+    callers with hard-delete SLAs must run both."""
+    import json
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    tomb_path = os.path.join(out_dir, "tombstones.parquet")
+    pd.DataFrame({"conv_id": sorted(set(conv_ids))}).to_parquet(tomb_path)
+    view = {
+        "prior": {k: v for k, v in prior_paths.items()
+                  if k == "blobs" or k.startswith("tier_")},
+        "delta": None,
+        "tombstones": tomb_path,
+    }
+    with open(os.path.join(out_dir, "increment.json"), "w") as f:
+        json.dump(view, f, indent=1)
+    return {k: {"increment_view": out_dir, "key": k} for k in view["prior"]}

@@ -108,3 +108,32 @@ def test_gc_never_touches_metadata(ray_session, store):
     tmp_path, merged, _ = store
     assert os.path.exists(tmp_path / "merged" / "increment.json")
     assert os.path.exists(tmp_path / "merged" / "tombstones.parquet")
+
+
+def test_forget_conversations_erases_from_view(ray_session, store):
+    from ctas_ray.pipelines.rollup import (
+        forget_conversations,
+        read_increment_blobs,
+        read_increment_tier,
+        read_tier_asof,
+    )
+
+    tmp_path, merged, before = store
+    victim = before["conv_id"].iloc[0]
+    erased = forget_conversations(merged, [victim], str(tmp_path / "erase"))
+
+    view = read_increment_tier(erased, "tier_1m").to_pandas()
+    assert victim not in set(view["conv_id"])
+    # every OTHER conversation's rows are untouched
+    keep = before[before["conv_id"] != victim].reset_index(drop=True)
+    got = view.sort_values(
+        ["conv_id", "channel", "bucket"], kind="mergesort"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(keep, got)
+
+    blobs = read_increment_blobs(erased).to_pandas()
+    assert victim not in set(blobs["conv_id"])
+
+    # documented retention caveat: the pre-erase snapshot still has it
+    snap = read_tier_asof(erased, "tier_1m", back=1).to_pandas()
+    assert victim in set(snap["conv_id"])
