@@ -231,6 +231,13 @@ def main() -> None:
         timed("pq_adc_topk", lambda: q.pq_adc_topk(sf_dir))
         timed("substring_dedup", lambda: q.substring_dup_windows(sf_dir))
         timed("late_event_stats", lambda: q.late_event_stats(sf_dir))
+        # round-4 headline additions
+        timed("supplier_pagerank", lambda: q.supplier_pagerank(sf_dir))
+        timed("dtw_daily_volume", lambda: q.dtw_daily_volume(sf_dir))
+        timed("trigram_novelty", lambda: q.trigram_novelty(sf_dir))
+        timed("interval_coverage", lambda: q.interval_union_coverage(sf_dir))
+        timed("bloom_audit", lambda: q.bloom_membership_audit(sf_dir))
+        timed("mmr_diverse_topk", lambda: q.mmr_diverse_topk(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(

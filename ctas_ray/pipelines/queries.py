@@ -9785,12 +9785,18 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
     directions). Every arithmetic step is floor-division integer math
     (ranks on a 1e9 grid), so the result is deterministic, block-order
     independent, and reproduced exactly by PAGERANK_ITERS unrolled SQL
-    iterations. Physical shape per iteration: ONE kind-tagged union
-    exchange keyed by src node joins ranks to edges and emits (dst,
-    contrib) partials; a groupby-sum yields the next rank table —
-    ranks and edges both stay distributed (nothing broadcasts, nothing
-    collects until the final bounded report). Node ids: customer c ->
-    2c, supplier s -> 2s+1."""
+    iterations. Physical shape: ONE orderkey exchange builds weighted
+    edges; ONE src-keyed exchange folds weights/out-degrees and seeds
+    the state; then ONE exchange per iteration. The state DENORMALIZES
+    the current rank onto every edge row (src, dst, w, outw, src_rank),
+    so the per-iteration emit step is row-local — contribution partials
+    are mergeable (dst, c) sums — and therefore immune to Ray's dynamic
+    block splitting (no block-completeness assumption anywhere; the
+    only grouped step is the groupby("part") fold, whose partition
+    completeness the exchange itself guarantees). Ranks and edges both
+    stay distributed; nothing broadcasts, nothing collects until the
+    bounded top-20 report. Node ids: customer c -> 2c, supplier
+    s -> 2s+1."""
     orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
@@ -9801,7 +9807,7 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
         (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
     )
 
-    # ---- edge build: orderkey exchange -> (cust, supp, w) partials ----
+    # ---- exchange 1 (orderkey): weighted bipartite edges ----
     def o_rows(b: pd.DataFrame) -> pd.DataFrame:
         ok = b["o_orderkey"].to_numpy(np.int64)
         return pd.DataFrame(
@@ -9834,142 +9840,94 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
         rev = cs.rename(columns={"s": "src", "c": "dst"})[["src", "dst", "w"]]
         return pd.concat([fwd, rev], ignore_index=True)
 
-    edges = (
+    raw_edges = (
         orders.map_batches(o_rows, batch_format="pandas")
         .union(li.map_batches(l_rows, batch_format="pandas"))
         .groupby("part")
         .map_groups(edge_partial, batch_format="pandas")
-        .map_batches(
-            lambda b: b.groupby(["src", "dst"], as_index=False)["w"].sum(),
-            batch_format="pandas",
-        )
-        .materialize()
     )
 
-    # per-src total out-weight (each src's edges live in ONE partition
-    # after the edge build? no — fwd/rev split them; do a src-keyed
-    # exchange to make the iteration state src-complete)
+    # ---- exchange 2 (src): fold weights + out-degree + seed ranks ----
     def add_src_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b["part"] = (b["src"].to_numpy(np.int64) % nparts).astype(np.int64)
         return b
 
-    def fold_edges(g: pd.DataFrame) -> pd.DataFrame:
+    def seed_state(g: pd.DataFrame) -> pd.DataFrame:
         g = g.groupby(["src", "dst"], as_index=False)["w"].sum()
         g["outw"] = g.groupby("src")["w"].transform("sum")
-        return g[["src", "dst", "w", "outw"]]
+        g["src_rank"] = np.int64(1_000_000_000)
+        for c in ("src", "dst", "w", "outw", "src_rank"):
+            g[c] = g[c].astype(np.int64)
+        return g[["src", "dst", "w", "outw", "src_rank"]]
 
-    edges = (
-        edges.map_batches(add_src_part, batch_format="pandas")
+    state = (
+        raw_edges.map_batches(add_src_part, batch_format="pandas")
         .groupby("part")
-        .map_groups(fold_edges, batch_format="pandas")
+        .map_groups(seed_state, batch_format="pandas")
         .materialize()
     )
 
-    # ---- rank iterations: union exchange (ranks ∪ edges) keyed by src ----
-    ranks = edges.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": np.unique(np.concatenate(
-                [b["src"].to_numpy(np.int64), b["dst"].to_numpy(np.int64)])),
-             }
-        ),
-        batch_format="pandas",
-    ).map_batches(
-        lambda b: b.assign(rank=np.int64(1_000_000_000)),
-        batch_format="pandas",
-    )
-
-    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["node"])
-
-    ranks = (
-        ranks.map_batches(
-            lambda b: b.assign(part=(b["node"].to_numpy(np.int64) % nparts)),
-            batch_format="pandas",
+    # ---- exchanges 3..: one per iteration; emit is ROW-LOCAL ----
+    # kind 1 rows: edges re-keyed by src; kind 2 rows: mergeable
+    # per-dst contribution partials keyed by dst
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["src"].to_numpy(np.int64)
+        dst = b["dst"].to_numpy(np.int64)
+        w = b["w"].to_numpy(np.int64)
+        outw = b["outw"].to_numpy(np.int64)
+        rk = b["src_rank"].to_numpy(np.int64)
+        edges = pd.DataFrame(
+            {"src": src, "dst": dst, "w": w, "outw": outw,
+             "kind": np.ones(len(b), np.int8), "part": src % nparts}
         )
-        .groupby("part")
-        .map_groups(dedup_nodes, batch_format="pandas")
-        .drop_columns(["part"])
-        .materialize()
-    )
-
-    def rank_rows(b: pd.DataFrame) -> pd.DataFrame:
-        n = b["node"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {"src": n, "dst": np.zeros(len(n), np.int64),
-             "w": b["rank"].to_numpy(np.int64),
-             "outw": np.zeros(len(n), np.int64),
-             "kind": np.zeros(len(n), np.int8),
-             "part": n % nparts}
+        d = pd.DataFrame({"dst": dst, "c": rk * w // outw})
+        d = d.groupby("dst", as_index=False)["c"].sum()
+        contrib = pd.DataFrame(
+            {"src": d["dst"].to_numpy(np.int64),
+             "dst": np.zeros(len(d), np.int64),
+             "w": d["c"].to_numpy(np.int64),
+             "outw": np.zeros(len(d), np.int64),
+             "kind": np.full(len(d), 2, np.int8),
+             "part": d["dst"].to_numpy(np.int64) % nparts}
         )
+        return pd.concat([edges, contrib], ignore_index=True)
 
-    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"src": b["src"].to_numpy(np.int64),
-             "dst": b["dst"].to_numpy(np.int64),
-             "w": b["w"].to_numpy(np.int64),
-             "outw": b["outw"].to_numpy(np.int64),
-             "kind": np.ones(len(b), np.int8),
-             "part": b["src"].to_numpy(np.int64) % nparts}
-        )
-
-    def contribs(g: pd.DataFrame) -> pd.DataFrame:
-        r = g[g["kind"] == 0]
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
         e = g[g["kind"] == 1]
-        if len(e) == 0:
-            return pd.DataFrame(
-                {"dst": np.empty(0, np.int64), "c": np.empty(0, np.int64)}
-            )
-        rk = pd.Series(r["w"].to_numpy(np.int64), index=r["src"].to_numpy())
-        src_rank = rk.reindex(e["src"]).to_numpy(np.int64)
-        c = src_rank * e["w"].to_numpy(np.int64) // e["outw"].to_numpy(np.int64)
-        d = pd.DataFrame({"dst": e["dst"].to_numpy(np.int64), "c": c})
-        return d.groupby("dst", as_index=False)["c"].sum()
-
-    all_nodes = ranks.drop_columns(["rank"]).materialize()
+        contrib = g[g["kind"] == 2]
+        cs = contrib.groupby("src")["w"].sum()
+        c = cs.reindex(e["src"]).fillna(0).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"src": e["src"].to_numpy(np.int64),
+             "dst": e["dst"].to_numpy(np.int64),
+             "w": e["w"].to_numpy(np.int64),
+             "outw": e["outw"].to_numpy(np.int64),
+             "src_rank": (PR_BASE + PR_DAMP_NUM * c // PR_DAMP_DEN
+                          ).astype(np.int64)}
+        )
+        return out
 
     for _ in range(PAGERANK_ITERS):
-        contrib = (
-            ranks.map_batches(rank_rows, batch_format="pandas")
-            .union(edges.map_batches(edge_rows, batch_format="pandas"))
+        state = (
+            state.map_batches(emit, batch_format="pandas")
             .groupby("part")
-            .map_groups(contribs, batch_format="pandas")
-        )
-
-        def fold_ranks(g: pd.DataFrame) -> pd.DataFrame:
-            s = g.groupby("node", as_index=False)["c"].sum()
-            s["rank"] = (
-                PR_BASE + PR_DAMP_NUM * s["c"].to_numpy(np.int64) // PR_DAMP_DEN
-            ).astype(np.int64)
-            return s[["node", "rank"]]
-
-        ranks = (
-            contrib.map_batches(
-                lambda b: pd.DataFrame(
-                    {"node": b["dst"].to_numpy(np.int64),
-                     "c": b["c"].to_numpy(np.int64)}
-                ),
-                batch_format="pandas",
-            )
-            .union(
-                all_nodes.map_batches(
-                    lambda b: pd.DataFrame(
-                        {"node": b["node"].to_numpy(np.int64),
-                         "c": np.zeros(len(b), np.int64)}
-                    ),
-                    batch_format="pandas",
-                )
-            )
-            .map_batches(
-                lambda b: b.assign(part=(b["node"].to_numpy(np.int64) % nparts)),
-                batch_format="pandas",
-            )
-            .groupby("part")
-            .map_groups(fold_ranks, batch_format="pandas")
+            .map_groups(fold, batch_format="pandas")
             .materialize()
         )
 
-    out = ranks.to_pandas()
+    # final report: one rank row per node (all of a src's edge rows
+    # carry the same rank; per-block drop_duplicates partials are safe
+    # because the driver dedups again after the concat)
+    out = (
+        state.map_batches(
+            lambda b: b[["src", "src_rank"]].drop_duplicates("src"),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates("src")
+        .rename(columns={"src": "node", "src_rank": "rank"})
+    )
     out["is_supplier"] = (out["node"] % 2).astype(np.int64)
     out["entity_key"] = (out["node"] // 2).astype(np.int64)
     out = out.sort_values(
