@@ -215,6 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_window_energy": q.wav_window_energy,
         # bigram-LM fit + eval accuracy per context — hash-verified
         "bigram_prediction_accuracy": q.bigram_prediction_accuracy,
+        # o_totalprice vs lineitem-derived invariant audit — hash-verified
+        "order_price_consistency": q.order_price_consistency,
+        # per-nation earned-vs-spent revenue balance — hash-verified
+        "nation_trade_balance": q.nation_trade_balance,
+        # per-language char-trigram fingerprints — hash-verified
+        "char_trigram_lang_signature": q.char_trigram_lang_signature,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2191,6 +2197,60 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
+        "order_price_consistency": """
+    WITH l AS (
+      SELECT l_orderkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                 * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)))
+                 AS derived_e6
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                              AS BIGINT) * 10000 = l.derived_e6
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(ABS(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                             AS BIGINT) * 10000 - l.derived_e6))
+                AS BIGINT) AS abs_drift_e6
+    FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY 1""",
+        "nation_trade_balance": """
+    WITH rev AS (
+      SELECT l_orderkey, l_suppkey,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM lineitem
+    ),
+    e AS (
+      SELECT sn.n_name, SUM(rev.rev) AS earned
+      FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey GROUP BY 1
+    ),
+    sp AS (
+      SELECT cn.n_name, SUM(rev.rev) AS spent
+      FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey GROUP BY 1
+    )
+    SELECT COALESCE(e.n_name, sp.n_name) AS n_name,
+           CAST(COALESCE(e.earned, 0) AS BIGINT) AS earned_e4,
+           CAST(COALESCE(sp.spent, 0) AS BIGINT) AS spent_e4
+    FROM e FULL OUTER JOIN sp ON e.n_name = sp.n_name ORDER BY 1""",
+        "char_trigram_lang_signature": """
+    WITH tri AS (
+      SELECT lang, substr(text, i, 3) AS trigram
+      FROM documents,
+           UNNEST(range(1, GREATEST(LENGTH(text) - 1, 1))) AS u(i)
+    ),
+    c AS (SELECT lang, trigram, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+    SELECT lang, CAST(rank AS BIGINT) AS rank, trigram,
+           CAST(n AS BIGINT) AS n
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, trigram) AS rank
+          FROM c)
+    WHERE rank <= 10 ORDER BY lang, rank""",
         "bigram_prediction_accuracy": """
     WITH tr AS MATERIALIZED (
       SELECT event_type AS to_type,

@@ -10091,3 +10091,225 @@ def bigram_prediction_accuracy(sf_dir: str) -> pd.DataFrame:
     return parts[
         ["from_type", "predicted_type", "n_transitions", "n_correct"]
     ].sort_values("from_type").reset_index(drop=True)
+
+
+def order_price_consistency(sf_dir: str) -> pd.DataFrame:
+    """[graft] Cross-table invariant audit: o_totalprice vs the
+    lineitem-derived total sum(extendedprice * (1-disc) * (1+tax)),
+    all on exact integer grids (price e2 x (100-d) x (100+t) = e6).
+    Outputs per order status: orders with lines, exact matches, and
+    total absolute drift — the reconciliation report a warehouse runs
+    after every load (on this synthetic data the invariant does NOT
+    hold, which is precisely what the audit shows). One orderkey union
+    exchange; only per-status partials return."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"okey": ok, "status": b["o_orderstatus"].to_numpy(object),
+             "v": _scaled_int(b["o_totalprice"].to_numpy(np.float64), 100.0),
+             "kind": np.zeros(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64), 100.0)
+        tax = _scaled_int(b["l_tax"].to_numpy(np.float64), 100.0)
+        return pd.DataFrame(
+            {"okey": ok, "status": np.full(len(ok), "", object),
+             "v": price * (100 - disc) * (100 + tax),
+             "kind": np.ones(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"o_orderstatus": pd.Series([], dtype=object),
+                 "n_orders": np.empty(0, np.int64),
+                 "n_exact": np.empty(0, np.int64),
+                 "abs_drift_e6": np.empty(0, np.int64)}
+            )
+        derived = l.groupby("okey")["v"].sum()
+        om = o[o["okey"].isin(derived.index)].copy()
+        dv = derived.reindex(om["okey"]).to_numpy(np.int64)
+        total_e6 = om["v"].to_numpy(np.int64) * 10_000  # e2 -> e6 grid
+        om["n_exact"] = (total_e6 == dv).astype(np.int64)
+        om["abs_drift_e6"] = np.abs(total_e6 - dv)
+        out = om.groupby("status", sort=False).agg(
+            n_orders=("okey", "size"), n_exact=("n_exact", "sum"),
+            abs_drift_e6=("abs_drift_e6", "sum"),
+        ).reset_index().rename(columns={"status": "o_orderstatus"})
+        return out
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(audit, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("o_orderstatus", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def nation_trade_balance(sf_dir: str) -> pd.DataFrame:
+    """[graft] Per-nation trade balance: revenue earned by its
+    suppliers vs revenue spent by its customers, from ONE orderkey
+    exchange over the two fact tables with both nation maps broadcast.
+    Exact e4 revenue integers; the balance (earned - spent) is
+    derivable downstream."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nname = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cnat = dict(
+        zip(cust["c_custkey"].astype(int),
+            cust["c_nationkey"].astype(int).map(nname))
+    )
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    snat = dict(
+        zip(supp["s_suppkey"].astype(int),
+            supp["s_nationkey"].astype(int).map(nname))
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"okey": ok,
+             "nat": b["o_custkey"].astype(int).map(cnat).to_numpy(object),
+             "rev": np.zeros(len(ok), np.int64),
+             "kind": np.zeros(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64), 100.0)
+        return pd.DataFrame(
+            {"okey": ok,
+             "nat": b["l_suppkey"].astype(int).map(snat).to_numpy(object),
+             "rev": price * (100 - disc),
+             "kind": np.ones(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def balance(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=object),
+                 "earned_e4": np.empty(0, np.int64),
+                 "spent_e4": np.empty(0, np.int64)}
+            )
+        earned = l.groupby("nat", sort=False)["rev"].sum().rename("earned_e4")
+        cn = pd.Series(o["nat"].to_numpy(), index=o["okey"].to_numpy())
+        lm = l[l["okey"].isin(set(cn.index))].copy()
+        lm["cnat"] = cn.reindex(lm["okey"]).to_numpy()
+        spent = lm.groupby("cnat", sort=False)["rev"].sum().rename("spent_e4")
+        out = pd.concat([earned, spent], axis=1).fillna(0).reset_index()
+        out = out.rename(columns={"index": "n_name"})
+        out["earned_e4"] = out["earned_e4"].astype(np.int64)
+        out["spent_e4"] = out["spent_e4"].astype(np.int64)
+        return out
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(balance, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("n_name", as_index=False)[["earned_e4", "spent_e4"]].sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def char_trigram_lang_signature(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """[graft] Per-language character-trigram signature: the k most
+    frequent 3-character shingles of each language's text (the
+    classical lang-id fingerprint). (lang, trigram)-keyed count
+    partials per block — the combiner discipline of the vocabulary
+    queries applied to character space; trigram universe is bounded
+    (~alphabet^3) so the exchange is small at any corpus size."""
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    nvp = _vocab_parts(docs)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        rows_l, rows_t = [], []
+        for lang, text in zip(b["lang"], b["text"]):
+            n = len(text)
+            if n < 3:
+                continue
+            tris = [text[i : i + 3] for i in range(n - 2)]
+            rows_l.extend([lang] * len(tris))
+            rows_t.extend(tris)
+        if not rows_t:
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 "trigram": pd.Series([], dtype=object),
+                 "n": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        d = pd.DataFrame({"lang": rows_l, "trigram": rows_t})
+        g = d.groupby(["lang", "trigram"], sort=False).size().rename("n").reset_index()
+        g["part"] = (
+            pd.util.hash_pandas_object(g["trigram"], index=False).to_numpy()
+            % nvp
+        ).astype(np.int64)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["lang", "trigram"], as_index=False)["n"].sum()
+
+    parts = (
+        docs.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["lang", "n", "trigram"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    parts["rank"] = parts.groupby("lang").cumcount() + 1
+    out = parts[parts["rank"] <= k].reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["lang", "rank", "trigram", "n"]]
