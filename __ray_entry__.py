@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_balance": q.nation_trade_balance,
         # per-language char-trigram fingerprints — hash-verified
         "char_trigram_lang_signature": q.char_trigram_lang_signature,
+        # integer burst-automaton DP trajectory per type — hash-verified
+        "burst_automaton_trajectory": q.burst_automaton_trajectory,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -1166,6 +1168,58 @@ def _pagerank_sql(iters: int = 3) -> str:
            rank
     FROM rk{iters}
     ORDER BY rank DESC, node LIMIT 20"""
+
+
+def _burst_sql(n: int = 30) -> str:
+    """Unrolled integer two-state Viterbi (burst automaton) — one CTE
+    per day, trajectory emitted from every step; identical doubled-
+    integer arithmetic to queries.burst_automaton_trajectory."""
+    mid_lo, mid_hi = n // 2, n // 2 + 1  # 1-based middle order stats
+    head = f"""
+    WITH base AS MATERIALIZED (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS MATERIALIZED (
+      SELECT ty.t, gi.i, COALESCE(b.n, 0) AS c
+      FROM (SELECT DISTINCT event_type AS t FROM base) ty
+      CROSS JOIN (SELECT UNNEST(range(1, {n + 1})) AS i) gi
+      LEFT JOIN (SELECT event_type,
+                        day - (SELECT MIN(day) FROM base) + 1 AS i, n
+                 FROM base) b
+        ON b.event_type = ty.t AND b.i = gi.i
+    ),
+    med AS MATERIALIZED (
+      SELECT t, SUM(CASE WHEN rn IN ({mid_lo}, {mid_hi})
+                    THEN c ELSE 0 END) AS med2
+      FROM (SELECT t, c, ROW_NUMBER() OVER (PARTITION BY t ORDER BY c)
+                   AS rn FROM dense)
+      GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+      SELECT t, CAST(0 AS BIGINT) AS dp0, med2 AS dp1, med2 FROM med
+    )"""
+    steps = []
+    for i in range(1, n + 1):
+        steps.append(f""",
+    s{i} AS MATERIALIZED (
+      SELECT s.t,
+             LEAST(s.dp0, s.dp1 + s.med2)
+               + GREATEST(0, 2 * d.c - s.med2) AS dp0,
+             LEAST(s.dp1, s.dp0 + s.med2)
+               + GREATEST(0, 2 * s.med2 - 2 * d.c) AS dp1,
+             s.med2
+      FROM s{i - 1} s JOIN dense d ON d.t = s.t AND d.i = {i}
+    )""")
+    tails = "\n    UNION ALL ".join(
+        f"SELECT t, {i} AS day_ix, dp0, dp1 FROM s{i}"
+        for i in range(1, n + 1)
+    )
+    return head + "".join(steps) + f"""
+    SELECT t AS event_type, CAST(day_ix AS BIGINT) AS day_ix,
+           CAST(dp0 AS BIGINT) AS dp_base, CAST(dp1 AS BIGINT) AS dp_burst
+    FROM ({tails}) ORDER BY 1, 2"""
 
 
 def _dtw_sql(n: int = 30, ref: str = "click") -> str:
@@ -2197,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_text_len
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
+        "burst_automaton_trajectory": _burst_sql(),
         "order_price_consistency": """
     WITH l AS (
       SELECT l_orderkey,

@@ -10313,3 +10313,60 @@ def char_trigram_lang_signature(sf_dir: str, k: int = 10) -> pd.DataFrame:
     out["n"] = out["n"].astype(np.int64)
     out["rank"] = out["rank"].astype(np.int64)
     return out[["lang", "rank", "trigram", "n"]]
+
+
+BURST_DAYS = 30
+
+
+def burst_automaton_trajectory(sf_dir: str) -> pd.DataFrame:
+    """[graft] Kleinberg-style burst detection as an integer two-state
+    Viterbi over each event type's daily-count series: base state pays
+    max(0, 2c - med2) when volume runs above its median, burst state
+    pays max(0, 2*med2 - 2c) when volume is NOT elevated, switching
+    costs med2. All quantities are doubled-integer counts, so the DP
+    is deterministic and the FULL cost trajectory (dp0, dp1 per day)
+    is hash-verified — consumers backtrack burst intervals from it.
+    Distributed part: mergeable (type, day) count partials + the exact
+    per-type doubled median from the merged day table (bounded by
+    days x types, data-size independent); the 2 x BURST_DAYS DP runs
+    on that bounded table."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        d = pd.DataFrame({"event_type": b["event_type"].to_numpy(), "day": day})
+        return d.groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        _events(sf_dir, columns=["ts", "event_type"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    d0 = int(agg["day"].min())
+    agg["i"] = agg["day"] - d0 + 1
+    agg = agg[(agg["i"] >= 1) & (agg["i"] <= BURST_DAYS)]
+
+    rows = []
+    for t in sorted(agg["event_type"].unique()):
+        sub = agg[agg["event_type"] == t]
+        c = np.zeros(BURST_DAYS, np.int64)
+        c[sub["i"].to_numpy(np.int64) - 1] = sub["n"].to_numpy(np.int64)
+        med2 = int(np.int64(2) * np.sort(c)[BURST_DAYS // 2]) if BURST_DAYS % 2 \
+            else int(np.sort(c)[BURST_DAYS // 2 - 1] + np.sort(c)[BURST_DAYS // 2])
+        gamma = med2
+        dp0, dp1 = 0, gamma  # entering burst at t=0 pays the switch
+        for i in range(1, BURST_DAYS + 1):
+            e0 = max(0, 2 * int(c[i - 1]) - med2)
+            e1 = max(0, 2 * med2 - 2 * int(c[i - 1]))
+            ndp0 = min(dp0, dp1 + gamma) + e0
+            ndp1 = min(dp1, dp0 + gamma) + e1
+            dp0, dp1 = ndp0, ndp1
+            rows.append(
+                {"event_type": t, "day_ix": i, "dp_base": dp0,
+                 "dp_burst": dp1}
+            )
+    out = pd.DataFrame(rows)
+    for col in ("day_ix", "dp_base", "dp_burst"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values(["event_type", "day_ix"]).reset_index(drop=True)

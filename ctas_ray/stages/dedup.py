@@ -100,10 +100,14 @@ NUM_PARTS = 64
 
 def _pipeline_parts(docs: rd.Dataset, explicit: int | None = None) -> int:
     """Partition count for one dedup pipeline run: explicit override, or
-    adaptive from the input dataset's metadata-known size."""
+    adaptive from the input dataset's metadata-known size. The floor is
+    the cluster CPU count (rounds 1-3 floored at NUM_PARTS=64, which
+    multiplied per-exchange task overhead ~10% at small CPU counts for
+    zero benefit — at scale the bytes-derived count dominates either
+    way, and results are count-invariant by construction)."""
     if explicit is not None:
         return explicit
-    return parts_for(docs, floor=max(adaptive_parts(None), NUM_PARTS))
+    return parts_for(docs)
 
 
 def _row_part(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
