@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_trigram_lang_signature": q.char_trigram_lang_signature,
         # integer burst-automaton DP trajectory per type — hash-verified
         "burst_automaton_trajectory": q.burst_automaton_trajectory,
+        # largest-remainder sampling-plan apportionment — hash-verified
+        "sampling_budget_allocation": q.sampling_budget_allocation,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2252,6 +2254,28 @@ def oracle_sql() -> dict[str, str]:
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
         "burst_automaton_trajectory": _burst_sql(),
+        "sampling_budget_allocation": """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_docs) AS total FROM c),
+    b AS (
+      SELECT c.lang, c.n_docs,
+             1000 * c.n_docs // t.total AS base,
+             1000 * c.n_docs % t.total AS remainder
+      FROM c, t
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, lang) AS rk,
+             (SELECT 1000 - SUM(base) FROM b) AS extra
+      FROM b
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota,
+           CAST(remainder AS BIGINT) AS remainder
+    FROM r ORDER BY lang""",
         "order_price_consistency": """
     WITH l AS (
       SELECT l_orderkey,

@@ -10370,3 +10370,45 @@ def burst_automaton_trajectory(sf_dir: str) -> pd.DataFrame:
     for col in ("day_ix", "dp_base", "dp_burst"):
         out[col] = out[col].astype(np.int64)
     return out.sort_values(["event_type", "day_ix"]).reset_index(drop=True)
+
+
+SAMPLING_BUDGET = 1000
+
+
+def sampling_budget_allocation(sf_dir: str) -> pd.DataFrame:
+    """[graft] Deterministic sampling-plan apportionment: distribute a
+    SAMPLING_BUDGET of draws across languages proportionally to corpus
+    share using the largest-remainder method — floor(B * n_l / N) per
+    language, then one extra draw to the largest remainders (ties ->
+    lang asc) until the budget is exact. Pure integer math (remainders
+    compared as B*n_l mod N), so the plan is reproducible anywhere.
+    Input is one tiny per-lang count partial; the apportionment runs
+    on the bounded lang table."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"lang": b["lang"].to_numpy()})
+        return d.groupby("lang", as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        )
+
+    parts = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("lang", as_index=False)["n_docs"].sum()
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    total = int(agg["n_docs"].sum())
+    n = agg["n_docs"].to_numpy(np.int64)
+    base = SAMPLING_BUDGET * n // total
+    rem = SAMPLING_BUDGET * n % total
+    extra = SAMPLING_BUDGET - int(base.sum())
+    order = np.lexsort((np.arange(len(agg)), -rem))  # rem desc, lang asc
+    bonus = np.zeros(len(agg), np.int64)
+    bonus[order[:extra]] = 1
+    out = pd.DataFrame(
+        {"lang": agg["lang"], "n_docs": n, "quota": base + bonus,
+         "remainder": rem}
+    )
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
