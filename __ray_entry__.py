@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_automaton_trajectory": q.burst_automaton_trajectory,
         # largest-remainder sampling-plan apportionment — hash-verified
         "sampling_budget_allocation": q.sampling_budget_allocation,
+        # cross-multiplied elevated-error-share screen — hash-verified
+        "elevated_error_users": q.elevated_error_users,
+        # histogram-intersection similarity of nation priority mixes — hash-verified
+        "nation_priority_mix_similarity": q.nation_priority_mix_similarity,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2254,6 +2258,42 @@ def oracle_sql() -> dict[str, str]:
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
         "burst_automaton_trajectory": _burst_sql(),
+        "elevated_error_users": """
+    WITH u AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS n_errors
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT SUM(n_events) AS n_g, SUM(n_errors) AS e_g FROM u)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_errors AS BIGINT) AS n_errors
+    FROM u, g
+    WHERE n_events >= 20 AND 4 * n_errors * g.n_g > 5 * g.e_g * n_events
+    ORDER BY user_id""",
+        "nation_priority_mix_similarity": """
+    WITH mix AS MATERIALIZED (
+      SELECT c.c_nationkey AS nkey, o.o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+      SELECT nkey, SUM(n) AS total FROM mix GROUP BY 1
+    ),
+    dense AS MATERIALIZED (
+      SELECT t.nkey, p.prio, COALESCE(m.n, 0) AS n, t.total
+      FROM tot t CROSS JOIN (SELECT DISTINCT prio FROM mix) p
+      LEFT JOIN mix m ON m.nkey = t.nkey AND m.prio = p.prio
+    )
+    SELECT CAST(a.nkey AS BIGINT) AS nation_a,
+           CAST(b.nkey AS BIGINT) AS nation_b,
+           CAST(SUM(LEAST(a.n * b.total, b.n * a.total)) AS BIGINT)
+               AS intersection_x,
+           CAST(MIN(a.total * b.total) AS BIGINT) AS denominator
+    FROM dense a JOIN dense b
+      ON a.prio = b.prio AND a.nkey < b.nkey
+    GROUP BY 1, 2 ORDER BY 1, 2""",
         "sampling_budget_allocation": """
     WITH c AS (
       SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1

@@ -10412,3 +10412,92 @@ def sampling_budget_allocation(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+ERROR_SHARE_MIN_EVENTS = 20
+
+
+def elevated_error_users(sf_dir: str) -> pd.DataFrame:
+    """[graft] Error-budget screen: users whose error share exceeds
+    1.25x the global error share, at a minimum event volume. The
+    comparison is cross-multiplied integer math (4 * e_u * n_g >
+    5 * e_g * n_u) — no rate division anywhere — over mergeable
+    per-user (events, errors) count partials."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64),
+             "n_events": np.ones(len(b), np.int64),
+             "n_errors": (b["event_type"] == "error").to_numpy(np.int64)}
+        )
+        return d.groupby("user_id", as_index=False).sum()
+
+    parts = (
+        _events(sf_dir, columns=["user_id", "event_type"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("user_id", as_index=False).sum()
+    n_g = int(agg["n_events"].sum())
+    e_g = int(agg["n_errors"].sum())
+    n_u = agg["n_events"].to_numpy(np.int64)
+    e_u = agg["n_errors"].to_numpy(np.int64)
+    flag = (n_u >= ERROR_SHARE_MIN_EVENTS) & (4 * e_u * n_g > 5 * e_g * n_u)
+    out = agg[flag].copy()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def nation_priority_mix_similarity(sf_dir: str) -> pd.DataFrame:
+    """[graft] Histogram-intersection similarity between nations'
+    order-priority mixes: for every nation pair, sum over priorities of
+    min(count_a * n_b, count_b * n_a) — counts cross-multiplied onto a
+    common denominator so the intersection of the NORMALIZED mixes is
+    computed in exact integers (consumers divide by n_a * n_b). The
+    mix table is bounded (nations x priorities), so the pairwise step
+    is data-size independent; only count partials are distributed."""
+    import pyarrow.parquet as pq_
+
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = dict(zip(cust["c_custkey"].astype(int), cust["c_nationkey"].astype(int)))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"nkey": b["o_custkey"].astype(int).map(nat).to_numpy(np.int64),
+             "prio": b["o_orderpriority"].to_numpy(object)}
+        )
+        return d.groupby(["nkey", "prio"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+        )
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    mix = parts.groupby(["nkey", "prio"], as_index=False)["n"].sum()
+    piv = mix.pivot_table(
+        index="nkey", columns="prio", values="n", fill_value=0, aggfunc="sum"
+    ).astype(np.int64)
+    totals = piv.sum(axis=1).to_numpy(np.int64)
+    keys = piv.index.to_numpy(np.int64)
+    m = piv.to_numpy(np.int64)
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            inter = int(
+                np.minimum(m[i] * totals[j], m[j] * totals[i]).sum()
+            )
+            rows.append(
+                {"nation_a": int(keys[i]), "nation_b": int(keys[j]),
+                 "intersection_x": inter,
+                 "denominator": int(totals[i] * totals[j])}
+            )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["nation_a", "nation_b"]).reset_index(drop=True)

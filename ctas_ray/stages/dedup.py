@@ -100,14 +100,18 @@ NUM_PARTS = 64
 
 def _pipeline_parts(docs: rd.Dataset, explicit: int | None = None) -> int:
     """Partition count for one dedup pipeline run: explicit override, or
-    adaptive from the input dataset's metadata-known size. The floor is
-    the cluster CPU count (rounds 1-3 floored at NUM_PARTS=64, which
-    multiplied per-exchange task overhead ~10% at small CPU counts for
-    zero benefit — at scale the bytes-derived count dominates either
-    way, and results are count-invariant by construction)."""
+    adaptive from the input dataset's metadata-known size, floored at
+    4x the cluster CPUs. The 4x headroom matters under skew: near-dup
+    corpora concentrate work in template-heavy buckets, and with
+    exactly one partition per core a hot partition is a straggler the
+    scheduler cannot rebalance (measured 10M docs at 8 cpus: 1-part-
+    per-core was ~20% slower than 64 parts; rounds 1-3's fixed floor
+    of 64 was in turn ~10% overhead at 2 cpus). At scale the
+    bytes-derived count dominates either way, and results are
+    count-invariant by construction (tests/test_partitioning.py)."""
     if explicit is not None:
         return explicit
-    return parts_for(docs)
+    return parts_for(docs, floor=4 * adaptive_parts(None))
 
 
 def _row_part(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
