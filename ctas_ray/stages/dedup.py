@@ -111,7 +111,12 @@ def _pipeline_parts(docs: rd.Dataset, explicit: int | None = None) -> int:
     count-invariant by construction (tests/test_partitioning.py)."""
     if explicit is not None:
         return explicit
-    return parts_for(docs, floor=4 * adaptive_parts(None))
+    # floor capped at 64: beyond it the shuffle's block-count metadata
+    # work grows superlinearly on one driver core (a 128-part x ~230-
+    # block sort at 32 cpus stalled minutes in reduce planning), while
+    # the 192 MB bytes-derived target keeps real-scale partitions large
+    # anyway — the floor only exists for small-input balance
+    return parts_for(docs, floor=min(4 * adaptive_parts(None), 64))
 
 
 def _row_part(df: pd.DataFrame, cols: list[str], num_parts: int) -> np.ndarray:
