@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "elevated_error_users": q.elevated_error_users,
         # histogram-intersection similarity of nation priority mixes — hash-verified
         "nation_priority_mix_similarity": q.nation_priority_mix_similarity,
+        # exactly-modeled log2-bucket quantile sketch — hash-verified
+        "log_histogram_quantiles": q.log_histogram_quantiles,
         # ad-hoc 6h rollup served from the persisted 1h tier (downsample-
         # on-read; cascade-exact vs direct-from-raw) — hash-verified
         "rollup_6h_from_1h": q.rollup_6h_from_1h,
@@ -2258,6 +2260,50 @@ def oracle_sql() -> dict[str, str]:
     FROM documents GROUP BY 1 ORDER BY 1""",
         "supplier_pagerank": _pagerank_sql(),
         "burst_automaton_trajectory": _burst_sql(),
+        "log_histogram_quantiles": """
+    WITH v AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS ve
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type,
+             CASE WHEN ve <= 0 THEN 0
+                  ELSE LENGTH(bin(ve)) END AS bucket,
+             COUNT(*) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    ),
+    pick AS (
+      SELECT event_type, total AS n,
+             MIN(CASE WHEN cum >= -((-50 * total) // 100)
+                 THEN bucket END) AS q50_bucket,
+             MIN(CASE WHEN cum >= -((-95 * total) // 100)
+                 THEN bucket END) AS q95_bucket
+      FROM c GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(q50_bucket AS BIGINT) AS q50_bucket,
+           CAST(CASE WHEN q50_bucket = 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << CAST(q50_bucket - 1 AS INTEGER))
+                END AS BIGINT) AS q50_lo_e2,
+           CAST(CASE WHEN q50_bucket = 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << CAST(q50_bucket AS INTEGER)) - 1
+                END AS BIGINT) AS q50_hi_e2,
+           CAST(q95_bucket AS BIGINT) AS q95_bucket,
+           CAST(CASE WHEN q95_bucket = 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << CAST(q95_bucket - 1 AS INTEGER))
+                END AS BIGINT) AS q95_lo_e2,
+           CAST(CASE WHEN q95_bucket = 0 THEN 0
+                ELSE (CAST(1 AS BIGINT) << CAST(q95_bucket AS INTEGER)) - 1
+                END AS BIGINT) AS q95_hi_e2
+    FROM pick ORDER BY 1""",
         "elevated_error_users": """
     WITH u AS (
       SELECT user_id, COUNT(*) AS n_events,

@@ -10501,3 +10501,54 @@ def nation_priority_mix_similarity(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["nation_a", "nation_b"]).reset_index(drop=True)
+
+
+def log_histogram_quantiles(sf_dir: str) -> pd.DataFrame:
+    """[graft] Mergeable log2-bucket quantile sketch, exactly modeled:
+    per event type, e2-quantized values land in bucket = bit_length
+    (bounded relative error ~2x per bucket), bucket counts merge as
+    integer partials, and the p50/p95 buckets are read off the merged
+    cumulative counts at type-7-style ranks ceil(p*n/100). Outputs the
+    bucket ids and their [2^(b-1), 2^b - 1] bounds — every number is
+    an exact integer, so unlike HLL/MG this sketch is value-verified
+    end to end in SQL (the third member of the exactly-modeled sketch
+    family, after Bloom and Count-Min)."""
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        v = _scaled_int(b["value"].to_numpy(np.float64), 100.0)
+        bucket = np.zeros(len(v), np.int64)
+        pos = v > 0
+        # bit_length, vectorized and exact: for integer v in
+        # [2^(b-1), 2^b), frexp's binary exponent is exactly b
+        # (values are e2 ints << 2^53, so the float conversion is exact)
+        bucket[pos] = np.frexp(v[pos].astype(np.float64))[1].astype(np.int64)
+        d = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(), "bucket": bucket,
+             "n": np.ones(len(v), np.int64)}
+        )
+        return d.groupby(["event_type", "bucket"], as_index=False)["n"].sum()
+
+    parts = (
+        _events(sf_dir, columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+    )
+    hist = parts.groupby(["event_type", "bucket"], as_index=False)["n"].sum()
+    rows = []
+    for t, g in hist.groupby("event_type"):
+        g = g.sort_values("bucket")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        buckets = g["bucket"].to_numpy(np.int64)
+        row = {"event_type": t, "n": n}
+        for p, name in ((50, "q50"), (95, "q95")):
+            rank = -(-p * n // 100)  # ceil(p*n/100)
+            bix = int(buckets[np.searchsorted(cum, rank)])
+            row[f"{name}_bucket"] = bix
+            row[f"{name}_lo_e2"] = 0 if bix == 0 else 1 << (bix - 1)
+            row[f"{name}_hi_e2"] = 0 if bix == 0 else (1 << bix) - 1
+        rows.append(row)
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
