@@ -1210,8 +1210,13 @@ def _run_vector_mode(
     # membership to the driver at all). The repartition merges away the
     # schemaless EMPTY blocks Ray's group machinery emits for unused
     # salt partitions — the hash-join aggregator rejects columnless
-    # blocks ("no match for key field parameter_id").
-    membership = membership.repartition(16).materialize()
+    # blocks ("no match for key field parameter_id"). Sized from the
+    # membership bytes (VERDICT r4 item 6): at toy scale this merges to
+    # the CPU floor like the old fixed 16, at real scale the count grows
+    # with membership so no single ~192 MB+ block forms on the join path.
+    from ..partitioning import parts_for as _parts_for
+
+    membership = membership.repartition(_parts_for(membership)).materialize()
     n_members = membership.count()
     _tick("plan+membership")
     use_member_join = (

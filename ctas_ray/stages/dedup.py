@@ -92,10 +92,10 @@ MAX_BUCKET_SIZE = 256
 # like stages/rollup.py) — never one Python call per group/pair/bucket.
 # Pipeline ENTRY POINTS size the count from the input bytes via
 # partitioning.parts_for (~192 MB per partition, floored at the cluster
-# CPU count); NUM_PARTS survives only as the fallback for explicit
-# callers / size-unknown plans. All exchanges are per-key exact, so the
+# CPU count); helpers called with num_parts=None size themselves from
+# their own input via _pipeline_parts (VERDICT r4 item 6 — the dormant
+# fixed-64 fallback is gone). All exchanges are per-key exact, so the
 # results are invariant to the chosen count (tests/test_partitioning.py).
-NUM_PARTS = 64
 
 
 def _pipeline_parts(docs: rd.Dataset, explicit: int | None = None) -> int:
@@ -356,7 +356,7 @@ def _gather_verify_pairs(
     import pyarrow.compute as pc
 
     if num_parts is None:
-        num_parts = NUM_PARTS
+        num_parts = _pipeline_parts(candidates)
 
     def _pair_cols(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         a = t.column("id_a").to_numpy(zero_copy_only=False)
@@ -731,7 +731,7 @@ def _exact_collapse(
     (doc_id, rep) membership table. Only ids + fixed-width attributes
     move through this exchange — never texts."""
 
-    nparts = NUM_PARTS if num_parts is None else num_parts
+    nparts = _pipeline_parts(keyed) if num_parts is None else num_parts
 
     def add_part(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1266,7 +1266,7 @@ def _shingle_df_ranks(
     """
     import ray
 
-    nparts = NUM_PARTS if num_parts is None else num_parts
+    nparts = _pipeline_parts(reps) if num_parts is None else num_parts
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
