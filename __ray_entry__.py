@@ -262,9 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q.minhash_clusters,            # hash-verified (signatures recomputed in SQL)
         "ngram_jaccard_clusters": q.ngram_jaccard_clusters,  # hash-verified (algorithm modeled in SQL)
         "simhash_clusters": q.simhash_clusters,            # hash-verified (md5 SimHash recomputed in SQL)
-        "embedding_neardup": q.embedding_neardup,          # rows-only (planted dups -> non-vacuous)
-        "ivf_topk_similarity": q.ivf_topk_similarity,      # rows-only
-        "ivf_recall": q.ivf_recall,                        # rows-only (recall@k vs brute force)
+        "embedding_neardup": q.embedding_neardup,          # hash-verified (md5 LSH + integer cosine, r5)
+        "ivf_topk_similarity": q.ivf_topk_similarity,      # hash-verified (integer-exact IVF, r5)
+        "ivf_recall": q.ivf_recall,                        # hash-verified (recall@k vs brute force, r5)
         "media_features": q.media_features,                # rows-only (real BMP/WAV/video decode)
         # flagship anomaly screen, full config (crc32 sites, jitter on,
         # lof/own_site features -> rows-only)
@@ -974,13 +974,148 @@ def _shingle_weight_rows() -> str:
     return ",".join(f"({e}, CAST('{weights[e]}' AS HUGEINT))" for e in range(5))
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
-    """Unrolled Lloyd's k-means in SQL, mirroring
+def _embedding_neardup_sql(
+    n_planted: int = 20,
+    id_base: int = 1_000_000,
+    n_planes: int = 12,
+    thr_num: int = 49,
+    thr_den: int = 50,
+) -> str:
+    """Exact model of stages/dedup.py:embedding_cosine_dedup plus the
+    planted rows of queries.embedding_neardup: e3-quantized int64
+    vectors, md5-Rademacher plane signs, multi-probe collision =
+    Hamming(key_a, key_b) <= 2 (probe sets {key^0, key^e_i} intersect
+    exactly when the XOR has at most two bits), integer cross-multiplied
+    cosine threshold (49/50 = 0.98), recursive min-label closure."""
+    return f"""
+    WITH RECURSIVE pl AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_planted}),
+    q0 AS MATERIALIZED (
+      SELECT vec_id,
+             UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    qp AS (
+      SELECT q0.vec_id + {id_base} AS vec_id, q0.dim,
+             q0.x + CASE WHEN ('0x' || substr(md5('pn_' || q0.vec_id || '_' || q0.dim), 1, 8))::UBIGINT % 2 = 0
+                         THEN 0.002 ELSE -0.002 END AS x
+      FROM q0 JOIN pl ON pl.vec_id = q0.vec_id
+    ),
+    qall AS MATERIALIZED (
+      SELECT vec_id, dim, CAST(FLOOR(x * 1000 + 0.5) AS BIGINT) AS w
+      FROM (SELECT * FROM q0 UNION ALL SELECT * FROM qp)
+    ),
+    planes AS MATERIALIZED (
+      SELECT d.dim, j.j,
+             CASE WHEN ('0x' || substr(md5('ep_' || j.j || '_' || d.dim), 1, 8))::UBIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT DISTINCT dim FROM qall) d
+      CROSS JOIN (SELECT UNNEST(range({n_planes})) AS j) j
+    ),
+    bits AS (
+      SELECT q.vec_id, p.j,
+             CASE WHEN SUM(q.w * p.s) > 0 THEN 1 ELSE 0 END AS bit
+      FROM qall q JOIN planes p USING (dim) GROUP BY 1, 2
+    ),
+    keys AS MATERIALIZED (
+      SELECT vec_id, CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS key
+      FROM bits GROUP BY 1
+    ),
+    pairs0 AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM keys a JOIN keys b
+        ON a.vec_id < b.vec_id
+       AND bit_count(xor(a.key, b.key)) <= 2
+    ),
+    n2 AS MATERIALIZED (SELECT vec_id, SUM(w * w) AS n2 FROM qall GROUP BY 1),
+    dots AS (
+      SELECT p.id_a, p.id_b, SUM(qa.w * qb.w) AS dot
+      FROM pairs0 p
+      JOIN qall qa ON qa.vec_id = p.id_a
+      JOIN qall qb ON qb.vec_id = p.id_b AND qb.dim = qa.dim
+      GROUP BY 1, 2
+    ),
+    verified AS MATERIALIZED (
+      SELECT d.id_a, d.id_b
+      FROM dots d
+      JOIN n2 a ON a.vec_id = d.id_a
+      JOIN n2 b ON b.vec_id = d.id_b
+      WHERE d.dot > 0
+        AND CAST({thr_den * thr_den} AS HUGEINT) * d.dot * d.dot
+            >= CAST({thr_num * thr_num} AS HUGEINT) * a.n2 * b.n2
+    ),
+    ed AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach(node, root) AS (
+      SELECT a, a FROM ed
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN ed e ON e.a = r.node
+    )
+    SELECT node AS vec_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY 1 ORDER BY 1"""
+
+
+def _hll_audit_sql(p: int = 6) -> str:
+    """Exact model of stages/sketches.py:hll_md5_stats per column:
+    32-bit md5 word, bucket = top p bits, rank = 32 - floor(log2(rest))
+    with the sentinel bit (exact for 32-bit ints — floats represent
+    them exactly and log2 cannot round up across an integer there),
+    registers max-merged, integer harmonic denominator 2^(30-reg) and
+    the alpha rational 7213*m/(10000*m+10790) evaluated in HUGEINT."""
+    m = 1 << p
+    shift = 1 << (32 - p)      # bucket = h32 // 2^(32-p)
+    mul = 1 << p               # rest = (h32 * 2^p) % 2^32 | 2^(p-1)
+    sentinel = 1 << (p - 1)
+    num = 7213 * m**3 * (1 << 30)
+    den_a = 10000 * m + 10790
+
+    def block(col_expr: str, name: str, where: str) -> str:
+        return f"""
+    SELECT '{name}' AS column_name,
+           CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_registers,
+           CAST(SUM(1::BIGINT << (30 - reg)) AS BIGINT) AS denom_e30,
+           CAST(CAST({num} AS HUGEINT)
+                // (CAST({den_a} AS HUGEINT)
+                    * SUM(1::BIGINT << (30 - reg))) AS BIGINT) AS approx_n
+    FROM (
+      SELECT a.bucket, COALESCE(r.reg, 0) AS reg
+      FROM (SELECT UNNEST(range({m})) AS bucket) a
+      LEFT JOIN (
+        SELECT CAST(h32 // {shift} AS BIGINT) AS bucket,
+               MAX(32 - CAST(FLOOR(LOG2(CAST(((h32 * {mul}) % 4294967296)
+                                             | {sentinel} AS DOUBLE)))
+                             AS BIGINT)) AS reg
+        FROM (
+          SELECT ('0x' || substr(md5({col_expr}), 1, 8))::UBIGINT AS h32
+          FROM events WHERE {where}
+        ) GROUP BY 1
+      ) r USING (bucket)
+    )"""
+
+    return (
+        block("CAST(event_id AS VARCHAR)", "event_id", "event_id IS NOT NULL")
+        + "\n    UNION ALL\n"
+        + block("CAST(user_id AS VARCHAR)", "user_id", "user_id IS NOT NULL")
+        + "\n    UNION ALL\n"
+        + block("props", "props", "props IS NOT NULL")
+        + "\n    ORDER BY column_name"
+    )
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """CTE chain for the unrolled Lloyd's k-means, mirroring
     stages/clustering.py exactly: e6-quantized int64 vectors, exact
     integer squared-L2 distances, argmin ties -> smallest cluster,
     floor-divided integer centroid means (the positive-mod form makes
     the numerator exactly divisible, so truncating `//` equals floor),
-    empty clusters keep the previous centroid."""
+    empty clusters keep the previous centroid. Ends at ``aF`` (final
+    per-vector assignment ranking) with ``cent{iters}`` (the fitted
+    centroids) in scope — shared by the kmeans contract row and the
+    IVF oracles."""
     parts = [
         f"""
     q AS (
@@ -1026,10 +1161,116 @@ def _kmeans_sql(k: int, iters: int) -> str:
       SELECT vec_id, cluster, d2,
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
       FROM dF
-    )
+    )""")
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means oracle (see :func:`_kmeans_ctes`)."""
+    return (
+        "WITH " + _kmeans_ctes(k, iters)
+        + """
     SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
-    FROM aF WHERE rk = 1 ORDER BY vec_id""")
-    return "WITH " + "".join(parts)
+    FROM aF WHERE rk = 1 ORDER BY vec_id"""
+    )
+
+
+def _ivf_ctes(n_centroids: int, iters: int, n_probe: int, n_queries: int) -> str:
+    """IVF search oracle chain on top of the k-means chain: the query
+    vectors are the n smallest vec_ids (same rule as the engine's
+    _query_vectors), probes are the n_probe centroids with smallest
+    exact integer d2 (ties -> smaller cluster index), candidates are
+    the corpus vectors routed to a probed bucket by the final k-means
+    assignment, scored with topk_similarity's proven e5-grid cosine.
+    Ends at ``ranked``."""
+    return (
+        _kmeans_ctes(n_centroids, iters)
+        + f""",
+    asgF AS (SELECT vec_id, cluster FROM aF WHERE rk = 1),
+    qids AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings ORDER BY vec_id LIMIT {n_queries}
+    ),
+    qq AS (
+      SELECT query_id,
+             UNNEST(range(len(qe))) AS dim,
+             UNNEST(list_transform(qe,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv
+      FROM qids
+    ),
+    probe_d AS (
+      SELECT q.query_id, c.cluster, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+      FROM qq q JOIN cent{iters} c USING (dim) GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2, cluster) AS prk
+        FROM probe_d) WHERE prk <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id FROM probes p JOIN asgF a USING (cluster)
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(FLOOR(list_cosine_similarity(e.embedding, qi.qe) * 100000
+                        + 0.5) AS BIGINT) AS cos_e5
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN qids qi ON qi.query_id = c.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos_e5,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_e5 DESC, vec_id) AS rank
+      FROM scored
+    )"""
+    )
+
+
+def _ivf_sql(n_centroids: int, iters: int, n_probe: int, topk: int,
+             n_queries: int) -> str:
+    return (
+        "WITH " + _ivf_ctes(n_centroids, iters, n_probe, n_queries)
+        + f"""
+    SELECT query_id, vec_id, cos_e5, rank
+    FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank"""
+    )
+
+
+def _ivf_recall_sql(n_centroids: int, iters: int, n_probe: int, topk: int,
+                    n_queries: int) -> str:
+    """Recall@k of the IVF result against the brute-force e5-grid
+    top-k, both recomputed in SQL; recall_e6 uses the identical
+    float chain as numpy's _scaled_int(m / k)."""
+    return (
+        "WITH " + _ivf_ctes(n_centroids, iters, n_probe, n_queries)
+        + f""",
+    ivf_top AS (
+      SELECT query_id, vec_id FROM ranked WHERE rank <= {topk}
+    ),
+    brute_scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(list_cosine_similarity(e.embedding, q.qe) * 100000
+                        + 0.5) AS BIGINT) AS cos_e5
+      FROM embeddings e CROSS JOIN qids q
+    ),
+    brute_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_e5 DESC, vec_id) AS rank
+        FROM brute_scored) WHERE rank <= {topk}
+    )
+    SELECT b.query_id,
+           CAST(FLOOR(CAST(COUNT(i.vec_id) AS DOUBLE) / {topk} * 1000000
+                      + 0.5) AS BIGINT) AS recall_e6
+    FROM brute_top b
+    LEFT JOIN ivf_top i
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY 1 ORDER BY 1"""
+    )
 
 
 def _pq_sql(k: int, iters: int, adc_topk: int | None = None) -> str:
@@ -3519,6 +3760,14 @@ def oracle_sql() -> dict[str, str]:
     FROM documents d LEFT JOIN hits h USING (doc_id)
     WHERE d.doc_id >= 20 ORDER BY 1""",
         "kmeans_embedding_clusters": _kmeans_sql(8, 2),
+        # IVF graduated from rows-only (VERDICT r4 item 2): integer-exact
+        # centroid fit/routing/probes + the proven e5-grid cosine
+        "ivf_topk_similarity": _ivf_sql(8, 2, 4, 10, 5),
+        "ivf_recall": _ivf_recall_sql(8, 2, 5, 10, 5),
+        # graduated from rows-only (VERDICT r4 item 2): md5-Rademacher
+        # LSH + integer cosine verify, planted rows md5-derived
+        "embedding_neardup": _embedding_neardup_sql(),
+        "approx_distinct_counts": _hll_audit_sql(6),
         # early-vs-late drift: KS statistic between the chronological
         # first and second halves per event_type (same tie-collapsed
         # walk as ks_statistic_by_site; n_early = n // 2)

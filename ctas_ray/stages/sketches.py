@@ -347,3 +347,72 @@ def heavy_hitters_mg(
     return out.sort_values(
         ["mg_count", "item"], ascending=[False, True]
     ).reset_index(drop=True)
+
+
+def _md5_h32(values) -> np.ndarray:
+    """First 8 hex chars of md5(str(v)) as uint32 per value — the
+    SQL-reproducible hash family used by the exactly-modeled sketch
+    audits (mirrors DuckDB ('0x'||substr(md5(CAST(v AS VARCHAR)),1,8))).
+    Integers must arrive as Python/np ints (str() gives the decimal
+    form VARCHAR casts produce); strings hash as-is."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint32)
+    for i, v in enumerate(values):
+        s = str(int(v)) if isinstance(v, (int, np.integer)) else str(v)
+        out[i] = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    return out
+
+
+def hll_md5_stats(ds: rd.Dataset, col: str, *, p: int = 6) -> dict:
+    """Exactly-modeled HLL audit (the md5-derandomization family that
+    graduated Bloom/Count-Min in round 4): 32-bit md5 hash, bucket =
+    top p bits, rank = leading-zero count of the p-shifted remainder
+    (sentinel bit caps it), registers max-merged from per-block
+    partials. Every output is integer-exact:
+
+    - ``n_zero_registers``: registers still 0;
+    - ``denom_e30`` = sum over registers of 2^(30 - reg) — the harmonic
+      denominator scaled to an exact int64 (reg <= 33 - p <= 30);
+    - ``approx_n`` = floor(7213 * m^3 * 2^30
+                          / ((10000*m + 10790) * denom_e30))
+      — the bias-corrected HLL estimate with alpha = 0.7213/(1+1.079/m)
+      as an exact rational, evaluated in arbitrary-precision ints
+      (HUGEINT on the SQL side).
+
+    p = 6 (m = 64) keeps the audit in the pure-HLL branch for any
+    column with >160 distinct values (the linear-counting branch needs
+    a float ln the oracle could not reproduce bit-exactly); the
+    production splitmix sketch (:func:`approx_distinct`) stays the
+    scale path and is pytest-pinned separately.
+    """
+    import pandas as pd
+
+    m = 1 << p
+
+    def sketch(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False)
+        x = x[pd.notna(x)]
+        h = _md5_h32(x)
+        bucket = (h >> np.uint32(32 - p)).astype(np.int64)
+        rest = ((h << np.uint32(p)) | np.uint32(1 << (p - 1))).astype(np.uint32)
+        # rank = 32 - floor(log2(rest)): exact for 32-bit ints
+        rank = (
+            np.int64(32)
+            - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+        )
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rank)
+        return pa.table({"regs": pa.array([regs.tolist()], type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(m, dtype=np.int64)
+    for r in parts["regs"]:
+        regs = np.maximum(regs, np.asarray(r, dtype=np.int64))
+    denom_e30 = int((np.int64(1) << (np.int64(30) - regs)).sum())
+    approx_n = (7213 * m**3 * (1 << 30)) // ((10000 * m + 10790) * denom_e30)
+    return {
+        "n_zero_registers": int((regs == 0).sum()),
+        "denom_e30": denom_e30,
+        "approx_n": int(approx_n),
+    }

@@ -12,13 +12,9 @@ sys.path.insert(0, "/root/repo")
 ROWS_ONLY_ALLOWED = {
     "codec_blobs",            # blob byte metadata (losslessness is
                               # hash-checked via codec_roundtrip_points)
-    "embedding_neardup",      # seeded numpy hyperplanes
-    "ivf_topk_similarity",    # seeded kmeans centroids
-    "ivf_recall",             # recall vs brute force (same RNG)
     "media_features",         # binary WAV/BMP decode
     "study_screen_sitescores",  # KS p-values + lof/own-site (full config)
     "study_screen_features",    # float lof/own-site features
-    "approx_distinct_counts",   # HLL sketch (pytest pins error bound)
     "heavy_tokens_mg",          # Misra-Gries sketch (pytest pins the
                                 # guarantee vs exact counts)
     "int8_recall",              # quantized-ANN recall vs exact float
