@@ -211,6 +211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_frequency_audit": q.countmin_frequency_audit,
         # iterative integer PageRank over the cust<->supp graph — hash-verified
         "supplier_pagerank": q.supplier_pagerank,
+        # r5: exact one-level REML (VERDICT r4 item 7) — deterministic
+        # bisection on the profiled score, unrolled in the oracle
+        "site_reml_blups": q.site_reml_blups,
         # WAV encode->decode->window-energy round trip — hash-verified
         "wav_window_energy": q.wav_window_energy,
         # bigram-LM fit + eval accuracy per context — hash-verified
@@ -1056,6 +1059,131 @@ def _embedding_neardup_sql(
     )
     SELECT node AS vec_id, MIN(root) AS cluster_id
     FROM reach GROUP BY 1 ORDER BY 1"""
+
+
+def _reml_sql(iters: int = 48, lam_hi: int = 1 << 20) -> str:
+    """Unrolled one-level REML oracle mirroring
+    functions/stats.py:reml_one_way bit-for-bit: per-parameter site
+    moments, the profiled score g(lambda) = W - A/W - (n-1)B/Q in the
+    same MOMENT form, a fixed {iters}-step bisection on [0, lam_hi]
+    (lambda = 0 when g(0) >= 0, = lam_hi when g(lam_hi) < 0), then
+    BLUPs / PEVs e6-quantized."""
+
+    def eval_block(name: str, lam_src: str) -> str:
+        # lam_src yields (parameter_id, lam) rows
+        return f"""
+    {name} AS MATERIALIZED (
+      SELECT parameter_id, lam,
+             SUM(w) AS W, SUM(w * ybar) AS N, SUM(w * w) AS A,
+             SUM(w * ybar * ybar) AS M2, SUM(w * w * ybar) AS C1,
+             SUM(w * w * ybar * ybar) AS C2
+      FROM (
+        SELECT l.parameter_id, l.lam,
+               m.ni / (1 + l.lam * m.ni) AS w, m.ybar
+        FROM ({lam_src}) l JOIN gm m USING (parameter_id)
+      ) GROUP BY 1, 2
+    ),
+    {name}_g AS MATERIALIZED (
+      SELECT e.parameter_id, e.lam,
+             e.W - e.A / e.W
+             - (p.n_tot - 1) * (e.C2 - 2 * (e.N / e.W) * e.C1
+                                + (e.N / e.W) * (e.N / e.W) * e.A)
+               / (p.ssw + (e.M2 - 2 * (e.N / e.W) * e.N
+                           + (e.N / e.W) * (e.N / e.W) * e.W)) AS gval
+      FROM {name} e JOIN pp p USING (parameter_id)
+    )"""
+
+    parts = [f"""
+    gs AS MATERIALIZED (
+      -- planted +7*site offset (matches the engine): forces the
+      -- interior REML root on site-effect-free synthetic data
+      SELECT event_type AS parameter_id,
+             CAST(user_id % 12 AS BIGINT) AS site,
+             COUNT(*) AS n,
+             SUM(value + (user_id % 12) * 7.0) AS s1,
+             SUM((value + (user_id % 12) * 7.0)
+                 * (value + (user_id % 12) * 7.0)) AS s2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    pp AS MATERIALIZED (
+      SELECT parameter_id, CAST(SUM(n) AS DOUBLE) AS n_tot,
+             SUM(s2) - SUM(s1 * s1 / CAST(n AS DOUBLE)) AS ssw
+      FROM gs GROUP BY 1
+    ),
+    gm AS MATERIALIZED (
+      SELECT parameter_id, site, CAST(n AS DOUBLE) AS ni,
+             s1 / CAST(n AS DOUBLE) AS ybar
+      FROM gs
+    )"""]
+    parts.append("," + eval_block(
+        "e_zero", "SELECT parameter_id, CAST(0 AS DOUBLE) AS lam FROM pp"))
+    parts.append("," + eval_block(
+        "e_cap",
+        f"SELECT parameter_id, CAST({lam_hi} AS DOUBLE) AS lam FROM pp"))
+    parts.append(f""",
+    branch AS MATERIALIZED (
+      SELECT z.parameter_id, z.gval AS g0, c.gval AS ghi
+      FROM e_zero_g z JOIN e_cap_g c USING (parameter_id)
+    ),
+    lam0 AS MATERIALIZED (
+      SELECT parameter_id, CAST(0 AS DOUBLE) AS lo,
+             CAST({lam_hi} AS DOUBLE) AS hi
+      FROM pp
+    )""")
+    for t in range(iters):
+        parts.append("," + eval_block(
+            f"e{t}",
+            f"SELECT parameter_id, (lo + hi) / 2 AS lam FROM lam{t}"))
+        parts.append(f""",
+    lam{t + 1} AS MATERIALIZED (
+      SELECT l.parameter_id,
+             CASE WHEN g.gval < 0 THEN (l.lo + l.hi) / 2 ELSE l.lo END AS lo,
+             CASE WHEN g.gval < 0 THEN l.hi ELSE (l.lo + l.hi) / 2 END AS hi
+      FROM lam{t} l JOIN e{t}_g g USING (parameter_id)
+    )""")
+    parts.append(f""",
+    final_lam AS MATERIALIZED (
+      SELECT b.parameter_id,
+             CASE WHEN br.g0 >= 0 THEN CAST(0 AS DOUBLE)
+                  WHEN br.ghi < 0 THEN CAST({lam_hi} AS DOUBLE)
+                  ELSE (b.lo + b.hi) / 2 END AS lam
+      FROM lam{iters} b JOIN branch br USING (parameter_id)
+    ),
+    fin AS (
+      SELECT parameter_id, lam, SUM(w) AS W, SUM(w * ybar) AS N,
+             SUM(w * ybar * ybar) AS M2
+      FROM (
+        SELECT f.parameter_id, f.lam,
+               m.ni / (1 + f.lam * m.ni) AS w, m.ybar
+        FROM final_lam f JOIN gm m USING (parameter_id)
+      ) GROUP BY 1, 2
+    ),
+    par AS MATERIALIZED (
+      SELECT f.parameter_id, f.lam, f.W, f.N / f.W AS mu,
+             (p.ssw + (f.M2 - 2 * (f.N / f.W) * f.N
+                       + (f.N / f.W) * (f.N / f.W) * f.W))
+               / (p.n_tot - 1) AS sigma2
+      FROM fin f JOIN pp p USING (parameter_id)
+    )
+    SELECT m.parameter_id, m.site, CAST(m.ni AS BIGINT) AS n_obs,
+           CAST(FLOOR((p.lam * p.sigma2) * m.ni * (m.ybar - p.mu)
+                      / (p.sigma2 + m.ni * (p.lam * p.sigma2))
+                      * 1000000 + 0.5) AS BIGINT) AS blup_e6,
+           CAST(FLOOR(SQRT(
+                 (p.lam * p.sigma2) * p.sigma2
+                   / (p.sigma2 + m.ni * (p.lam * p.sigma2))
+                 + ((p.lam * p.sigma2) * m.ni
+                    / (p.sigma2 + m.ni * (p.lam * p.sigma2)))
+                   * ((p.lam * p.sigma2) * m.ni
+                      / (p.sigma2 + m.ni * (p.lam * p.sigma2)))
+                   * (p.sigma2 / p.W)
+               ) * 1000000 + 0.5) AS BIGINT) AS blup_sd_e6,
+           CAST(FLOOR(p.mu * 1000000 + 0.5) AS BIGINT) AS mu_e6,
+           CAST(FLOOR(p.sigma2 * 1000000 + 0.5) AS BIGINT) AS sigma2_e6,
+           CAST(FLOOR(p.lam * p.sigma2 * 1000000 + 0.5) AS BIGINT) AS tau2_e6
+    FROM gm m JOIN par p USING (parameter_id)
+    ORDER BY 1, 2""")
+    return "WITH " + "".join(parts)
 
 
 def _hll_audit_sql(p: int = 6) -> str:
@@ -3768,6 +3896,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH + integer cosine verify, planted rows md5-derived
         "embedding_neardup": _embedding_neardup_sql(),
         "approx_distinct_counts": _hll_audit_sql(6),
+        "site_reml_blups": _reml_sql(48, 1 << 20),
         # early-vs-late drift: KS statistic between the chronological
         # first and second halves per event_type (same tie-collapsed
         # walk as ks_statistic_by_site; n_early = n // 2)

@@ -6156,6 +6156,17 @@ def k_anonymity_suppression(sf_dir: str) -> pd.DataFrame:
         return d
 
     def cell_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "site" not in g.columns:
+            # Ray's group machinery emits schemaless EMPTY blocks for
+            # unused salt partitions (appears above ~32 partitions, so
+            # sf0.1+ only) — return a typed empty frame
+            return pd.DataFrame(
+                {
+                    "site": np.empty(0, np.int64),
+                    "parameter_id": np.empty(0, object),
+                    "n_subjects": np.empty(0, np.int64),
+                }
+            )
         m = g.drop_duplicates(["site", "parameter_id", "user_id"])
         cnt = m.groupby(["site", "parameter_id"], as_index=False)[
             "user_id"
@@ -6171,6 +6182,16 @@ def k_anonymity_suppression(sf_dir: str) -> pd.DataFrame:
         .map_groups(cell_counts, batch_format="pandas")
         .to_pandas()
     )
+    if len(out) == 0 or "site" not in out.columns:
+        # no cell below k at this scale (larger inputs only ADD
+        # subjects per cell): typed empty result, schema stable
+        out = pd.DataFrame(
+            {
+                "site": np.empty(0, np.int64),
+                "parameter_id": np.empty(0, object),
+                "n_subjects": np.empty(0, np.int64),
+            }
+        )
     out["site"] = out["site"].astype(np.int64)
     out["n_subjects"] = out["n_subjects"].astype(np.int64)
     return out.sort_values(["site", "parameter_id"]).reset_index(drop=True)
@@ -10758,3 +10779,82 @@ def log_histogram_quantiles(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def site_reml_blups(sf_dir: str) -> pd.DataFrame:
+    """[graft] EXACT one-level REML variance components + site BLUPs
+    per parameter (VERDICT r4 item 7 — the deterministic replacement
+    for the `(1|site)` branch of the reference's mixed-effects scorer,
+    R/ctas.R:1232-1235; the production screen keeps the documented
+    MoM approximation, this row pins the literal REML math).
+
+    Scale shape: ONE streaming pass emits per-block (parameter, site,
+    n, sum, sumsq) partials; the driver merges <= params x 12 rows and
+    solves the profiled REML score by fixed 48-step bisection
+    (functions/stats.py:reml_one_way). Raw rows never leave the scan;
+    the fit is O(sites) per parameter. All outputs e6-quantized; the
+    SQL oracle unrolls the identical bisection."""
+    from ..functions.stats import reml_one_way
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[b["value"].notna()]
+        if len(t) == 0:
+            return pd.DataFrame(
+                {"parameter_id": np.empty(0, object),
+                 "site": np.empty(0, np.int64),
+                 "n": np.empty(0, np.int64),
+                 "s1": np.empty(0, np.float64),
+                 "s2": np.empty(0, np.float64)}
+            )
+        site = t["user_id"].to_numpy(np.int64) % 12
+        # planted deterministic site effect (+7 per site index): the
+        # synthetic events have no real between-site variance, which
+        # would pin every fit at the tau2=0 boundary and make the row
+        # vacuous — the offset forces the interior REML root, and the
+        # oracle plants the identical offset
+        v = t["value"].to_numpy(np.float64) + site * 7.0
+        d = pd.DataFrame(
+            {"parameter_id": t["event_type"].to_numpy(),
+             "site": site,
+             "v": v, "v2": v * v}
+        )
+        g = d.groupby(["parameter_id", "site"], sort=False).agg(
+            n=("v", "size"), s1=("v", "sum"), s2=("v2", "sum")
+        ).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    gs = (
+        _events(sf_dir, ["event_type", "user_id", "value"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()
+        .groupby(["parameter_id", "site"], as_index=False)
+        .agg(n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+    )
+    rows = []
+    for pid, g in gs.groupby("parameter_id", sort=True):
+        g = g.sort_values("site")
+        n_i = g["n"].to_numpy(np.float64)
+        s1 = g["s1"].to_numpy(np.float64)
+        s2 = g["s2"].to_numpy(np.float64)
+        mean_i = s1 / n_i
+        # SSW from the moments: total sum of squares within sites
+        ssw = float(s2.sum() - (s1 * s1 / n_i).sum())
+        fit = reml_one_way(n_i, mean_i, ssw)
+        for i, site in enumerate(g["site"].to_numpy(np.int64)):
+            rows.append(
+                {
+                    "parameter_id": pid,
+                    "site": int(site),
+                    "n_obs": int(n_i[i]),
+                    "blup_e6": int(_scaled_int(fit["blup"][i])),
+                    "blup_sd_e6": int(_scaled_int(fit["blup_sd"][i])),
+                    "mu_e6": int(_scaled_int(fit["mu"])),
+                    "sigma2_e6": int(_scaled_int(fit["sigma2"])),
+                    "tau2_e6": int(_scaled_int(fit["tau2"])),
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["parameter_id", "site"]).reset_index(drop=True)
