@@ -3195,37 +3195,60 @@ def oracle_sql() -> dict[str, str]:
     FROM grid g ASOF JOIN points p
       ON g.conv_id = p.conv_id AND g.grid_ts >= p.ts_us
     ORDER BY 1, 2""",
+        # SEGMENT-form oracle (round 5): the naive 15s dense grid +
+        # ASOF JOIN materializes O(time-span) rows (~5e8 at sf0.1 —
+        # OOM-killed a 24GB-capped DuckDB with 57GB of spill). Each
+        # LOCF segment [point_k, point_{k+1}) instead contributes a
+        # CONSTANT v over a slot range, expanded only per 1m BUCKET it
+        # crosses (slot s <-> ts = s*15e6, bucket = s//4), so peak
+        # cardinality is the OUTPUT size, not 4x the slot count.
+        # Identical semantics: slot on an exact point boundary belongs
+        # to the newer point (LOCF takes ts_us <= grid_ts, and ceil
+        # assigns it to the next segment); first/last per bucket come
+        # from the slot order via each segment's clamped lo/hi slot.
         "rollup_1m_gapfilled": f"""
     WITH {turns_cte},
     points AS (
       SELECT conv_id, channel, ts_us, arg_max(v, turn_ix) AS v
       FROM chan GROUP BY 1, 2, 3
     ),
-    bounds AS (
-      SELECT conv_id, channel,
-             ((MIN(ts_us) + 14999999) // 15000000) * 15000000 AS gstart,
-             (MAX(ts_us) // 15000000) * 15000000 AS gend
+    pbound AS (
+      SELECT conv_id, channel, (MAX(ts_us) // 15000000) + 1 AS slot_end_all
       FROM points GROUP BY 1, 2
     ),
-    grid AS (
-      SELECT conv_id, channel,
-             UNNEST(generate_series(gstart, gend, 15000000)) AS grid_ts
-      FROM bounds WHERE gend >= gstart
+    segs AS (
+      SELECT p.conv_id, p.channel, p.v,
+             (p.ts_us + 14999999) // 15000000 AS slot_start,
+             COALESCE(
+               (LEAD(p.ts_us) OVER (PARTITION BY p.conv_id, p.channel
+                                    ORDER BY p.ts_us) + 14999999) // 15000000,
+               b.slot_end_all) AS slot_end
+      FROM points p JOIN pbound b USING (conv_id, channel)
     ),
-    fills AS (
-      SELECT g.conv_id, g.channel, g.grid_ts, p.v
-      FROM grid g ASOF JOIN points p
-        ON g.conv_id = p.conv_id AND g.channel = p.channel
-       AND g.grid_ts >= p.ts_us
+    live AS (
+      SELECT conv_id, channel, v, slot_start, slot_end - 1 AS slot_last
+      FROM segs WHERE slot_end > slot_start
+    ),
+    seg_buckets AS (
+      SELECT conv_id, channel, v,
+             UNNEST(generate_series(slot_start // 4, slot_last // 4)) AS b,
+             slot_start, slot_last
+      FROM live
+    ),
+    contrib AS (
+      SELECT conv_id, channel, b, v,
+             GREATEST(slot_start, b * 4) AS lo,
+             LEAST(slot_last, b * 4 + 3) AS hi
+      FROM seg_buckets
     )
-    SELECT conv_id, channel, (grid_ts // 60000000) * 60000000 AS bucket,
-           COUNT(*) AS n,
-           CAST(SUM(v) AS BIGINT) AS sum_val,
+    SELECT conv_id, channel, b * 60000000 AS bucket,
+           CAST(SUM(hi - lo + 1) AS BIGINT) AS n,
+           CAST(SUM(v * (hi - lo + 1)) AS BIGINT) AS sum_val,
            CAST(MIN(v) AS BIGINT) AS min_val,
            CAST(MAX(v) AS BIGINT) AS max_val,
-           CAST(arg_min(v, grid_ts) AS BIGINT) AS first_val,
-           CAST(arg_max(v, grid_ts) AS BIGINT) AS last_val
-    FROM fills GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+           CAST(arg_min(v, lo) AS BIGINT) AS first_val,
+           CAST(arg_max(v, hi) AS BIGINT) AS last_val
+    FROM contrib GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "gapfill_linear_1m": f"""
     WITH {turns_cte},
     points AS (

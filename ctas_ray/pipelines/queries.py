@@ -9942,6 +9942,131 @@ PR_BASE = 150_000_000       # (1-d) * 1e9 with d = 0.85
 PR_DAMP_NUM, PR_DAMP_DEN = 850, 1000
 
 
+def _pagerank_emit(nparts: int, track: bool):
+    """Row-local emit factory: kind-1 edge rows re-keyed by src, kind-2
+    mergeable (dst, contribution) partials keyed by dst. track=True
+    additionally carries the old rank (rk) on edge rows and drops the
+    previous round's sentinel rows."""
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        if track:
+            b = b[b["src"] != -1]
+        src = b["src"].to_numpy(np.int64)
+        dst = b["dst"].to_numpy(np.int64)
+        w = b["w"].to_numpy(np.int64)
+        outw = b["outw"].to_numpy(np.int64)
+        rk = b["src_rank"].to_numpy(np.int64)
+        edges = pd.DataFrame(
+            {"src": src, "dst": dst, "w": w, "outw": outw,
+             "kind": np.ones(len(b), np.int8), "part": src % nparts}
+        )
+        d = pd.DataFrame({"dst": dst, "c": rk * w // outw})
+        d = d.groupby("dst", as_index=False)["c"].sum()
+        contrib = pd.DataFrame(
+            {"src": d["dst"].to_numpy(np.int64),
+             "dst": np.zeros(len(d), np.int64),
+             "w": d["c"].to_numpy(np.int64),
+             "outw": np.zeros(len(d), np.int64),
+             "kind": np.full(len(d), 2, np.int8),
+             "part": d["dst"].to_numpy(np.int64) % nparts}
+        )
+        if track:
+            edges["rk"] = rk
+            contrib["rk"] = np.zeros(len(d), np.int64)
+        return pd.concat([edges, contrib], ignore_index=True)
+
+    return emit
+
+
+def _pagerank_fold(track: bool):
+    """Per-partition fold factory: sum contributions per src, apply the
+    integer damping update; track=True appends ONE sentinel row with
+    the partition's exact L1 rank delta (each src is partition-complete
+    so its first edge row counts the node exactly once)."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 1]
+        contrib = g[g["kind"] == 2]
+        cs = contrib.groupby("src")["w"].sum()
+        c = cs.reindex(e["src"]).fillna(0).to_numpy(np.int64)
+        new_rank = (PR_BASE + PR_DAMP_NUM * c // PR_DAMP_DEN).astype(np.int64)
+        out = pd.DataFrame(
+            {"src": e["src"].to_numpy(np.int64),
+             "dst": e["dst"].to_numpy(np.int64),
+             "w": e["w"].to_numpy(np.int64),
+             "outw": e["outw"].to_numpy(np.int64),
+             "src_rank": new_rank}
+        )
+        if track:
+            first = ~pd.Series(e["src"].to_numpy(np.int64)).duplicated(
+            ).to_numpy()
+            delta = int(
+                np.abs(
+                    new_rank[first] - e["rk"].to_numpy(np.int64)[first]
+                ).sum()
+            )
+            out = pd.concat(
+                [out, pd.DataFrame(
+                    {"src": [np.int64(-1)], "dst": [np.int64(0)],
+                     "w": [np.int64(delta)], "outw": [np.int64(0)],
+                     "src_rank": [np.int64(0)]}
+                )],
+                ignore_index=True,
+            )
+        return out
+
+    return fold
+
+
+def _pagerank_loop(
+    state: rd.Dataset,
+    nparts: int,
+    iters: int = PAGERANK_ITERS,
+    tol_e9: int | None = None,
+    max_iters: int = 50,
+    stats: dict | None = None,
+    per_iter: list | None = None,
+) -> rd.Dataset:
+    """The PageRank iteration engine shared by supplier_pagerank and
+    the synthetic-graph stress leg (scripts/stress_pagerank_1e8.py):
+    one exchange per iteration over the denormalized edge state; in
+    convergence mode the driver reads only the per-partition sentinel
+    delta partials. ``per_iter`` (optional list) collects
+    (iteration_wall_s, delta_or_None) tuples for the stress report."""
+    import time as _time
+
+    track = tol_e9 is not None
+    emit = _pagerank_emit(nparts, track)
+    fold = _pagerank_fold(track)
+    n_rounds = max_iters if track else iters
+    done_iters, last_delta = 0, None
+    for _ in range(n_rounds):
+        t0 = _time.perf_counter()
+        state = (
+            state.map_batches(emit, batch_format="pandas")
+            .groupby("part")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+        done_iters += 1
+        if track:
+            d = state.map_batches(
+                lambda b: pd.DataFrame(
+                    {"d": [b.loc[b["src"] == -1, "w"].sum()]}
+                ),
+                batch_format="pandas",
+            ).to_pandas()
+            last_delta = int(d["d"].sum())
+        if per_iter is not None:
+            per_iter.append((_time.perf_counter() - t0, last_delta))
+        if track and last_delta <= tol_e9:
+            break
+    if stats is not None:
+        stats["iters"] = done_iters
+        stats["final_delta_e9"] = last_delta
+    return state
+
+
 def supplier_pagerank(
     sf_dir: str,
     iters: int = PAGERANK_ITERS,
@@ -10048,99 +10173,10 @@ def supplier_pagerank(
         .materialize()
     )
 
-    # ---- exchanges 3..: one per iteration; emit is ROW-LOCAL ----
-    # kind 1 rows: edges re-keyed by src; kind 2 rows: mergeable
-    # per-dst contribution partials keyed by dst. track=True additionally
-    # carries the old rank (rk) on edge rows and folds emit a sentinel
-    # delta row per partition (convergence mode only — the fixed-iters
-    # contract path ships the exact round-3 frames, hashes unchanged).
-    track = tol_e9 is not None
-
-    def emit(b: pd.DataFrame) -> pd.DataFrame:
-        if track:
-            b = b[b["src"] != -1]
-        src = b["src"].to_numpy(np.int64)
-        dst = b["dst"].to_numpy(np.int64)
-        w = b["w"].to_numpy(np.int64)
-        outw = b["outw"].to_numpy(np.int64)
-        rk = b["src_rank"].to_numpy(np.int64)
-        edges = pd.DataFrame(
-            {"src": src, "dst": dst, "w": w, "outw": outw,
-             "kind": np.ones(len(b), np.int8), "part": src % nparts}
-        )
-        d = pd.DataFrame({"dst": dst, "c": rk * w // outw})
-        d = d.groupby("dst", as_index=False)["c"].sum()
-        contrib = pd.DataFrame(
-            {"src": d["dst"].to_numpy(np.int64),
-             "dst": np.zeros(len(d), np.int64),
-             "w": d["c"].to_numpy(np.int64),
-             "outw": np.zeros(len(d), np.int64),
-             "kind": np.full(len(d), 2, np.int8),
-             "part": d["dst"].to_numpy(np.int64) % nparts}
-        )
-        if track:
-            edges["rk"] = rk
-            contrib["rk"] = np.zeros(len(d), np.int64)
-        return pd.concat([edges, contrib], ignore_index=True)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["kind"] == 1]
-        contrib = g[g["kind"] == 2]
-        cs = contrib.groupby("src")["w"].sum()
-        c = cs.reindex(e["src"]).fillna(0).to_numpy(np.int64)
-        new_rank = (PR_BASE + PR_DAMP_NUM * c // PR_DAMP_DEN).astype(np.int64)
-        out = pd.DataFrame(
-            {"src": e["src"].to_numpy(np.int64),
-             "dst": e["dst"].to_numpy(np.int64),
-             "w": e["w"].to_numpy(np.int64),
-             "outw": e["outw"].to_numpy(np.int64),
-             "src_rank": new_rank}
-        )
-        if track:
-            # exact integer L1 partial: each src is partition-complete,
-            # so counting its first edge row counts the node once
-            first = ~pd.Series(e["src"].to_numpy(np.int64)).duplicated(
-            ).to_numpy()
-            delta = int(
-                np.abs(
-                    new_rank[first] - e["rk"].to_numpy(np.int64)[first]
-                ).sum()
-            )
-            out = pd.concat(
-                [out, pd.DataFrame(
-                    {"src": [np.int64(-1)], "dst": [np.int64(0)],
-                     "w": [np.int64(delta)], "outw": [np.int64(0)],
-                     "src_rank": [np.int64(0)]}
-                )],
-                ignore_index=True,
-            )
-        return out
-
-    n_rounds = max_iters if track else iters
-    done_iters, last_delta = 0, None
-    for _ in range(n_rounds):
-        state = (
-            state.map_batches(emit, batch_format="pandas")
-            .groupby("part")
-            .map_groups(fold, batch_format="pandas")
-            .materialize()
-        )
-        done_iters += 1
-        if track:
-            # collect ONLY the per-partition sentinel partials (one
-            # tiny row each); rank state never reaches the driver
-            d = state.map_batches(
-                lambda b: pd.DataFrame(
-                    {"d": [b.loc[b["src"] == -1, "w"].sum()]}
-                ),
-                batch_format="pandas",
-            ).to_pandas()
-            last_delta = int(d["d"].sum())
-            if last_delta <= tol_e9:
-                break
-    if stats is not None:
-        stats["iters"] = done_iters
-        stats["final_delta_e9"] = last_delta
+    state = _pagerank_loop(
+        state, nparts, iters=iters, tol_e9=tol_e9, max_iters=max_iters,
+        stats=stats,
+    )
 
     # final report: one rank row per node (all of a src's edge rows
     # carry the same rank; per-block drop_duplicates partials are safe

@@ -176,7 +176,18 @@ def screen_transcripts(
     never collect to the driver. The study pipeline itself falls back
     to one documented collect only when the feature set includes
     own_site_simil_score (per-series site map) or the max-sites
-    optimisation is enabled; both are subject-count-bounded."""
+    optimisation is enabled; both are subject-count-bounded.
+
+    PRODUCTION OUTPUT CONTRACT (VERDICT r4 item 8): pass
+    ``features_as_dataset=True`` and consume ``timeseries_features`` /
+    ``PCA_coordinates`` with ``.write_parquet(...)`` — those two frames
+    scale with the corpus (rows ~ subjects x series x features), so at
+    real scale they must leave the job as a distributed write, never a
+    driver collect. ``site_scores`` / ``timeseries`` are
+    O(sites x series) and stay pandas on every path. The pandas return
+    (default) remains for the driver contract and small studies; the
+    10M-conversation leg in BASELINE.md runs the dataset path
+    end-to-end (scripts/stress_screen_1m_convs.py)."""
     measurements = transcript_measurements(transcripts)
     subjects = conversation_subjects_ds(transcripts, n_sites, site_mode)
     return process_a_study_ray(
