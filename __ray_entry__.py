@@ -47,6 +47,81 @@ def entry() -> Any:
 # so every round re-proves the flagship rollup + screen path.
 _WINDOW_CANARIES = ["rollup_1m", "transcript_screen_iqr_sitescores"]
 
+# entries whose verification status changed in round 5 (graduated from
+# rows-only, or newly added): pinned directly after the canaries so the
+# driver's 50-slot window hash-verifies them this round
+_R5_PRIORITY = [
+    "embedding_neardup",
+    "ivf_topk_similarity",
+    "ivf_recall",
+    "approx_distinct_counts",
+    "site_reml_blups",
+    "supplier_pagerank",
+    "sax_symbols",
+    "paa_downsample",
+    "m4_downsample",
+    "global_midrank_values",
+    "cdc_latest_state",
+    "percent_rank_by_series",
+    "k_anonymity_suppression",
+    "rollup_1m_gapfilled",
+]
+
+# the 50 entries CORRECTNESS_r04.json hash-verified (the round-4
+# window) — rotated to the BACK of the dict this round
+_R4_DRIVER_CHECKED = [
+    "rollup_1m",
+    "transcript_screen_iqr_sitescores",
+    "activity_gini_partials",
+    "activity_trend",
+    "approx_distinct_counts",
+    "benford_first_digit",
+    "bigram_prediction_accuracy",
+    "bloom_membership_audit",
+    "boilerplate_ngrams",
+    "burst_automaton_trajectory",
+    "burstiness_partials",
+    "cdc_latest_state",
+    "channel_correlation",
+    "char_trigram_lang_signature",
+    "codec_blobs",
+    "coldstart_latency_profile",
+    "conv_tool_diversity",
+    "conv_turn_taking",
+    "countmin_frequency_audit",
+    "csv_ingest_equivalence",
+    "customer_reorder_gaps",
+    "cusum_changepoint",
+    "daily_cumulative_totals",
+    "daily_value_bands",
+    "dense_rank_top_values",
+    "distinct_counts",
+    "doc_genericness_counts",
+    "doc_quality_verdict",
+    "doc_template_prefix_groups",
+    "doc_token_histogram",
+    "drift_split_ks",
+    "dtw_daily_volume",
+    "duplicate_minute_stats",
+    "elevated_error_users",
+    "embedding_centroids",
+    "embedding_covariance_upper",
+    "embedding_dim_stats",
+    "embedding_neardup",
+    "embedding_sqnorm_stats",
+    "event_bigram_counts",
+    "event_cooccurrence",
+    "events_null_profile",
+    "ewma_last",
+    "global_midrank_values",
+    "hard_negative_mining",
+    "heavy_tokens_mg",
+    "hopping_active_users",
+    "hopping_window_stats",
+    "hourly_moment_profile",
+    "hourly_seasonal_delta",
+]
+
 # the 50 entries CORRECTNESS_r03.json already hash-verified (the
 # round-3 window) — rotated to the BACK of the dict this round
 _R3_DRIVER_CHECKED = [
@@ -493,14 +568,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_acctbal_quantiles": q.supplier_acctbal_quantiles,
     }
 
-    prev = [k for k in _R3_DRIVER_CHECKED if k not in _WINDOW_CANARIES]
+    # Round-5 window rotation: after the canaries come (a) this round's
+    # graduated / new entries — the driver should hash-verify exactly
+    # the rows whose verification status CHANGED — then (b) everything
+    # neither round 3 nor round 4 sampled, alphabetically; the already
+    # driver-checked entries rotate to the back.
+    prev = [
+        k for k in (_R3_DRIVER_CHECKED + _R4_DRIVER_CHECKED)
+        if k not in _WINDOW_CANARIES
+    ]
     ordered: dict[str, Callable[[str], Any]] = {
         k: d[k] for k in _WINDOW_CANARIES
     }
+    ordered.update((k, d[k]) for k in _R5_PRIORITY if k in d)
     ordered.update(
         (k, d[k]) for k in sorted(d) if k not in ordered and k not in prev
     )
-    ordered.update((k, d[k]) for k in prev if k in d)
+    ordered.update((k, d[k]) for k in prev if k in d and k not in ordered)
     assert len(ordered) == len(d)
     return ordered
 

@@ -1067,21 +1067,63 @@ def simhash_dedup(
         fp_all = g["fp"].to_numpy().astype(np.uint64)
         acc_a, acc_b, acc_h = [], [], []
         for s, e in zip(starts, ends):
-            if e - s < 2:
+            n = e - s
+            if n < 2:
                 continue
-            pairs = _bucket_pairs_frame(
-                ids_all[s:e], max_bucket_size,
-                f"(band={g['band'].iloc[s]}, key={g['key'].iloc[s]})",
-            )
-            if len(pairs) == 0:
+            ids_b = ids_all[s:e]
+            fps_b = fp_all[s:e]
+            if n <= max_bucket_size:
+                ii, jj = np.triu_indices(n, k=1)
+            else:
+                # over-cap bucket: FP-GROUP reduction instead of the
+                # lossy id chain (round 5 — the id chain broke the
+                # pigeonhole exactness at sf0.1). Same-fp members link
+                # by a chain (Hamming 0, always verified) and the
+                # DISTINCT fingerprints pair all-vs-all through their
+                # min-id reps; Hamming between two groups is
+                # member-invariant (members share the exact fp), so the
+                # post-verify CONNECTIVITY equals the full clique
+                # whenever #distinct fps <= cap. Only beyond that does
+                # the logged chain-of-reps approximation kick in.
+                order = np.lexsort((ids_b, fps_b))
+                sf = fps_b[order]
+                change = np.empty(n, dtype=bool)
+                change[0] = True
+                change[1:] = sf[1:] != sf[:-1]
+                gpos = np.flatnonzero(change)
+                m = len(gpos)
+                chain_p = np.flatnonzero(~change[1:]) + 1
+                ii_list = [order[chain_p - 1]]
+                jj_list = [order[chain_p]]
+                if m >= 2:
+                    # rep-pair cap is wider than the generic bucket cap:
+                    # verification is an IN-PLACE popcount (pairs are
+                    # filtered before anything ships), so the only cost
+                    # is m^2/2 xors per bucket — 4096 bounds that at
+                    # ~8M ops while keeping the exact-connectivity
+                    # guarantee for any real template cluster
+                    if m <= max(max_bucket_size, 4096):
+                        ri, rj = np.triu_indices(m, k=1)
+                    else:
+                        logger.warning(
+                            "simhash bucket (band=%s, key=%s): %d distinct "
+                            "fps > cap %d -> rep chain (approximate)",
+                            g["band"].iloc[s], g["key"].iloc[s], m,
+                            max_bucket_size,
+                        )
+                        ri = np.arange(m - 1)
+                        rj = ri + 1
+                    ii_list.append(order[gpos[ri]])
+                    jj_list.append(order[gpos[rj]])
+                ii = np.concatenate(ii_list)
+                jj = np.concatenate(jj_list)
+            if len(ii) == 0:
                 continue
-            pos = {d: i for i, d in enumerate(ids_all[s:e])}
-            ii = np.array([pos[a] for a in pairs["id_a"]], dtype=np.int64)
-            jj = np.array([pos[x] for x in pairs["id_b"]], dtype=np.int64)
-            h = _popcount64(fp_all[s:e][ii] ^ fp_all[s:e][jj])
+            h = _popcount64(fps_b[ii] ^ fps_b[jj])
             keep = h <= max_hamming
-            acc_a.append(pairs["id_a"].to_numpy()[keep])
-            acc_b.append(pairs["id_b"].to_numpy()[keep])
+            a_ids, b_ids = ids_b[ii[keep]], ids_b[jj[keep]]
+            acc_a.append(np.minimum(a_ids, b_ids))
+            acc_b.append(np.maximum(a_ids, b_ids))
             acc_h.append(h[keep])
         if not acc_a:
             return pd.DataFrame(columns=["id_a", "id_b", "hamming"])

@@ -86,7 +86,7 @@ def main() -> int:
     # cap the ORACLE's memory and let it spill: some oracles (e.g. the
     # gap-fill 15s grid) materialize O(time-span) rows at sf0.1 — a
     # bounded DuckDB must spill to disk instead of OOM-killing the box
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET memory_limit='56GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
