@@ -55,6 +55,7 @@ _R5_PRIORITY = [
     "ivf_topk_similarity",
     "ivf_recall",
     "approx_distinct_counts",
+    "int8_recall",
     "site_reml_blups",
     "supplier_pagerank",
     "sax_symbols",
@@ -463,8 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries heavy-hitter tokens — rows-only (pytest pins the
         # sketch guarantee vs exact counts)
         "heavy_tokens_mg": q.heavy_tokens_mg,
-        # int8-quantized ANN recall vs exact float brute force —
-        # rows-only (pytest pins mean recall)
+        # int8-quantized ANN recall vs e5-grid brute force —
+        # hash-verified (half-up quantization modeled in SQL, r5)
         "int8_recall": q.int8_recall,
         # product-quantization codes, integer-exact per subspace — hash-verified
         "pq_codebook_assignments": q.pq_codebook_assignments,
@@ -1316,6 +1317,69 @@ def _hll_audit_sql(p: int = 6) -> str:
         + block("props", "props", "props IS NOT NULL")
         + "\n    ORDER BY column_name"
     )
+
+
+def _int8_recall_sql(topk: int = 10, n_queries: int = 5) -> str:
+    """Exact model of int8-quantized top-k recall vs the e5-grid brute
+    force: w8 = clip(FLOOR(127 * x / |x| + 0.5), -127, 127) per
+    coordinate (the engine's identical half-up chain), integer dot
+    scores ranked (score desc, id asc), recall fraction per query."""
+    return f"""
+    WITH xv AS MATERIALIZED (
+      SELECT vec_id,
+             UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id,
+             CASE WHEN SUM(x * x) = 0 THEN 1 ELSE SQRT(SUM(x * x)) END AS nn
+      FROM xv GROUP BY 1
+    ),
+    w8 AS MATERIALIZED (
+      SELECT v.vec_id, v.dim,
+             LEAST(GREATEST(CAST(FLOOR(127 * v.x / n.nn + 0.5) AS BIGINT),
+                            -127), 127) AS w
+      FROM xv v JOIN nrm n USING (vec_id)
+    ),
+    qids AS (SELECT vec_id AS query_id FROM embeddings
+             ORDER BY vec_id LIMIT {n_queries}),
+    scores AS (
+      SELECT q.query_id, e.vec_id, SUM(e.w * qe.w) AS score_i
+      FROM qids q
+      JOIN w8 qe ON qe.vec_id = q.query_id
+      JOIN w8 e ON e.dim = qe.dim
+      GROUP BY 1, 2
+    ),
+    int8_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_i DESC, vec_id) AS rank
+        FROM scores) WHERE rank <= {topk}
+    ),
+    brute_scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(list_cosine_similarity(e.embedding, qq.embedding)
+                        * 100000 + 0.5) AS BIGINT) AS cos_e5
+      FROM embeddings e
+      CROSS JOIN qids q
+      JOIN embeddings qq ON qq.vec_id = q.query_id
+    ),
+    brute_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_e5 DESC, vec_id) AS rank
+        FROM brute_scored) WHERE rank <= {topk}
+    )
+    SELECT b.query_id,
+           CAST(FLOOR(CAST(COUNT(i.vec_id) AS DOUBLE) / {topk} * 1000000
+                      + 0.5) AS BIGINT) AS recall_e6
+    FROM brute_top b
+    LEFT JOIN int8_top i
+      ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    GROUP BY 1 ORDER BY 1"""
 
 
 def _kmeans_ctes(k: int, iters: int) -> str:
@@ -4004,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(),
         "approx_distinct_counts": _hll_audit_sql(6),
         "site_reml_blups": _reml_sql(48, 1 << 20),
+        "int8_recall": _int8_recall_sql(10, 5),
         # early-vs-late drift: KS statistic between the chronological
         # first and second halves per event_type (same tie-collapsed
         # walk as ks_statistic_by_site; n_early = n // 2)

@@ -5281,17 +5281,21 @@ def heavy_tokens_mg(sf_dir: str) -> pd.DataFrame:
 
 def int8_recall(sf_dir: str) -> pd.DataFrame:
     """[graft] Recall@k of int8-quantized dot-product search against
-    the exact float brute force (rows-only; pytest pins mean recall).
-    The quantized path is the memory-bandwidth lever: int8 x int8
-    integer scoring moves 4x less data than f64 and is order-identical
-    up to ~1e-2 cosine error."""
-    from ..stages.similarity import int8_topk_cosine, topk_cosine
+    the exact brute force — HASH-VERIFIED since round 5: the int8
+    quantization is the SQL-reproducible FLOOR(127*x/|x| + 0.5) chain,
+    int8 scores are exact integer dots with (score desc, id asc)
+    ranking, and the brute side is the proven e5-grid top-k; the
+    oracle recomputes the whole recall fraction. pytest additionally
+    pins mean recall. The quantized path is the memory-bandwidth
+    lever: int8 x int8 integer scoring moves 4x less data than f64 and
+    is order-identical up to ~1e-2 cosine error."""
+    from ..stages.similarity import int8_topk_cosine
 
     qids, qvecs = _query_vectors(sf_dir)
     emb = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    brute = topk_cosine(emb, qids, qvecs, k=TOPK_K, concurrency=2)
+    brute = topk_similarity(sf_dir)
     quant = int8_topk_cosine(emb, qids, qvecs, k=TOPK_K)
     rows = []
     for qid in qids:

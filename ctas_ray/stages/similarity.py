@@ -82,10 +82,13 @@ def topk_cosine(
 
 def _quantize_int8(mat: np.ndarray) -> np.ndarray:
     """Symmetric int8 quantization of L2-normalized rows: x8 =
-    round(127 * x). Deterministic, per-row error bounded by 1/254 per
+    floor(127 * x + 0.5) (HALF-UP, not banker's — the same FLOOR(x+0.5)
+    chain the SQL oracle evaluates, r5: this graduated int8_recall to
+    hash-verified). Deterministic, per-row error bounded by 1/254 per
     coordinate."""
-    return np.clip(np.rint(127.0 * _normalize(mat.astype(np.float64))), -127, 127
-                   ).astype(np.int8)
+    return np.clip(
+        np.floor(127.0 * _normalize(mat.astype(np.float64)) + 0.5), -127, 127
+    ).astype(np.int8)
 
 
 def _int8_topk_batch(

@@ -17,8 +17,6 @@ ROWS_ONLY_ALLOWED = {
     "study_screen_features",    # float lof/own-site features
     "heavy_tokens_mg",          # Misra-Gries sketch (pytest pins the
                                 # guarantee vs exact counts)
-    "int8_recall",              # quantized-ANN recall vs exact float
-                                # brute force (pytest pins the mean)
 }
 
 
