@@ -83,10 +83,14 @@ def main() -> int:
     import __ray_entry__ as e
 
     con = duckdb.connect()
-    # cap the ORACLE's memory and let it spill: some oracles (e.g. the
-    # gap-fill 15s grid) materialize O(time-span) rows at sf0.1 — a
-    # bounded DuckDB must spill to disk instead of OOM-killing the box
-    con.execute("SET memory_limit='56GB'")
+    # cap the ORACLE's memory and let it spill: a bounded DuckDB must
+    # spill to disk instead of OOM-killing the box. 80GB: the heavy
+    # sf0.1 oracles (ngram self-join ~1.5e9 intermediate rows) run
+    # IN-MEMORY in seconds at this budget, while a 56GB cap pushed the
+    # same join into a pathological out-of-core path that wrote >70GB
+    # of spill; the disk remains the backstop for anything bigger
+    con.execute("SET memory_limit='90GB'")
+    con.execute("SET threads=16")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
