@@ -10050,13 +10050,22 @@ def _pagerank_loop(
     max_iters: int = 50,
     stats: dict | None = None,
     per_iter: list | None = None,
+    break_lineage: bool = False,
 ) -> rd.Dataset:
     """The PageRank iteration engine shared by supplier_pagerank and
     the synthetic-graph stress leg (scripts/stress_pagerank_1e8.py):
     one exchange per iteration over the denormalized edge state; in
     convergence mode the driver reads only the per-partition sentinel
     delta partials. ``per_iter`` (optional list) collects
-    (iteration_wall_s, delta_or_None) tuples for the stress report."""
+    (iteration_wall_s, delta_or_None) tuples for the stress report.
+
+    ``break_lineage``: rebuild each materialized generation from its
+    block refs (``from_arrow_refs(to_arrow_refs())``) so iteration t's
+    dataset does not transitively retain generations 0..t-1 — without
+    it, Ray Data's lineage keeps EVERY generation's blocks alive and a
+    12-iteration 10^8-row run accumulates ~70 GB of object spill
+    (measured: the 1e8-edge leg filled the disk). Values are
+    unchanged; the contract path leaves it off by default."""
     import time as _time
 
     track = tol_e9 is not None
@@ -10072,6 +10081,8 @@ def _pagerank_loop(
             .map_groups(fold, batch_format="pandas")
             .materialize()
         )
+        if break_lineage:
+            state = rd.from_arrow_refs(state.to_arrow_refs())
         done_iters += 1
         if track:
             d = state.map_batches(

@@ -29,7 +29,7 @@ EDGES = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000  # x2 directions
 NUM_CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 RSS_LIMIT_GB = 8.0
 CHUNK = 2_000_000
-N_NODES = 5_000_000
+N_NODES = 33_554_432  # 2^25: odd-multiplier dst injective per 8-run
 
 
 def rss_gb() -> float:
@@ -56,10 +56,16 @@ def main() -> int:
         for _, row in b.iterrows():
             k = int(row["chunk"])
             i = np.arange(k * CHUNK, min((k + 1) * CHUNK, EDGES), dtype=np.int64)
-            # deterministic skewed endpoints: modular squaring
-            src = (i * i + 7 * i) % N_NODES
-            dst = (i * i * 3 + i + 13) % N_NODES
-            dst = np.where(dst == src, (dst + 1) % N_NODES, dst)
+            # COLLISION-FREE deterministic endpoints so every generated
+            # edge survives the (src, dst) dedup: fan-out 8 per src,
+            # odd-multiplier dst is injective within each src's 8
+            # consecutive i — EDGES distinct forward pairs + EDGES
+            # distinct reverses (disjoint node parities) = 2x EDGES
+            # state rows exactly. Skew comes from the reverse
+            # direction: dst node degree follows the multiplier's
+            # residue clustering.
+            src = i >> 3
+            dst = (i * np.int64(2654435761)) % np.int64(N_NODES)
             yield pd.DataFrame(
                 {"src": 2 * src, "dst": 2 * dst + 1, "w": np.int64(1)}
             )
@@ -106,7 +112,7 @@ def main() -> int:
     t0 = time.perf_counter()
     _pagerank_loop(
         state, nparts, tol_e9=n_state, max_iters=12,
-        stats=stats, per_iter=per_iter,
+        stats=stats, per_iter=per_iter, break_lineage=True,
     )
     total = time.perf_counter() - t0
     for i, (wall, delta) in enumerate(per_iter, 1):
