@@ -251,6 +251,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_top_supplier": q.tpch_q15_top_supplier,
         # Q22-shaped idle high-balance customers per nation — hash-verified
         "tpch_q22_idle_customers": q.tpch_q22_idle_customers,
+        # Q2-shaped groupwise-min unit-price supplier per part — hash-verified
+        "tpch_q2_min_cost_supplier": q.tpch_q2_min_cost_supplier,
+        # Q8-shaped national market share per order year — hash-verified
+        "tpch_q8_market_share": q.tpch_q8_market_share,
+        # Q9-shaped product-line profit by nation x year — hash-verified
+        "tpch_q9_product_profit": q.tpch_q9_product_profit,
+        # Q11-shaped revenue concentration vs global mean — hash-verified
+        "tpch_q11_part_concentration": q.tpch_q11_part_concentration,
+        # Q16-shaped distinct-supplier-count distribution — hash-verified
+        "tpch_q16_supplier_counts": q.tpch_q16_supplier_counts,
+        # Q20-shaped nested-aggregate excess-shipper semi-join — hash-verified
+        "tpch_q20_excess_shippers": q.tpch_q20_excess_shippers,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3292,6 +3304,94 @@ def oracle_sql() -> dict[str, str]:
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = cb.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1 ORDER BY 1""",
+        "tpch_q2_min_cost_supplier": """
+    WITH u AS (
+      SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+             CAST(FLOOR(l.l_extendedprice / l.l_quantity * 1000000 + 0.5)
+                  AS BIGINT) AS unit
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'ECONOMY' AND p.p_size <= 10 AND r.r_name = 'EUROPE'
+    ),
+    m AS (SELECT pk, MIN(unit) AS mu FROM u GROUP BY 1),
+    w AS (SELECT u.pk, u.unit, MIN(u.sk) AS sk
+          FROM u JOIN m ON u.pk = m.pk AND u.unit = m.mu GROUP BY 1, 2)
+    SELECT CAST(w.pk AS BIGINT) AS p_partkey,
+           CAST(w.unit AS BIGINT) AS min_unit_e6,
+           CAST(w.sk AS BIGINT) AS s_suppkey, s.s_name
+    FROM w JOIN supplier s ON w.sk = s.s_suppkey ORDER BY 1""",
+        "tpch_q8_market_share": """
+    WITH mkt AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
+               AS rev,
+             CASE WHEN sn.n_name = 'NATION_7' THEN 1 ELSE 0 END AS is_share
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cr.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(SUM(rev * is_share) AS BIGINT) AS nation_rev_e4,
+           CAST(SUM(rev) AS BIGINT) AS total_rev_e4
+    FROM mkt GROUP BY 1 ORDER BY 1""",
+        "tpch_q9_product_profit": """
+    SELECT sn.n_name AS supp_nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS profit_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE p.p_name LIKE '% widget'
+    GROUP BY 1, 2 ORDER BY 1, 2""",
+        "tpch_q11_part_concentration": """
+    WITH pp AS (
+      SELECT l_partkey,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS rev_e4
+      FROM lineitem GROUP BY 1
+    ),
+    g AS (SELECT COUNT(*) AS n, SUM(rev_e4) AS tot FROM pp)
+    SELECT CAST(pp.l_partkey AS BIGINT) AS l_partkey,
+           CAST(pp.rev_e4 AS BIGINT) AS rev_e4
+    FROM pp, g WHERE pp.rev_e4 * g.n * 100 > 125 * g.tot ORDER BY 1""",
+        "tpch_q16_supplier_counts": """
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (3, 7, 11, 19, 23, 31, 37, 41)
+    GROUP BY 1, 2, 3
+    ORDER BY 4 DESC, 1, 2, 3""",
+        "tpch_q20_excess_shippers": """
+    WITH ps AS (
+      SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+             SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT)) AS qty_e2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'blue %'
+      GROUP BY 1, 2
+    ),
+    pt AS (SELECT pk, SUM(qty_e2) AS tot, COUNT(*) AS nsup FROM ps GROUP BY 1)
+    SELECT CAST(ps.sk AS BIGINT) AS s_suppkey,
+           ANY_VALUE(s.s_name) AS s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_excess
+    FROM ps JOIN pt ON ps.pk = pt.pk JOIN supplier s ON ps.sk = s.s_suppkey
+    WHERE ps.qty_e2 * pt.nsup > 2 * pt.tot
     GROUP BY 1 ORDER BY 1""",
         "customer_reorder_gaps": """
     WITH o AS (

@@ -10929,3 +10929,577 @@ def site_reml_blups(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["parameter_id", "site"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 TPC-H shapes over the available columns (no partsupp /
+# receipt-commit dates in the driver's tables, so Q2/Q9/Q16/Q20 are
+# reshaped onto lineitem-derived supply facts; the SHAPES — groupwise
+# min, market share, nested-aggregate semi-join, distinct-count
+# distribution, group-vs-global scalar — are the point)
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_PART_TYPE = "STANDARD"
+Q8_SHARE_NATION = "NATION_7"
+
+
+def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q8-shaped national market share: within the market
+    of Q8_REGION customers buying Q8_PART_TYPE parts, the share of
+    revenue supplied by Q8_SHARE_NATION per order year. Share ships as
+    an exact integer (numerator, denominator) pair — no float division
+    crosses the exchange. Orders (custkey->region via broadcast nation
+    chain) and lineitem (partkey type + suppkey nation via broadcast
+    maps) hash-partition on orderkey into one kind-tagged union
+    exchange sized by adaptive_parts; only year+revenue partials leave
+    the meet groups."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rname = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    nat_region = dict(
+        zip(nation["n_nationkey"].astype(int),
+            nation["n_regionkey"].astype(int).map(rname))
+    )
+    nat_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    cust = pq_.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust_in_region = set(
+        cust["c_custkey"].astype(int)[
+            cust["c_nationkey"].astype(int).map(nat_region) == Q8_REGION
+        ]
+    )
+    part_t = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    typed_parts = set(
+        part_t["p_partkey"].astype(int)[part_t["p_type"] == Q8_PART_TYPE]
+    )
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_is_share = dict(
+        zip(supp["s_suppkey"].astype(int),
+            (supp["s_nationkey"].astype(int).map(nat_name)
+             == Q8_SHARE_NATION).astype(int))
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["o_custkey"].astype(int).isin(cust_in_region).to_numpy()
+        ok = b["o_orderkey"].to_numpy(np.int64)[keep]
+        year = (
+            b["o_orderdate"].to_numpy("datetime64[us]")[keep]
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pd.DataFrame(
+            {"okey": ok, "year": year,
+             "rev": np.zeros(len(ok), np.int64),
+             "share": np.zeros(len(ok), np.int64),
+             "kind": np.zeros(len(ok), np.int8),
+             "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["l_partkey"].astype(int).isin(typed_parts).to_numpy()
+        ok = b["l_orderkey"].to_numpy(np.int64)[keep]
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64)[keep], 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64)[keep], 100.0)
+        isn = b["l_suppkey"].astype(int).map(supp_is_share).to_numpy(np.int64)[keep]
+        return pd.DataFrame(
+            {"okey": ok, "year": np.zeros(len(ok), np.int64),
+             "rev": price * (100 - disc), "share": isn,
+             "kind": np.ones(len(ok), np.int8),
+             "part": ok % nparts}
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"o_year": np.empty(0, np.int64),
+                 "nation_rev_e4": np.empty(0, np.int64),
+                 "total_rev_e4": np.empty(0, np.int64)}
+            )
+        oy = dict(zip(o["okey"].to_numpy(np.int64), o["year"].to_numpy(np.int64)))
+        yr = l["okey"].map(oy)
+        ok = yr.notna().to_numpy()
+        d2 = pd.DataFrame(
+            {"o_year": yr.to_numpy()[ok].astype(np.int64),
+             "nation_rev_e4": (l["rev"] * l["share"]).to_numpy(np.int64)[ok],
+             "total_rev_e4": l["rev"].to_numpy(np.int64)[ok]}
+        )
+        return d2.groupby("o_year", as_index=False).sum()
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("o_year", as_index=False).sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+Q9_NAME_SUFFIX = "widget"
+
+
+def tpch_q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q9-shaped product-line profit by supplier nation
+    and order year, for parts whose name ends in Q9_NAME_SUFFIX (the
+    driver tables carry no partsupp/supplycost, so profit = revenue
+    after discount, exact e4 integers). One orderkey-partitioned union
+    exchange joins the year onto the filtered lineitem rows; part and
+    supplier sides are broadcast maps."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    part_t = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    named = set(
+        part_t["p_partkey"].astype(int)[
+            part_t["p_name"].str.endswith(" " + Q9_NAME_SUFFIX)
+        ]
+    )
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    snat = dict(
+        zip(supp["s_suppkey"].astype(int),
+            supp["s_nationkey"].astype(int).map(nat_name))
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        year = (
+            b["o_orderdate"].to_numpy("datetime64[us]")
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        return pd.DataFrame(
+            {"okey": ok, "year": year,
+             "nat": pd.Series([""] * len(ok), dtype=object),
+             "rev": np.zeros(len(ok), np.int64),
+             "kind": np.zeros(len(ok), np.int8),
+             "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["l_partkey"].astype(int).isin(named).to_numpy()
+        ok = b["l_orderkey"].to_numpy(np.int64)[keep]
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64)[keep], 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64)[keep], 100.0)
+        nat = b["l_suppkey"].astype(int).map(snat).to_numpy(object)[keep]
+        return pd.DataFrame(
+            {"okey": ok, "year": np.zeros(len(ok), np.int64),
+             "nat": pd.Series(nat, dtype=object),
+             "rev": price * (100 - disc),
+             "kind": np.ones(len(ok), np.int8),
+             "part": ok % nparts}
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(o) == 0 or len(l) == 0:
+            return pd.DataFrame(
+                {"supp_nation": pd.Series([], dtype=object),
+                 "o_year": np.empty(0, np.int64),
+                 "profit_e4": np.empty(0, np.int64)}
+            )
+        oy = dict(zip(o["okey"].to_numpy(np.int64), o["year"].to_numpy(np.int64)))
+        yr = l["okey"].map(oy)
+        ok = yr.notna().to_numpy()
+        d2 = pd.DataFrame(
+            {"supp_nation": l["nat"].to_numpy(object)[ok],
+             "o_year": yr.to_numpy()[ok].astype(np.int64),
+             "profit_e4": l["rev"].to_numpy(np.int64)[ok]}
+        )
+        return d2.groupby(["supp_nation", "o_year"], as_index=False).sum()
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["supp_nation", "o_year"], as_index=False)[
+        "profit_e4"
+    ].sum()
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["profit_e4"] = out["profit_e4"].astype(np.int64)
+    return out.sort_values(["supp_nation", "o_year"]).reset_index(drop=True)
+
+
+Q11_NUM, Q11_DEN = 125, 100  # parts above 1.25x the per-part mean revenue
+
+
+def tpch_q11_part_concentration(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q11-shaped value concentration (group-vs-global
+    scalar): parts whose total lineitem revenue exceeds 1.25x the mean
+    per-part revenue. The comparison is cross-multiplied integer math
+    (rev * n_parts * 100 > 125 * total_rev) so no float division is
+    compared.
+    One partkey-partitioned exchange of per-block partials; the global
+    scalar folds from the same partials' second pass, and only
+    qualifying rows reach the driver."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    nparts = adaptive_parts(dataset_nbytes(li) or 0)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        price = _scaled_int(b["l_extendedprice"].to_numpy(np.float64), 100.0)
+        disc = _scaled_int(b["l_discount"].to_numpy(np.float64), 100.0)
+        d2 = pd.DataFrame(
+            {"l_partkey": b["l_partkey"].to_numpy(np.int64),
+             "rev_e4": price * (100 - disc)}
+        )
+        out = d2.groupby("l_partkey", as_index=False).sum()
+        out["part"] = out["l_partkey"] % nparts
+        return out
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"l_partkey": np.empty(0, np.int64),
+                 "rev_e4": np.empty(0, np.int64)}
+            )
+        return g.groupby("l_partkey", as_index=False)[["rev_e4"]].sum()
+
+    per_part = (
+        li.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
+        .materialize()
+    )
+    # global scalars from the already-reduced per-part rows (tiny)
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tot = int(b["rev_e4"].sum()) if len(b) else 0
+        return pd.DataFrame({"n": [np.int64(len(b))], "tot": [np.int64(tot)]})
+
+    totals = per_part.map_batches(
+        tot_partial, batch_format="pandas"
+    ).to_pandas()
+    n_parts_total = int(totals["n"].sum())
+    total_rev = int(totals["tot"].sum())
+
+    def conc_filter(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"l_partkey": np.empty(0, np.int64),
+                 "rev_e4": np.empty(0, np.int64)}
+            )
+        return b[
+            b["rev_e4"] * n_parts_total * Q11_DEN > Q11_NUM * total_rev
+        ][["l_partkey", "rev_e4"]]
+
+    out = per_part.map_batches(conc_filter, batch_format="pandas").to_pandas()
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    out["rev_e4"] = out["rev_e4"].astype(np.int64)
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+Q16_EXCLUDE_BRAND = "Brand#5"
+Q16_SIZES = (3, 7, 11, 19, 23, 31, 37, 41)
+
+
+def tpch_q16_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q16-shaped supplier-count distribution: for parts
+    not of Q16_EXCLUDE_BRAND with size in Q16_SIZES, how many DISTINCT
+    suppliers have shipped each (brand, type, size) class (the driver
+    tables carry no partsupp, so 'supplies' = appears on a lineitem).
+    Stage 1 exchanges distinct (partkey, suppkey) pairs on partkey;
+    stage 2 re-exchanges the surviving class-tagged pairs on the class
+    key for the distinct count — both exchanges carry reduced pairs,
+    never raw lineitem rows."""
+    import pyarrow.parquet as pq_
+
+    part_t = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    sel = part_t[
+        (part_t["p_brand"] != Q16_EXCLUDE_BRAND)
+        & (part_t["p_size"].astype(int).isin(Q16_SIZES))
+    ]
+    attr = {
+        int(r.p_partkey): (r.p_brand, r.p_type, int(r.p_size))
+        for r in sel.itertuples()
+    }
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    nparts = adaptive_parts(dataset_nbytes(li) or 0)
+
+    def pair_partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["l_partkey"].astype(int).isin(attr.keys()).to_numpy()
+        d2 = pd.DataFrame(
+            {"pk": b["l_partkey"].to_numpy(np.int64)[keep],
+             "sk": b["l_suppkey"].to_numpy(np.int64)[keep]}
+        ).drop_duplicates()
+        d2["part"] = d2["pk"] % nparts
+        return d2
+
+    def class_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["pk", "sk"])
+        ab = g["pk"].map(lambda k: attr[int(k)])
+        out = pd.DataFrame(
+            {"p_brand": [t[0] for t in ab],
+             "p_type": [t[1] for t in ab],
+             "p_size": np.array([t[2] for t in ab], np.int64),
+             "sk": g["sk"].to_numpy(np.int64)}
+        ).drop_duplicates()
+        out["part2"] = (
+            pd.util.hash_pandas_object(
+                out[["p_brand", "p_type", "p_size"]], index=False
+            ).to_numpy(np.uint64) % np.uint64(max(nparts, 1))
+        ).astype(np.int64)
+        return out
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["p_brand", "p_type", "p_size", "sk"])
+            .groupby(["p_brand", "p_type", "p_size"], as_index=False)
+            .agg(supplier_cnt=("sk", "size"))
+        )
+        return out
+
+    out = (
+        li.map_batches(pair_partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(class_pairs, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    out["p_size"] = out["p_size"].astype(np.int64)
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+Q2_REGION = "EUROPE"
+Q2_PART_TYPE = "ECONOMY"
+Q2_MAX_SIZE = 10
+
+
+def tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q2-shaped groupwise-min supplier: for each part of
+    Q2_PART_TYPE with size <= Q2_MAX_SIZE, the Q2_REGION supplier who
+    shipped it at the lowest observed unit price (extendedprice /
+    quantity on the e6 grid — numpy and DuckDB share the IEEE divide
+    then FLOOR(x*1e6+0.5)); ties break to the lowest suppkey. Per-block
+    lexicographic (unit, suppkey) min partials exchange on partkey, so
+    only one row per (block, part) ships."""
+    import pyarrow.parquet as pq_
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rname = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    nat_region = dict(
+        zip(nation["n_nationkey"].astype(int),
+            nation["n_regionkey"].astype(int).map(rname))
+    )
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).to_pandas()
+    region_supp = set(
+        supp["s_suppkey"].astype(int)[
+            supp["s_nationkey"].astype(int).map(nat_region) == Q2_REGION
+        ]
+    )
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    part_t = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_size"]
+    ).to_pandas()
+    sel_parts = set(
+        part_t["p_partkey"].astype(int)[
+            (part_t["p_type"] == Q2_PART_TYPE)
+            & (part_t["p_size"].astype(int) <= Q2_MAX_SIZE)
+        ]
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    nparts = adaptive_parts(dataset_nbytes(li) or 0)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (
+            b["l_partkey"].astype(int).isin(sel_parts)
+            & b["l_suppkey"].astype(int).isin(region_supp)
+        ).to_numpy()
+        if not keep.any():
+            return pd.DataFrame(
+                {"pk": np.empty(0, np.int64), "unit": np.empty(0, np.int64),
+                 "sk": np.empty(0, np.int64), "part": np.empty(0, np.int64)}
+            )
+        b = b[keep]
+        unit = _scaled_int(
+            b["l_extendedprice"].to_numpy(np.float64)
+            / b["l_quantity"].to_numpy(np.float64),
+            1e6,
+        )
+        d2 = pd.DataFrame(
+            {"pk": b["l_partkey"].to_numpy(np.int64), "unit": unit,
+             "sk": b["l_suppkey"].to_numpy(np.int64)}
+        )
+        d2 = d2.sort_values(["pk", "unit", "sk"]).drop_duplicates(
+            "pk", keep="first"
+        )
+        d2["part"] = d2["pk"] % nparts
+        return d2
+
+    def final_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "unit", "sk"]).drop_duplicates(
+            "pk", keep="first"
+        )
+        return pd.DataFrame(
+            {"p_partkey": g["pk"].to_numpy(np.int64),
+             "min_unit_e6": g["unit"].to_numpy(np.int64),
+             "s_suppkey": g["sk"].to_numpy(np.int64)}
+        )
+
+    out = (
+        li.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(final_min, batch_format="pandas")
+        .to_pandas()
+    )
+    out["s_name"] = out["s_suppkey"].map(sname)
+    for c in ("p_partkey", "min_unit_e6", "s_suppkey"):
+        out[c] = out[c].astype(np.int64)
+    return out[["p_partkey", "min_unit_e6", "s_suppkey", "s_name"]].sort_values(
+        "p_partkey"
+    ).reset_index(drop=True)
+
+
+Q20_NAME_PREFIX = "blue "
+
+
+def tpch_q20_excess_shippers(sf_dir: str) -> pd.DataFrame:
+    """[graft] TPC-H Q20-shaped nested-aggregate semi-join: suppliers
+    who shipped MORE than twice the per-supplier average quantity of
+    some part named 'blue *' (no partsupp availqty in the driver
+    tables, so the Q20 threshold 0.5*sum(qty) becomes 2x the mean
+    shipper's quantity — the same shape: per-part aggregate feeding a
+    per-(part,supplier) gate). Cross-multiplied integers
+    (q_ps * n_suppliers > 2 * total_qty); the partkey exchange carries
+    per-block (part, supplier) quantity partials; flagged (supplier,
+    part) rows are an extreme-outlier subset, folded per supplier on
+    the driver with names from the broadcast supplier table."""
+    import pyarrow.parquet as pq_
+
+    part_t = pq_.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    named = set(
+        part_t["p_partkey"].astype(int)[
+            part_t["p_name"].str.startswith(Q20_NAME_PREFIX)
+        ]
+    )
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    nparts = adaptive_parts(dataset_nbytes(li) or 0)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["l_partkey"].astype(int).isin(named).to_numpy()
+        d2 = pd.DataFrame(
+            {"pk": b["l_partkey"].to_numpy(np.int64)[keep],
+             "sk": b["l_suppkey"].to_numpy(np.int64)[keep],
+             "qty_e2": _scaled_int(
+                 b["l_quantity"].to_numpy(np.float64)[keep], 100.0
+             )}
+        )
+        out = d2.groupby(["pk", "sk"], as_index=False).sum()
+        out["part"] = out["pk"] % nparts
+        return out
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["pk", "sk"], as_index=False)["qty_e2"].sum()
+        tot = ps.groupby("pk")["qty_e2"].transform("sum")
+        nsup = ps.groupby("pk")["sk"].transform("size")
+        flag = ps["qty_e2"] * nsup > 2 * tot
+        sel = ps[flag]
+        return pd.DataFrame(
+            {"s_suppkey": sel["sk"].to_numpy(np.int64),
+             "n_parts_excess": np.ones(len(sel), np.int64)}
+        )
+
+    out = (
+        li.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(gate, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"s_suppkey": np.empty(0, np.int64),
+             "s_name": pd.Series([], dtype=object),
+             "n_parts_excess": np.empty(0, np.int64)}
+        )
+    out = out.groupby("s_suppkey", as_index=False)["n_parts_excess"].sum()
+    out["s_name"] = out["s_suppkey"].map(sname)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["n_parts_excess"] = out["n_parts_excess"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "n_parts_excess"]].sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
