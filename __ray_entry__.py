@@ -263,6 +263,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_supplier_counts": q.tpch_q16_supplier_counts,
         # Q20-shaped nested-aggregate excess-shipper semi-join — hash-verified
         "tpch_q20_excess_shippers": q.tpch_q20_excess_shippers,
+        # 1h OHLC bars per event type (mergeable partials) — hash-verified
+        "ohlc_bars_1h": q.ohlc_bars_1h,
+        # per-user running max-drawdown scan — hash-verified
+        "user_value_drawdown": q.user_value_drawdown,
+        # per-user one-sided CUSUM excursion scan + alarms — hash-verified
+        "user_cusum_alarms": q.user_cusum_alarms,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3393,6 +3399,74 @@ def oracle_sql() -> dict[str, str]:
     FROM ps JOIN pt ON ps.pk = pt.pk JOIN supplier s ON ps.sk = s.s_suppkey
     WHERE ps.qty_e2 * pt.nsup > 2 * pt.tot
     GROUP BY 1 ORDER BY 1""",
+        "ohlc_bars_1h": """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+             epoch_us(ts) // 3600000000 * 3600000000 AS hour_ts_us,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY event_type, hour_ts_us
+                           ORDER BY ts_us, event_id) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, hour_ts_us
+                           ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, CAST(hour_ts_us AS BIGINT) AS hour_ts_us,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_e6,
+           CAST(MAX(v) AS BIGINT) AS high_e6,
+           CAST(MIN(v) AS BIGINT) AS low_e6,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS sum_e6
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+        "user_value_drawdown": """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, SUM(v) OVER w AS c, ROW_NUMBER() OVER w AS rn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    d AS (
+      SELECT user_id, c, rn,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY rn) - c AS dd
+      FROM c
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(arg_max(c, rn) AS BIGINT) AS final_e6,
+           CAST(MAX(dd) AS BIGINT) AS max_drawdown_e6
+    FROM d GROUP BY 1 ORDER BY 1""",
+        "user_cusum_alarms": """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, SUM(v - 50000000) OVER w AS c,
+             ROW_NUMBER() OVER w AS rn
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    s AS (
+      SELECT user_id, rn,
+             c - LEAST(0, MIN(c) OVER (PARTITION BY user_id ORDER BY rn))
+               AS s
+      FROM c
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(s) AS BIGINT) AS max_s_e6,
+           CAST(SUM(CASE WHEN s > 500000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(COALESCE(MIN(CASE WHEN s > 500000000 THEN rn END), -1)
+                AS BIGINT) AS first_alarm_ix
+    FROM s GROUP BY 1 ORDER BY 1""",
         "customer_reorder_gaps": """
     WITH o AS (
       SELECT o_custkey,

@@ -11503,3 +11503,190 @@ def tpch_q20_excess_shippers(sf_dir: str) -> pd.DataFrame:
     return out[["s_suppkey", "s_name", "n_parts_excess"]].sort_values(
         "s_suppkey"
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 timeseries scan operators over the events stream: OHLC bars,
+# running-drawdown, and a CUSUM excursion scan. All three are exact
+# integer kernels; the sequential-looking recurrences are rewritten as
+# cumulative-scan algebra (cumsum/cummax/cummin) so the engine stays
+# vectorized and the oracle stays pure window SQL.
+# ---------------------------------------------------------------------------
+
+
+def ohlc_bars_1h(sf_dir: str) -> pd.DataFrame:
+    """[graft] 1-hour OHLC bars per event type: open/close are the
+    values at the first/last (ts, event_id) of the bucket, high/low/
+    volume/sum are plain aggregates — all on the exact e6 grid. OHLC
+    partials are MERGEABLE (carry the open/close anchor keys), so one
+    per-block pass reduces each block to <= types x hours rows and the
+    final merge folds partials without re-reading facts — no raw-row
+    shuffle at any scale."""
+    ev = _events(sf_dir, columns=["event_id", "ts", "event_type", "value"])
+    hour_us = 3_600_000_000
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame()
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(object),
+                "hour_ts_us": (
+                    b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                    // hour_us * hour_us
+                ),
+                "v": _scaled_int(b["value"].to_numpy(np.float64)),
+                "ts_us": b["ts"].to_numpy("datetime64[us]").astype(np.int64),
+                "event_id": b["event_id"].to_numpy(np.int64),
+            }
+        ).sort_values(["event_type", "hour_ts_us", "ts_us", "event_id"],
+                      kind="mergesort")
+        g = d.groupby(["event_type", "hour_ts_us"], sort=False)
+        out = g.agg(
+            open_e6=("v", "first"), close_e6=("v", "last"),
+            high_e6=("v", "max"), low_e6=("v", "min"),
+            n_events=("v", "size"), sum_e6=("v", "sum"),
+            o_ts=("ts_us", "first"), o_eid=("event_id", "first"),
+            c_ts=("ts_us", "last"), c_eid=("event_id", "last"),
+        ).reset_index()
+        return out
+
+    parts = ev.map_batches(partials, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(
+        ["event_type", "hour_ts_us", "o_ts", "o_eid"], kind="mergesort"
+    )
+    g = parts.groupby(["event_type", "hour_ts_us"], sort=False)
+    first = g.agg(open_e6=("open_e6", "first")).reset_index()
+    closes = (
+        parts.sort_values(
+            ["event_type", "hour_ts_us", "c_ts", "c_eid"], kind="mergesort"
+        )
+        .groupby(["event_type", "hour_ts_us"], sort=False)
+        .agg(close_e6=("close_e6", "last"))
+        .reset_index()
+    )
+    rest = g.agg(
+        high_e6=("high_e6", "max"), low_e6=("low_e6", "min"),
+        n_events=("n_events", "sum"), sum_e6=("sum_e6", "sum"),
+    ).reset_index()
+    out = first.merge(closes, on=["event_type", "hour_ts_us"]).merge(
+        rest, on=["event_type", "hour_ts_us"]
+    )
+    for c in ("hour_ts_us", "open_e6", "close_e6", "high_e6", "low_e6",
+              "n_events", "sum_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out[
+        ["event_type", "hour_ts_us", "open_e6", "high_e6", "low_e6",
+         "close_e6", "n_events", "sum_e6"]
+    ].sort_values(["event_type", "hour_ts_us"]).reset_index(drop=True)
+
+
+def _per_user_scan_parts(sf_dir: str):
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    nparts = adaptive_parts(dataset_nbytes(ev) or 0)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "ts_us": b["ts"].to_numpy("datetime64[us]").astype(np.int64),
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "v": _scaled_int(b["value"].to_numpy(np.float64)),
+                "part": b["user_id"].to_numpy(np.int64) % nparts,
+            }
+        )
+
+    return ev.map_batches(tag, batch_format="pandas")
+
+
+def user_value_drawdown(sf_dir: str) -> pd.DataFrame:
+    """[graft] Running-drawdown scan per user: over the (ts, event_id)-
+    ordered cumulative value sum C_t, drawdown_t = max_{j<=t} C_j - C_t;
+    report each user's event count, final cumulative sum and maximum
+    drawdown (exact e6 integers). The recurrence is pure cumsum +
+    cummax algebra, so the engine runs one vectorized pass per
+    user-hash partition and the oracle is nested window SQL."""
+    parts = _per_user_scan_parts(sf_dir)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": np.empty(0, np.int64),
+                 "n_events": np.empty(0, np.int64),
+                 "final_e6": np.empty(0, np.int64),
+                 "max_drawdown_e6": np.empty(0, np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        c = g.groupby("user_id", sort=False)["v"].cumsum()
+        peak = c.groupby(g["user_id"], sort=False).cummax()
+        dd = peak - c
+        return (
+            pd.DataFrame({"user_id": g["user_id"], "c": c, "dd": dd})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("c", "size"), final_e6=("c", "last"),
+                 max_drawdown_e6=("dd", "max"))
+            .reset_index()
+        )
+
+    out = (
+        parts.groupby("part")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+CUSUM_K_E6 = 50_000_000   # reference drift level (value units x 1e6)
+CUSUM_H_E6 = 500_000_000  # alarm threshold on the excursion statistic
+
+
+def user_cusum_alarms(sf_dir: str) -> pd.DataFrame:
+    """[graft] One-sided CUSUM excursion scan per user: S_t =
+    max(0, S_{t-1} + v_t - K) with alarms where S_t > H. The recurrence
+    folds to scan algebra — S_t = C_t - min(0, min_{j<=t} C_j) with
+    C = cumsum(v - K) — so the engine is one vectorized
+    cumsum/cummin pass per user-hash partition (no per-row Python) and
+    the oracle is two stacked window CTEs. Exact e6 integers
+    throughout; first_alarm_ix is the 1-based event index (-1 when the
+    user never alarms)."""
+    parts = _per_user_scan_parts(sf_dir)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": np.empty(0, np.int64),
+                 "n_events": np.empty(0, np.int64),
+                 "max_s_e6": np.empty(0, np.int64),
+                 "n_alarms": np.empty(0, np.int64),
+                 "first_alarm_ix": np.empty(0, np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        y = g["v"] - CUSUM_K_E6
+        c = y.groupby(g["user_id"], sort=False).cumsum()
+        runmin = c.groupby(g["user_id"], sort=False).cummin().clip(upper=0)
+        s = c - runmin
+        alarm = s > CUSUM_H_E6
+        ix = g.groupby("user_id", sort=False).cumcount() + 1
+        d = pd.DataFrame(
+            {"user_id": g["user_id"], "s": s, "alarm": alarm.astype(np.int64),
+             "aix": np.where(alarm, ix, np.iinfo(np.int64).max)}
+        )
+        out = (
+            d.groupby("user_id", sort=False)
+            .agg(n_events=("s", "size"), max_s_e6=("s", "max"),
+                 n_alarms=("alarm", "sum"), first_alarm_ix=("aix", "min"))
+            .reset_index()
+        )
+        out.loc[out["n_alarms"] == 0, "first_alarm_ix"] = -1
+        return out
+
+    out = (
+        parts.groupby("part")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
