@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_drawdown": q.user_value_drawdown,
         # per-user one-sided CUSUM excursion scan + alarms — hash-verified
         "user_cusum_alarms": q.user_cusum_alarms,
+        # deterministic per-language mixture sampling plan — hash-verified
+        "mixture_sample_plan": q.mixture_sample_plan,
+        # SemDeDup-style cluster-scoped semantic dedup — hash-verified
+        "semantic_dedup": q.semantic_dedup,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -1400,7 +1404,7 @@ def _int8_recall_sql(topk: int = 10, n_queries: int = 5) -> str:
     GROUP BY 1 ORDER BY 1"""
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int, q_body: str | None = None) -> str:
     """CTE chain for the unrolled Lloyd's k-means, mirroring
     stages/clustering.py exactly: e6-quantized int64 vectors, exact
     integer squared-L2 distances, argmin ties -> smallest cluster,
@@ -1410,18 +1414,20 @@ def _kmeans_ctes(k: int, iters: int) -> str:
     per-vector assignment ranking) with ``cent{iters}`` (the fitted
     centroids) in scope — shared by the kmeans contract row and the
     IVF oracles."""
-    parts = [
-        f"""
-    q AS (
+    if q_body is None:
+        q_body = """
       SELECT vec_id,
              UNNEST(range(len(embedding))) AS dim,
              UNNEST(list_transform(embedding,
                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS qv
-      FROM embeddings
+      FROM embeddings"""
+    parts = [
+        f"""
+    q AS ({q_body}
     ),
     ids AS (
       SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
-      FROM embeddings ORDER BY vec_id LIMIT {k}
+      FROM (SELECT DISTINCT vec_id FROM q) ORDER BY vec_id LIMIT {k}
     ),
     cent0 AS (SELECT i.cluster, q.dim, q.qv AS cv FROM ids i JOIN q USING (vec_id))"""
     ]
@@ -1466,6 +1472,78 @@ def _kmeans_sql(k: int, iters: int) -> str:
         + """
     SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS dist2
     FROM aF WHERE rk = 1 ORDER BY vec_id"""
+    )
+
+
+def _semdedup_sql(
+    k: int = 8,
+    iters: int = 2,
+    p: int = 9,
+    q: int = 10,
+    n_planted: int = 20,
+    id_base: int = 1_000_000,
+) -> str:
+    """SemDeDup oracle: base embeddings plus the md5-derived planted
+    near-dups (float32-SQUEEZED — the engine stores planted vectors as
+    float32 so the e6/e3 grids match CAST(... AS REAL)), run through
+    the unrolled k-means assignment, then a cluster-local smaller-id
+    cosine-threshold EXISTS with the exact cross-multiplied integer
+    test (q^2 dot^2 >= p^2 |a|^2 |b|^2) on the e3 grid."""
+    semsrc = f"""
+    pl AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_planted}),
+    b0 AS MATERIALIZED (
+      SELECT vec_id,
+             UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    pp AS (
+      SELECT b0.vec_id + {id_base} AS vec_id, b0.dim,
+             CAST(CAST(b0.x + CASE WHEN ('0x' || substr(md5('pn_' || b0.vec_id || '_' || b0.dim), 1, 8))::UBIGINT % 2 = 0
+                                   THEN 0.002 ELSE -0.002 END
+                       AS REAL) AS DOUBLE) AS x
+      FROM b0 JOIN pl ON pl.vec_id = b0.vec_id
+    ),
+    semsrc AS MATERIALIZED (
+      SELECT * FROM b0 UNION ALL SELECT * FROM pp
+    ),"""
+    q_body = """
+      SELECT vec_id, dim,
+             CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS qv
+      FROM semsrc"""
+    return (
+        "WITH "
+        + semsrc
+        + _kmeans_ctes(k, iters, q_body=q_body)
+        + f""",
+    asgF AS (SELECT vec_id, cluster FROM aF WHERE rk = 1),
+    e3 AS MATERIALIZED (
+      SELECT vec_id, dim, CAST(FLOOR(x * 1000 + 0.5) AS BIGINT) AS w
+      FROM semsrc
+    ),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, SUM(w * w) AS n2 FROM e3 GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_hi, b.vec_id AS id_lo, SUM(ea.w * eb.w) AS dot
+      FROM asgF a
+      JOIN asgF b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+      JOIN e3 ea ON ea.vec_id = a.vec_id
+      JOIN e3 eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT DISTINCT d.id_hi AS vec_id
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.id_hi
+      JOIN nrm nb ON nb.vec_id = d.id_lo
+      WHERE d.dot > 0 AND {q * q} * d.dot * d.dot >= {p * p} * na.n2 * nb.n2
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_dup
+    FROM asgF a LEFT JOIN dup d ON d.vec_id = a.vec_id
+    ORDER BY 1"""
     )
 
 
@@ -3467,6 +3545,40 @@ def oracle_sql() -> dict[str, str]:
            CAST(COALESCE(MIN(CASE WHEN s > 500000000 THEN rn END), -1)
                 AS BIGINT) AS first_alarm_ix
     FROM s GROUP BY 1 ORDER BY 1""",
+        "mixture_sample_plan": """
+    WITH lc AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(lang_chars) AS total FROM lc),
+    w(lang, wt) AS (VALUES ('de', 20), ('en', 10), ('es', 20),
+                           ('fr', 20), ('zh', 30)),
+    r AS (
+      SELECT lc.lang, lc.lang_chars,
+             CAST(LEAST(1000000000,
+                        (tot.total * w.wt // 200) * 1000000000
+                          // lc.lang_chars) AS BIGINT) AS rate_e9
+      FROM lc JOIN w ON lc.lang = w.lang, tot
+    ),
+    t AS (
+      SELECT lang, lang_chars, rate_e9,
+             rate_e9 * 4294967296 // 1000000000 AS thresh
+      FROM r
+    ),
+    h AS (
+      SELECT d.lang, d.n_chars,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS h32
+      FROM documents d
+    )
+    SELECT t.lang, t.lang_chars, t.rate_e9,
+           CAST(COUNT(*) FILTER (WHERE h.h32 < t.thresh) AS BIGINT)
+             AS n_sampled,
+           CAST(COALESCE(SUM(h.n_chars) FILTER (WHERE h.h32 < t.thresh), 0)
+                AS BIGINT) AS chars_sampled
+    FROM h JOIN t ON h.lang = t.lang
+    GROUP BY 1, 2, 3 ORDER BY 1""",
+        "semantic_dedup": _semdedup_sql(),
         "customer_reorder_gaps": """
     WITH o AS (
       SELECT o_custkey,

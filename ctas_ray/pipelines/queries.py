@@ -11690,3 +11690,181 @@ def user_cusum_alarms(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 training-data curation operators: deterministic mixture
+# sampling and SemDeDup-style cluster-scoped semantic dedup.
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = (("de", 20), ("en", 10), ("es", 20), ("fr", 20), ("zh", 30))
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 1, 2  # sample 50% of total chars overall
+
+
+def mixture_sample_plan(sf_dir: str) -> pd.DataFrame:
+    """[graft] Deterministic training-mixture sampling: each language
+    gets a target char budget (total_chars * weight% * 50%), converted
+    to a per-doc KEEP RATE rate_e9 = min(1, target / lang_chars) on an
+    exact integer grid; a document is kept iff the 32-bit md5 hash of
+    its doc_id falls below rate_e9 * 2^32 / 1e9 (the md5-derandomized
+    family the sketch audits use, so the SQL oracle recomputes the
+    identical sample). Two streaming passes: a tiny per-lang char
+    combiner, then a pure stateless filter — no shuffle at any scale;
+    the selection is reproducible and mergeable across shards."""
+    from ..stages.sketches import _md5_h32
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def char_partials(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("lang", as_index=False)["n_chars"].sum()
+            .rename(columns={"n_chars": "c"})
+        )
+
+    lc = (
+        docs.map_batches(char_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)["c"].sum()
+    )
+    lang_chars = {r.lang: int(r.c) for r in lc.itertuples()}
+    total = sum(lang_chars.values())
+    weights = dict(MIX_WEIGHTS)
+    rate_e9: dict[str, int] = {}
+    thresh: dict[str, int] = {}
+    for lang, chars in lang_chars.items():
+        target = total * weights.get(lang, 0) * MIX_BUDGET_NUM // (
+            100 * MIX_BUDGET_DEN
+        )
+        r = min(10**9, target * 10**9 // chars) if chars else 0
+        rate_e9[lang] = r
+        thresh[lang] = r * 4294967296 // 10**9
+
+    def sample_partials(b: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_h32(b["doc_id"].to_numpy()).astype(np.int64)
+        th = b["lang"].map(thresh).to_numpy(np.int64)
+        keep = h < th
+        d = pd.DataFrame(
+            {"lang": b["lang"].to_numpy(object),
+             "n_sampled": keep.astype(np.int64),
+             "chars_sampled": b["n_chars"].to_numpy(np.int64) * keep}
+        )
+        return d.groupby("lang", as_index=False).sum()
+
+    agg = (
+        docs.map_batches(sample_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .sum()
+    )
+    agg["lang_chars"] = agg["lang"].map(lang_chars)
+    agg["rate_e9"] = agg["lang"].map(rate_e9)
+    for c in ("lang_chars", "rate_e9", "n_sampled", "chars_sampled"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg[
+        ["lang", "lang_chars", "rate_e9", "n_sampled", "chars_sampled"]
+    ].sort_values("lang").reset_index(drop=True)
+
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_TAU = (9, 10)  # cosine threshold p/q
+
+
+def semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """[graft] SemDeDup-style semantic deduplication (Abbas et al.
+    2023 shape): k-means-cluster the embeddings (the hash-verified
+    integer Lloyd's from stages/clustering.py), then WITHIN each
+    cluster mark a vector duplicate iff a smaller-id vector of the
+    same cluster is cosine-similar above tau = 9/10 — the exact
+    cross-multiplied integer test on the e3 grid that
+    embedding_cosine_dedup proves. The natural corpus is
+    near-orthogonal (no semantic dups at tau=0.9), so the first
+    N_PLANTED_NEARDUP vectors are re-added with md5-derived +-0.002
+    noise, SQUEEZED to float32 so both the e6 kmeans grid and the e3
+    verify grid match the oracle's CAST(... AS REAL) chain. Cluster
+    assignment broadcasts the fitted centroids into a stateless tag
+    pass; the quadratic verify is cluster-local (the documented
+    SemDeDup cost — k scales with n in production so cluster sizes
+    stay bounded) and runs as a chunked integer matmul, never a
+    Python pair loop."""
+    import ray
+    from ..stages.clustering import _kmeans_spans, _assign, _quantize
+
+    head = _smallest_vec_rows(sf_dir, N_PLANTED_NEARDUP)
+    planted_vecs = []
+    for vid, v in zip(head["vec_id"], head["embedding"]):
+        v = np.asarray(v, dtype=np.float64)
+        planted_vecs.append(
+            (v + _md5_sign_noise(int(vid), len(v))).astype(np.float32)
+        )
+    planted = pd.DataFrame(
+        {
+            "vec_id": head["vec_id"].to_numpy() + PLANTED_ID_BASE,
+            "embedding": planted_vecs,
+        }
+    )
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).union(rd.from_pandas(planted))
+    probe = emb.limit(1).to_pandas()
+    dim = len(np.asarray(probe["embedding"].iloc[0]))
+    _, cents = _kmeans_spans(
+        emb, [(0, dim)], SEMDEDUP_K, SEMDEDUP_ITERS, "vec_id", "embedding",
+        return_centroids=True,
+    )
+    cents_ref = ray.put(cents[0])
+    p, q = SEMDEDUP_TAU
+    p2, q2 = p * p, q * q
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        vecs = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        q6 = _quantize(b["embedding"])
+        a, _ = _assign(q6, c)
+        w3 = np.floor(vecs * 1e3 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": b["vec_id"].to_numpy(np.int64),
+             "cluster": a.astype(np.int64),
+             "unit": [x.tobytes() for x in w3]}
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"vec_id": np.empty(0, np.int64),
+                 "cluster": np.empty(0, np.int64),
+                 "is_dup": np.empty(0, np.int64)}
+            )
+        g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        M = np.frombuffer(b"".join(g["unit"]), dtype=np.int64).reshape(
+            len(g), -1
+        )
+        n2 = np.einsum("ij,ij->i", M, M)
+        n = len(g)
+        is_dup = np.zeros(n, dtype=np.int64)
+        chunk = 1024
+        for s in range(1, n, chunk):
+            e = min(s + chunk, n)
+            # rows s..e against all columns j < row index
+            D = M[s:e] @ M.T[:, :e]  # (e-s, e)
+            cond = (D > 0) & (q2 * D * D >= p2 * np.outer(n2[s:e], n2[:e]))
+            jj = np.arange(e)[None, :]
+            ii = np.arange(s, e)[:, None]
+            is_dup[s:e] = np.where((cond & (jj < ii)).any(axis=1), 1, 0)
+        return pd.DataFrame(
+            {"vec_id": g["vec_id"].to_numpy(np.int64),
+             "cluster": g["cluster"].to_numpy(np.int64),
+             "is_dup": is_dup}
+        )
+
+    out = (
+        emb.map_batches(tag, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(flag, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
