@@ -273,6 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_plan": q.mixture_sample_plan,
         # SemDeDup-style cluster-scoped semantic dedup — hash-verified
         "semantic_dedup": q.semantic_dedup,
+        # distributed 2-D Pareto skyline (mergeable local frontiers) — hash-verified
+        "lineitem_skyline": q.lineitem_skyline,
+        # exact integer Mann-Whitney U per event type — hash-verified
+        "mannwhitney_by_type": q.mannwhitney_by_type,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3579,6 +3583,50 @@ def oracle_sql() -> dict[str, str]:
     FROM h JOIN t ON h.lang = t.lang
     GROUP BY 1, 2, 3 ORDER BY 1""",
         "semantic_dedup": _semdedup_sql(),
+        "lineitem_skyline": """
+    WITH u AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5)
+                  AS BIGINT) AS unit_e6,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qty_e2
+      FROM lineitem
+    ),
+    w AS (
+      SELECT *,
+        MAX(qty_e2) OVER (ORDER BY unit_e6
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS m1,
+        MAX(qty_e2) OVER (PARTITION BY unit_e6) AS grp_max
+      FROM u
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           unit_e6, qty_e2
+    FROM w
+    WHERE (m1 IS NULL OR qty_e2 > m1) AND qty_e2 = grp_max
+    ORDER BY unit_e6, qty_e2 DESC, l_orderkey, l_linenumber""",
+        "mannwhitney_by_type": """
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, v, COUNT(*) AS cnt, SUM(a) AS cnt_a
+      FROM e GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, v, cnt, cnt_a,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) - cnt
+               AS cnt_lt
+      FROM agg
+    )
+    SELECT event_type,
+           CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+           CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+           CAST(SUM(cnt_a * (2 * cnt_lt + cnt + 1))
+                - SUM(cnt_a) * (SUM(cnt_a) + 1) AS BIGINT) AS u2_a
+    FROM r GROUP BY 1 ORDER BY 1""",
         "customer_reorder_gaps": """
     WITH o AS (
       SELECT o_custkey,

@@ -11868,3 +11868,147 @@ def semantic_dedup(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 analytics shapes: distributed Pareto skyline and an exact
+# integer Mann-Whitney U test.
+# ---------------------------------------------------------------------------
+
+
+def _skyline_2d(price: np.ndarray, qty: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D skyline (minimize price, maximize qty).
+    Dominance: s beats r iff (s.price < r.price and s.qty >= r.qty) or
+    (s.price <= r.price and s.qty > r.qty). Vectorized: sort by
+    (price asc, qty desc); a row survives iff its qty strictly exceeds
+    the running max over strictly-lower prices AND no equal-price row
+    has strictly larger qty (the sort puts that row first)."""
+    order = np.lexsort((-qty, price))
+    p, v = price[order], qty[order]
+    n = len(p)
+    keep_sorted = np.zeros(n, dtype=bool)
+    if n:
+        # running max of qty over the strictly-lower-price prefix
+        newgrp = np.r_[True, p[1:] != p[:-1]]
+        grp_first_ix = np.maximum.accumulate(
+            np.where(newgrp, np.arange(n), 0)
+        )
+        cummax_all = np.maximum.accumulate(v)
+        prev_ix = grp_first_ix - 1
+        m1 = np.where(prev_ix >= 0, cummax_all[np.maximum(prev_ix, 0)],
+                      np.iinfo(np.int64).min)
+        # equal-price dominance: first row of the price group has the
+        # max qty; later rows with smaller qty are dominated
+        grp_max = v[grp_first_ix]
+        keep_sorted = (v > m1) & (v == grp_max)
+        # equal (price, qty) duplicates: neither dominates — keep all
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def lineitem_skyline(sf_dir: str) -> pd.DataFrame:
+    """[graft] Distributed 2-D skyline (Pareto frontier) of lineitems:
+    minimize unit price (e6 grid, the IEEE divide chain Q2 proves),
+    maximize quantity (e2 grid). Skylines MERGE — skyline(A union B) =
+    skyline(skyline(A) union skyline(B)) — so each block reduces to its
+    local frontier and the driver folds the tiny frontier union; no
+    quadratic join anywhere. The oracle expresses dominance as two
+    running-max window frames over the price order."""
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_quantity"],
+    )
+
+    def local_skyline(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"l_orderkey": np.empty(0, np.int64),
+                 "l_linenumber": np.empty(0, np.int64),
+                 "unit_e6": np.empty(0, np.int64),
+                 "qty_e2": np.empty(0, np.int64)}
+            )
+        unit = _scaled_int(
+            b["l_extendedprice"].to_numpy(np.float64)
+            / b["l_quantity"].to_numpy(np.float64),
+            1e6,
+        )
+        qty = _scaled_int(b["l_quantity"].to_numpy(np.float64), 100.0)
+        keep = _skyline_2d(unit, qty)
+        return pd.DataFrame(
+            {"l_orderkey": b["l_orderkey"].to_numpy(np.int64)[keep],
+             "l_linenumber": b["l_linenumber"].to_numpy(np.int64)[keep],
+             "unit_e6": unit[keep], "qty_e2": qty[keep]}
+        )
+
+    cand = li.map_batches(local_skyline, batch_format="pandas").to_pandas()
+    keep = _skyline_2d(
+        cand["unit_e6"].to_numpy(np.int64), cand["qty_e2"].to_numpy(np.int64)
+    )
+    out = cand[keep].copy()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(
+        ["unit_e6", "qty_e2", "l_orderkey", "l_linenumber"],
+        ascending=[True, False, True, True],
+    ).reset_index(drop=True)
+
+
+def mannwhitney_by_type(sf_dir: str) -> pd.DataFrame:
+    """[graft] Exact integer Mann-Whitney U per event type between the
+    even-user and odd-user cohorts: with midranks on the 2x grid
+    (2*midrank(v) = 2*cnt_lt + cnt_eq + 1), U2_a = sum over cohort-A
+    values of 2*midrank - n_a*(n_a+1) is an exact integer — no float
+    rank arithmetic. One (type, value)-keyed combiner exchange reduces
+    the stream to distinct-value count rows; the per-type scan is a
+    vectorized cumsum (types are few; the value axis is what scales)."""
+    ev = _events(sf_dir, columns=["event_type", "user_id", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(object),
+             "v": _scaled_int(b["value"].to_numpy(np.float64)),
+             "cnt": np.ones(len(b), np.int64),
+             "cnt_a": (b["user_id"].to_numpy(np.int64) % 2 == 0)
+                 .astype(np.int64)}
+        )
+        return d.groupby(["event_type", "v"], as_index=False).sum()
+
+    def utest(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object),
+                 "n_a": np.empty(0, np.int64),
+                 "n_b": np.empty(0, np.int64),
+                 "u2_a": np.empty(0, np.int64)}
+            )
+        g = (
+            g.groupby(["event_type", "v"], as_index=False)[["cnt", "cnt_a"]]
+            .sum()
+            .sort_values(["event_type", "v"], kind="mergesort")
+        )
+        rows = []
+        for et, t in g.groupby("event_type", sort=True):
+            cnt = t["cnt"].to_numpy(np.int64)
+            cnt_a = t["cnt_a"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            cnt_lt = cum - cnt
+            two_mid = 2 * cnt_lt + cnt + 1
+            n_a = int(cnt_a.sum())
+            n_b = int(cnt.sum()) - n_a
+            u2 = int((cnt_a * two_mid).sum()) - n_a * (n_a + 1)
+            rows.append(
+                {"event_type": et, "n_a": n_a, "n_b": n_b, "u2_a": u2}
+            )
+        return pd.DataFrame(rows)
+
+    parts = ev.map_batches(partials, batch_format="pandas")
+    out = (
+        parts.groupby("event_type")
+        .map_groups(utest, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("n_a", "n_b", "u2_a"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
