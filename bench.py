@@ -238,6 +238,13 @@ def main() -> None:
         timed("interval_coverage", lambda: q.interval_union_coverage(sf_dir))
         timed("bloom_audit", lambda: q.bloom_membership_audit(sf_dir))
         timed("mmr_diverse_topk", lambda: q.mmr_diverse_topk(sf_dir))
+        # round-5 additions
+        timed("semantic_dedup", lambda: q.semantic_dedup(sf_dir))
+        timed("tpch_q8_market_share", lambda: q.tpch_q8_market_share(sf_dir))
+        timed("ohlc_bars_1h", lambda: q.ohlc_bars_1h(sf_dir))
+        timed("user_cusum_alarms", lambda: q.user_cusum_alarms(sf_dir))
+        timed("lineitem_skyline", lambda: q.lineitem_skyline(sf_dir))
+        timed("mixture_sample_plan", lambda: q.mixture_sample_plan(sf_dir))
 
     headline = timings["rollup_e2e"]
     print(
