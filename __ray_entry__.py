@@ -277,6 +277,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": q.lineitem_skyline,
         # exact integer Mann-Whitney U per event type — hash-verified
         "mannwhitney_by_type": q.mannwhitney_by_type,
+        # integer reciprocal-rank fusion of the fp/int8 ANN rankings — hash-verified
+        "rrf_fusion_topk": q.rrf_fusion_topk,
+        # RFM segmentation per customer (mergeable partials) — hash-verified
+        "customer_rfm": q.customer_rfm,
+        # order-to-ship lead-time stats per supplier — hash-verified
+        "supplier_lead_time": q.supplier_lead_time,
+        # pairwise language vocabulary overlap (Jaccard ingredients) — hash-verified
+        "lang_vocab_overlap": q.lang_vocab_overlap,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -1406,6 +1414,78 @@ def _int8_recall_sql(topk: int = 10, n_queries: int = 5) -> str:
     LEFT JOIN int8_top i
       ON i.query_id = b.query_id AND i.vec_id = b.vec_id
     GROUP BY 1 ORDER BY 1"""
+
+
+def _rrf_sql(topk: int = 10, n_queries: int = 5, c: int = 60) -> str:
+    """Reciprocal-rank fusion oracle: the e5-grid brute-force ranking
+    and the int8 integer-dot ranking (both already hash-verified
+    standalone) fused with the float-free integer RRF grid
+    floor(1e9 / (c + rank)); absent-from-list contributes 0."""
+    return f"""
+    WITH xv AS MATERIALIZED (
+      SELECT vec_id,
+             UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id,
+             CASE WHEN SUM(x * x) = 0 THEN 1 ELSE SQRT(SUM(x * x)) END AS nn
+      FROM xv GROUP BY 1
+    ),
+    w8 AS MATERIALIZED (
+      SELECT v.vec_id, v.dim,
+             LEAST(GREATEST(CAST(FLOOR(127 * v.x / n.nn + 0.5) AS BIGINT),
+                            -127), 127) AS w
+      FROM xv v JOIN nrm n USING (vec_id)
+    ),
+    qids AS (SELECT vec_id AS query_id FROM embeddings
+             ORDER BY vec_id LIMIT {n_queries}),
+    scores AS (
+      SELECT q.query_id, e.vec_id, SUM(e.w * qe.w) AS score_i
+      FROM qids q
+      JOIN w8 qe ON qe.vec_id = q.query_id
+      JOIN w8 e ON e.dim = qe.dim
+      GROUP BY 1, 2
+    ),
+    int8_top AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_i DESC, vec_id) AS rank
+        FROM scores) WHERE rank <= {topk}
+    ),
+    brute_scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(FLOOR(list_cosine_similarity(e.embedding, qq.embedding)
+                        * 100000 + 0.5) AS BIGINT) AS cos_e5
+      FROM embeddings e
+      CROSS JOIN qids q
+      JOIN embeddings qq ON qq.vec_id = q.query_id
+    ),
+    brute_top AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_e5 DESC, vec_id) AS rank
+        FROM brute_scored) WHERE rank <= {topk}
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, i.query_id) AS query_id,
+             COALESCE(b.vec_id, i.vec_id) AS vec_id,
+             COALESCE(1000000000 // ({c} + b.rank), 0)
+               + COALESCE(1000000000 // ({c} + i.rank), 0) AS rrf
+      FROM brute_top b
+      FULL JOIN int8_top i
+        ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+    )
+    SELECT query_id, vec_id, CAST(rrf AS BIGINT) AS rrf,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, vec_id) AS rank
+      FROM fused) WHERE rank <= {topk}
+    ORDER BY query_id, rank"""
 
 
 def _kmeans_ctes(k: int, iters: int, q_body: str | None = None) -> str:
@@ -3583,6 +3663,54 @@ def oracle_sql() -> dict[str, str]:
     FROM h JOIN t ON h.lang = t.lang
     GROUP BY 1, 2, 3 ORDER BY 1""",
         "semantic_dedup": _semdedup_sql(),
+        "rrf_fusion_topk": _rrf_sql(),
+        "customer_rfm": """
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+      FROM orders
+    ),
+    g AS (SELECT MAX(day) AS anchor FROM o)
+    SELECT CAST(o.o_custkey AS BIGINT) AS c_custkey,
+           CAST(g.anchor - MAX(o.day) AS BIGINT) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.price_e2) AS BIGINT) AS monetary_e2
+    FROM o, g GROUP BY 1, g.anchor ORDER BY 1""",
+        "supplier_lead_time": """
+    WITH l AS (
+      SELECT l.l_suppkey,
+             epoch_us(l.l_shipdate) // 86400000000
+               - epoch_us(o.o_orderdate) // 86400000000 AS lead
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(l.l_suppkey AS BIGINT) AS s_suppkey,
+           ANY_VALUE(s.s_name) AS s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.lead) AS BIGINT) AS sum_days,
+           CAST(MIN(l.lead) AS BIGINT) AS min_days,
+           CAST(MAX(l.lead) AS BIGINT) AS max_days
+    FROM l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1 ORDER BY 1""",
+        "lang_vocab_overlap": """
+    WITH toks AS (
+      SELECT DISTINCT lang,
+             UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    v AS (SELECT lang, COUNT(*) AS nv FROM toks GROUP BY 1),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+      FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT va.lang AS lang_a, vb.lang AS lang_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           CAST(va.nv AS BIGINT) AS n_a, CAST(vb.nv AS BIGINT) AS n_b
+    FROM v va JOIN v vb ON va.lang < vb.lang
+    LEFT JOIN inter i ON i.lang_a = va.lang AND i.lang_b = vb.lang
+    ORDER BY 1, 2""",
         "lineitem_skyline": """
     WITH u AS (
       SELECT l_orderkey, l_linenumber,

@@ -12012,3 +12012,282 @@ def mannwhitney_by_type(sf_dir: str) -> pd.DataFrame:
     for c in ("n_a", "n_b", "u2_a"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+
+
+def rrf_fusion_topk(sf_dir: str) -> pd.DataFrame:
+    """[graft] Reciprocal-rank fusion of the two hash-verified ANN
+    rankings (exact e5-grid brute-force cosine and int8-quantized
+    integer dot): fused(d) = sum over lists of floor(1e9 / (RRF_C +
+    rank_d)) for the lists d appears in — the float-free integer RRF
+    grid, so fusion order is bit-deterministic. Both input rankings
+    are distributed scans with k*n_blocks merge candidates; the fusion
+    itself touches only k rows per (query, list) — O(queries * k)
+    regardless of corpus size."""
+    from ..stages.similarity import int8_topk_cosine
+
+    qids, qvecs = _query_vectors(sf_dir)
+    emb = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    brute = topk_similarity(sf_dir)[["query_id", "vec_id", "rank"]].rename(
+        columns={"rank": "rank_fp"}
+    )
+    quant = int8_topk_cosine(emb, qids, qvecs, k=TOPK_K)[
+        ["query_id", "vec_id", "rank"]
+    ].rename(columns={"rank": "rank_i8"})
+    fused = brute.merge(quant, on=["query_id", "vec_id"], how="outer")
+    score = np.zeros(len(fused), np.int64)
+    for col in ("rank_fp", "rank_i8"):
+        r = fused[col].to_numpy(np.float64)
+        ok = ~np.isnan(r)
+        score[ok] += 10**9 // (RRF_C + r[ok].astype(np.int64))
+    fused["rrf"] = score
+    fused = fused.sort_values(
+        ["query_id", "rrf", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    out = fused.groupby("query_id", sort=True).head(TOPK_K).reset_index(
+        drop=True
+    )
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    for c in ("query_id", "vec_id", "rrf"):
+        out[c] = out[c].astype(np.int64)
+    return out[["query_id", "vec_id", "rrf", "rank"]]
+
+
+def customer_rfm(sf_dir: str) -> pd.DataFrame:
+    """[graft] Classic RFM segmentation per customer: recency (days
+    from the customer's last order to the global last order), frequency
+    (order count) and monetary value (exact e2 totalprice sum). The
+    per-block partials (max-day, count, sum) are mergeable, so one
+    custkey exchange carries one row per (block, customer); the global
+    anchor day folds from the same partials."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    nparts = adaptive_parts(dataset_nbytes(orders) or 0)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        d = pd.DataFrame(
+            {"c_custkey": b["o_custkey"].to_numpy(np.int64),
+             "last_day": day,
+             "n_orders": np.ones(len(b), np.int64),
+             "monetary_e2": _scaled_int(
+                 b["o_totalprice"].to_numpy(np.float64), 100.0
+             )}
+        )
+        out = d.groupby("c_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+            monetary_e2=("monetary_e2", "sum"),
+        )
+        out["part"] = out["c_custkey"] % nparts
+        return out
+
+    def reduce_cust(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"c_custkey": np.empty(0, np.int64),
+                 "last_day": np.empty(0, np.int64),
+                 "n_orders": np.empty(0, np.int64),
+                 "monetary_e2": np.empty(0, np.int64)}
+            )
+        return g.groupby("c_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+            monetary_e2=("monetary_e2", "sum"),
+        )
+
+    per_cust = (
+        orders.map_batches(partials, batch_format="pandas")
+        .groupby("part")
+        .map_groups(reduce_cust, batch_format="pandas")
+        .to_pandas()
+    )
+    anchor = int(per_cust["last_day"].max())
+    out = pd.DataFrame(
+        {"c_custkey": per_cust["c_custkey"].astype(np.int64),
+         "recency_days": (anchor - per_cust["last_day"]).astype(np.int64),
+         "n_orders": per_cust["n_orders"].astype(np.int64),
+         "monetary_e2": per_cust["monetary_e2"].astype(np.int64)}
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def supplier_lead_time(sf_dir: str) -> pd.DataFrame:
+    """[graft] Order-to-ship lead time per supplier: lineitem and
+    orders meet on ONE orderkey-partitioned union exchange (the Q7
+    discipline), lead = shipdate - orderdate in exact integer days;
+    per-supplier (n, sum, min, max) partials fold on a dimension-sized
+    key with names decorated from the broadcast supplier table."""
+    import pyarrow.parquet as pq_
+
+    supp = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        day = (
+            b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"okey": ok, "day": day, "sk": np.zeros(len(ok), np.int64),
+             "kind": np.zeros(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        day = (
+            b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {"okey": ok, "day": day,
+             "sk": b["l_suppkey"].to_numpy(np.int64),
+             "kind": np.ones(len(ok), np.int8), "part": ok % nparts}
+        )
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"s_suppkey": np.empty(0, np.int64),
+                 "n_lines": np.empty(0, np.int64),
+                 "sum_days": np.empty(0, np.int64),
+                 "min_days": np.empty(0, np.int64),
+                 "max_days": np.empty(0, np.int64)}
+            )
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        od = dict(zip(o["okey"].to_numpy(np.int64), o["day"].to_numpy(np.int64)))
+        base = l["okey"].map(od)
+        ok = base.notna().to_numpy()
+        lead = l["day"].to_numpy(np.int64)[ok] - base.to_numpy()[ok].astype(np.int64)
+        d = pd.DataFrame(
+            {"s_suppkey": l["sk"].to_numpy(np.int64)[ok], "lead": lead}
+        )
+        return d.groupby("s_suppkey", as_index=False).agg(
+            n_lines=("lead", "size"), sum_days=("lead", "sum"),
+            min_days=("lead", "min"), max_days=("lead", "max"),
+        )
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("s_suppkey", as_index=False).agg(
+        n_lines=("n_lines", "sum"), sum_days=("sum_days", "sum"),
+        min_days=("min_days", "min"), max_days=("max_days", "max"),
+    )
+    out["s_name"] = out["s_suppkey"].map(sname)
+    for c in ("s_suppkey", "n_lines", "sum_days", "min_days", "max_days"):
+        out[c] = out[c].astype(np.int64)
+    return out[
+        ["s_suppkey", "s_name", "n_lines", "sum_days", "min_days", "max_days"]
+    ].sort_values("s_suppkey").reset_index(drop=True)
+
+
+def lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """[graft] Pairwise vocabulary overlap between languages: distinct
+    whitespace tokens per language (the corpus tokenizer convention),
+    |V_a & V_b| per ordered pair plus both vocabulary sizes — the
+    integer ingredients of Jaccard, never the float. Per-block distinct
+    (token, lang) pairs exchange on token hash; each token group emits
+    at most lang-pair-count partial rows, so the fold is
+    dimension-sized regardless of corpus size. Pairs with zero overlap
+    still appear (n_common = 0)."""
+    from ..functions.text import WS_RE
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    nparts = adaptive_parts(dataset_nbytes(docs) or 0)
+
+    def tok_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        toks, langs = [], []
+        for text, lang in zip(b["text"], b["lang"]):
+            seen = {t for t in WS_RE.split(text) if t}
+            toks.extend(seen)
+            langs.extend([lang] * len(seen))
+        d = pd.DataFrame({"token": toks, "lang": langs}).drop_duplicates()
+        d["part"] = (
+            pd.util.hash_pandas_object(d["token"], index=False)
+            .to_numpy(np.uint64) % np.uint64(max(nparts, 1))
+        ).astype(np.int64)
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"lang_a": pd.Series([], dtype=object),
+                 "lang_b": pd.Series([], dtype=object),
+                 "n_common": np.empty(0, np.int64),
+                 "n_voc": np.empty(0, np.int64)}
+            )
+        g = g.drop_duplicates(["token", "lang"])
+        v = g.groupby("lang", sort=False).size()
+        m = g.merge(g, on="token")
+        m = m[m["lang_x"] < m["lang_y"]]
+        c = m.groupby(["lang_x", "lang_y"], sort=False).size()
+        parts_ = [
+            {"lang_a": a, "lang_b": b2, "n_common": int(n), "n_voc": 0}
+            for (a, b2), n in c.items()
+        ] + [
+            {"lang_a": l, "lang_b": "", "n_common": 0, "n_voc": int(n)}
+            for l, n in v.items()
+        ]
+        return pd.DataFrame(parts_)
+
+    folded = (
+        docs.map_batches(tok_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    vocab = (
+        folded[folded["lang_b"] == ""]
+        .groupby("lang_a")["n_voc"].sum().to_dict()
+    )
+    common = (
+        folded[folded["lang_b"] != ""]
+        .groupby(["lang_a", "lang_b"], as_index=False)["n_common"].sum()
+    )
+    langs = sorted(vocab)
+    rows = []
+    cmap = {
+        (r.lang_a, r.lang_b): int(r.n_common) for r in common.itertuples()
+    }
+    for i in range(len(langs)):
+        for j in range(i + 1, len(langs)):
+            a, b2 = langs[i], langs[j]
+            rows.append(
+                {"lang_a": a, "lang_b": b2,
+                 "n_common": cmap.get((a, b2), 0),
+                 "n_a": vocab[a], "n_b": vocab[b2]}
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_common", "n_a", "n_b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)

@@ -1,7 +1,7 @@
 """Median-of-N scaling protocol (VERDICT r3 item 3): run the full
 ``bench.py --scaling`` 2->8 measurement N times (first run also records
 the DRAM-bound 8->32 secondary pairing), report every efficiency plus
-the median/min, and write BENCH/scaling_r4.json. The criterion wants
+the median/min, and write BENCH/scaling_r5.json. The criterion wants
 the TYPICAL run above 0.8, not the best — this is the committed
 protocol for that claim.
 
@@ -41,7 +41,7 @@ def main() -> int:
         "runs": runs,
     }
     print(json.dumps(summary), flush=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_r4.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_r5.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return 0
 

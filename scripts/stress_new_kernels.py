@@ -73,6 +73,11 @@ def main() -> None:
         ("cdc_latest_state", q.cdc_latest_state),
         ("session_concurrency_peak", q.session_concurrency_peak),
         ("sax_symbols", q.sax_symbols),
+        # round-5 scan kernels
+        ("ohlc_bars_1h", q.ohlc_bars_1h),
+        ("user_value_drawdown", q.user_value_drawdown),
+        ("user_cusum_alarms", q.user_cusum_alarms),
+        ("mannwhitney_by_type", q.mannwhitney_by_type),
     ]:
         t0 = time.perf_counter()
         out = fn(sf_dir)
