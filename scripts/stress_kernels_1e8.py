@@ -86,6 +86,12 @@ def main() -> int:
         ("concurrency_peak", q.session_concurrency_peak),
         ("cdc_latest_state", lambda d: q.cdc_latest_state(d, as_dataset=True)),
         ("winsorized_totals", q.winsorized_totals),
+        # round-5 scan kernels (drawdown/cusum collect one row per user
+        # — 1.5M rows here; a 100-TB caller would write them out)
+        ("ohlc_bars_1h", q.ohlc_bars_1h),
+        ("user_value_drawdown", q.user_value_drawdown),
+        ("user_cusum_alarms", q.user_cusum_alarms),
+        ("mannwhitney_by_type", q.mannwhitney_by_type),
     ]:
         t0 = time.perf_counter()
         out = fn(sf_dir)
