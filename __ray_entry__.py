@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_lead_time": q.supplier_lead_time,
         # pairwise language vocabulary overlap (Jaccard ingredients) — hash-verified
         "lang_vocab_overlap": q.lang_vocab_overlap,
+        # gaps-and-islands longest increasing streak per user — hash-verified
+        "longest_value_streak": q.longest_value_streak,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3711,6 +3713,35 @@ def oracle_sql() -> dict[str, str]:
     FROM v va JOIN v vb ON va.lang < vb.lang
     LEFT JOIN inter i ON i.lang_a = va.lang AND i.lang_b = vb.lang
     ORDER BY 1, 2""",
+        "longest_value_streak": """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, v,
+             LAG(v) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS prev_v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, rn,
+             SUM(CASE WHEN prev_v IS NULL OR v <= prev_v THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY rn) AS island
+      FROM s
+    ),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS run_len
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_events,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY 1 ORDER BY 1""",
         "lineitem_skyline": """
     WITH u AS (
       SELECT l_orderkey, l_linenumber,

@@ -12291,3 +12291,51 @@ def lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     for c in ("n_common", "n_a", "n_b"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+def longest_value_streak(sf_dir: str) -> pd.DataFrame:
+    """[graft] Gaps-and-islands streak analytics per user: the longest
+    run of strictly-increasing consecutive values (ordered by
+    (ts, event_id)) plus the number of maximal increasing runs. The
+    island id is the running count of non-increasing steps — a pure
+    cumsum over the sorted scan, so the engine stays vectorized per
+    user-hash partition and the oracle is the classic two-window
+    gaps-and-islands SQL."""
+    parts = _per_user_scan_parts(sf_dir)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": np.empty(0, np.int64),
+                 "n_events": np.empty(0, np.int64),
+                 "longest_streak": np.empty(0, np.int64),
+                 "n_runs": np.empty(0, np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        rising = np.r_[False, v[1:] > v[:-1]] & ~new_user
+        island = np.cumsum(~rising)  # constant within an increasing run
+        d = pd.DataFrame({"user_id": uid, "island": island})
+        runs = (
+            d.groupby(["user_id", "island"], sort=False)
+            .size()
+            .reset_index(name="run_len")
+        )
+        return (
+            runs.groupby("user_id", sort=False)
+            .agg(n_events=("run_len", "sum"),
+                 longest_streak=("run_len", "max"),
+                 n_runs=("run_len", "size"))
+            .reset_index()
+        )
+
+    out = (
+        parts.groupby("part")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
