@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_overlap": q.lang_vocab_overlap,
         # gaps-and-islands longest increasing streak per user — hash-verified
         "longest_value_streak": q.longest_value_streak,
+        # sliding-window rate-limit audit (RANGE-frame counts) — hash-verified
+        "rate_limit_violations": q.rate_limit_violations,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3742,6 +3744,21 @@ def oracle_sql() -> dict[str, str]:
            CAST(MAX(run_len) AS BIGINT) AS longest_streak,
            CAST(COUNT(*) AS BIGINT) AS n_runs
     FROM runs GROUP BY 1 ORDER BY 1""",
+        "rate_limit_violations": """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    w AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                            RANGE BETWEEN 86400000000 PRECEDING
+                            AND CURRENT ROW) AS wc
+      FROM e
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN wc > 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           CAST(MAX(wc) AS BIGINT) AS max_window_count
+    FROM w GROUP BY 1 ORDER BY 1""",
         "lineitem_skyline": """
     WITH u AS (
       SELECT l_orderkey, l_linenumber,

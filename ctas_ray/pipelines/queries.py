@@ -12339,3 +12339,60 @@ def longest_value_streak(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+RATE_WINDOW_US = 86_400_000_000  # 24 h sliding window
+RATE_LIMIT_K = 5             # violation when > K events in the window
+
+
+def rate_limit_violations(sf_dir: str) -> pd.DataFrame:
+    """[graft] Sliding-window rate-limit audit per user: for every
+    event, the count of the user's events in the trailing 24 h window
+    (RANGE semantics — all equal-timestamp peers included, matching
+    the SQL RANGE frame exactly); report events, violations
+    (window count > K) and the peak window count. Vectorized with two
+    searchsorted passes over a dense-uid composite key per user-hash
+    partition — no per-user Python loop, so partition cost is
+    O(n log n) at any user cardinality."""
+    parts = _per_user_scan_parts(sf_dir)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": np.empty(0, np.int64),
+                 "n_events": np.empty(0, np.int64),
+                 "n_violations": np.empty(0, np.int64),
+                 "max_window_count": np.empty(0, np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        # dense uid index + partition-relative time keep the composite
+        # sort key inside int64 no matter how large raw user ids get
+        dense = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype(np.int64)])
+        rel = ts - ts.min()
+        span = int(rel.max()) + RATE_WINDOW_US + 1
+        key = dense * span + rel
+        lo = np.searchsorted(key, dense * span + np.maximum(
+            rel - RATE_WINDOW_US, 0), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        wc = (hi - lo).astype(np.int64)
+        d = pd.DataFrame(
+            {"user_id": uid,
+             "viol": (wc > RATE_LIMIT_K).astype(np.int64), "wc": wc}
+        )
+        return (
+            d.groupby("user_id", sort=False)
+            .agg(n_events=("wc", "size"), n_violations=("viol", "sum"),
+                 max_window_count=("wc", "max"))
+            .reset_index()
+        )
+
+    out = (
+        parts.groupby("part")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
