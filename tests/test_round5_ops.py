@@ -93,3 +93,49 @@ def test_mixture_rate_caps():
         rate = min(10**9, target * 10**9 // c)
         assert 0 <= rate <= 10**9
     assert min(10**9, (total * 90 // 100) * 10**9 // 300) == 10**9
+
+
+def test_rate_limit_window_counts_match_bruteforce():
+    # searchsorted composite-key window == brute-force RANGE semantics
+    # (all equal-timestamp peers included)
+    rng = np.random.RandomState(5)
+    W = 100
+    for _ in range(15):
+        n = rng.randint(1, 80)
+        uid = np.sort(rng.randint(0, 4, n)).astype(np.int64)
+        ts = np.sort(rng.randint(0, 500, n)).astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        dense = np.cumsum(np.r_[0, (uid[1:] != uid[:-1]).astype(np.int64)])
+        rel = ts - ts.min()
+        span = int(rel.max()) + W + 1
+        key = dense * span + rel
+        lo = np.searchsorted(key, dense * span + np.maximum(rel - W, 0),
+                             side="left")
+        hi = np.searchsorted(key, key, side="right")
+        wc = hi - lo
+        brute = np.array([
+            int(((uid == uid[i]) & (ts >= ts[i] - W) & (ts <= ts[i])).sum())
+            for i in range(n)
+        ])
+        assert (wc == brute).all()
+
+
+def test_streak_islands_match_bruteforce():
+    rng = np.random.RandomState(9)
+    for _ in range(15):
+        n = rng.randint(1, 60)
+        v = rng.randint(0, 5, n).astype(np.int64)
+        rising = np.r_[False, v[1:] > v[:-1]]
+        island = np.cumsum(~rising)
+        runs = np.bincount(island)[1:]
+        # brute: walk the runs
+        best, cur, cnt = 1, 1, 1
+        for i in range(1, n):
+            if v[i] > v[i - 1]:
+                cur += 1
+            else:
+                cur = 1
+                cnt += 1
+            best = max(best, cur)
+        assert runs.max() == best and len(runs) == cnt and runs.sum() == n
