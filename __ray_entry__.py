@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_value_streak": q.longest_value_streak,
         # sliding-window rate-limit audit (RANGE-frame counts) — hash-verified
         "rate_limit_violations": q.rate_limit_violations,
+        # referential-integrity orphan audit across the fact chain — hash-verified
+        "referential_integrity_audit": q.referential_integrity_audit,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3759,6 +3761,29 @@ def oracle_sql() -> dict[str, str]:
              AS n_violations,
            CAST(MAX(wc) AS BIGINT) AS max_window_count
     FROM w GROUP BY 1 ORDER BY 1""",
+        "referential_integrity_audit": """
+    WITH checks(check_name, n_violations, n_universe) AS (
+      SELECT 'orphan_lineitems',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)),
+             (SELECT COUNT(*) FROM lineitem)
+      UNION ALL
+      SELECT 'orders_bad_custkey',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_wo_lineitems',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey)),
+             (SELECT COUNT(*) FROM orders)
+    )
+    SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n_universe AS BIGINT) AS n_universe
+    FROM checks ORDER BY check_name""",
         "lineitem_skyline": """
     WITH u AS (
       SELECT l_orderkey, l_linenumber,

@@ -12396,3 +12396,97 @@ def rate_limit_violations(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """[graft] Referential-integrity audit across the fact chain:
+    lineitems whose orderkey has no order, orders whose custkey has no
+    customer, and orders with zero lineitems — the three orphan
+    classes a 100-TB ingest monitors. One orderkey-partitioned union
+    exchange resolves both lineitem-side checks (per-group set
+    algebra on reduced per-key partials); the customer side is a
+    broadcast key-set probe (customer is dimension-sized). Output is
+    one row per check with violation and universe counts."""
+    import pyarrow.parquet as pq_
+
+    cust_keys = set(
+        pq_.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        )["c_custkey"].to_pylist()
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    nparts = adaptive_parts(
+        (dataset_nbytes(orders) or 0) + (dataset_nbytes(li) or 0)
+    )
+
+    def o_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        bad_cust = (
+            ~b["o_custkey"].astype(int).isin(cust_keys)
+        ).to_numpy(np.int64)
+        return pd.DataFrame(
+            {"okey": ok, "n": np.ones(len(ok), np.int64),
+             "bad_cust": bad_cust, "kind": np.zeros(len(ok), np.int8),
+             "part": ok % nparts}
+        )
+
+    def l_rows(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {"okey": b["l_orderkey"].to_numpy(np.int64)}
+        ).groupby("okey", as_index=False).size().rename(columns={"size": "n"})
+        d["n"] = d["n"].astype(np.int64)
+        d["bad_cust"] = np.zeros(len(d), np.int64)
+        d["kind"] = np.ones(len(d), np.int8)
+        d["part"] = d["okey"] % nparts
+        return d
+
+    def meet(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"n_orders": np.empty(0, np.int64),
+                 "n_lineitems": np.empty(0, np.int64),
+                 "orphan_lineitems": np.empty(0, np.int64),
+                 "orders_wo_lineitems": np.empty(0, np.int64),
+                 "orders_bad_custkey": np.empty(0, np.int64)}
+            )
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1].groupby("okey", as_index=False)["n"].sum()
+        okeys = set(o["okey"].to_numpy())
+        lmask = l["okey"].isin(okeys).to_numpy()
+        return pd.DataFrame(
+            {"n_orders": [np.int64(len(o))],
+             "n_lineitems": [np.int64(l["n"].sum())],
+             "orphan_lineitems": [np.int64(l["n"].to_numpy()[~lmask].sum())],
+             "orders_wo_lineitems": [np.int64(
+                 len(okeys - set(l["okey"].to_numpy()))
+             )],
+             "orders_bad_custkey": [np.int64(o["bad_cust"].sum())]}
+        )
+
+    parts = (
+        orders.map_batches(o_rows, batch_format="pandas")
+        .union(li.map_batches(l_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(meet, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = parts.sum()
+    rows = [
+        ("orphan_lineitems", int(tot["orphan_lineitems"]),
+         int(tot["n_lineitems"])),
+        ("orders_bad_custkey", int(tot["orders_bad_custkey"]),
+         int(tot["n_orders"])),
+        ("orders_wo_lineitems", int(tot["orders_wo_lineitems"]),
+         int(tot["n_orders"])),
+    ]
+    out = pd.DataFrame(
+        rows, columns=["check_name", "n_violations", "n_universe"]
+    )
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    out["n_universe"] = out["n_universe"].astype(np.int64)
+    return out.sort_values("check_name").reset_index(drop=True)
