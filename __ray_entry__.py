@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limit_violations": q.rate_limit_violations,
         # referential-integrity orphan audit across the fact chain — hash-verified
         "referential_integrity_audit": q.referential_integrity_audit,
+        # BPE training step 1: corpus-wide adjacent-pair counts — hash-verified
+        "bpe_first_merge_pairs": q.bpe_first_merge_pairs,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3784,6 +3786,15 @@ def oracle_sql() -> dict[str, str]:
     SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
            CAST(n_universe AS BIGINT) AS n_universe
     FROM checks ORDER BY check_name""",
+        "bpe_first_merge_pairs": """
+    WITH pairs AS (
+      SELECT substr(text, i + 1, 2) AS pair
+      FROM documents, UNNEST(range(len(text) - 1)) AS t(i)
+      WHERE len(text) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 50""",
         "lineitem_skyline": """
     WITH u AS (
       SELECT l_orderkey, l_linenumber,

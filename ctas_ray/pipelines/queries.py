@@ -12490,3 +12490,68 @@ def referential_integrity_audit(sf_dir: str) -> pd.DataFrame:
     out["n_violations"] = out["n_violations"].astype(np.int64)
     out["n_universe"] = out["n_universe"].astype(np.int64)
     return out.sort_values("check_name").reset_index(drop=True)
+
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_first_merge_pairs(sf_dir: str) -> pd.DataFrame:
+    """[graft] The first iteration of BPE tokenizer training: the
+    corpus-wide frequency of every adjacent character pair (spaces
+    included — the pair spec is the operator contract), top-50 by
+    (count desc, pair asc). Per block, texts become uint32 codepoint
+    arrays and pairs become single int64 keys (cp1 * 2^21 + cp2) —
+    one np.unique per block, no Python loop over characters; pair keys
+    hash-partition so each pair folds in exactly one partition and the
+    driver merges per-partition top-50 candidates (exact: a global
+    top-50 pair is top-50 in its home partition)."""
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    nparts = adaptive_parts(dataset_nbytes(docs) or 0)
+    SHIFT = 1 << 21  # > max Unicode codepoint
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        keys = []
+        for text in b["text"]:
+            if len(text) < 2:
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            cp = cp.astype(np.int64)
+            keys.append(cp[:-1] * SHIFT + cp[1:])
+        if not keys:
+            return pd.DataFrame(
+                {"key": np.empty(0, np.int64), "n": np.empty(0, np.int64),
+                 "part": np.empty(0, np.int64)}
+            )
+        k = np.concatenate(keys)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pd.DataFrame(
+            {"key": uniq, "n": cnt.astype(np.int64),
+             "part": uniq % nparts}
+        )
+
+    def fold_top(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=object),
+                 "n": np.empty(0, np.int64)}
+            )
+        t = g.groupby("key", as_index=False)["n"].sum()
+        t["pair"] = [
+            chr(k // SHIFT) + chr(k % SHIFT)
+            for k in t["key"].to_numpy(np.int64)
+        ]
+        t = t.sort_values(["n", "pair"], ascending=[False, True],
+                          kind="mergesort").head(BPE_TOP_PAIRS)
+        return t[["pair", "n"]]
+
+    cand = (
+        docs.map_batches(pair_counts, batch_format="pandas")
+        .groupby("part")
+        .map_groups(fold_top, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(["n", "pair"], ascending=[False, True],
+                           kind="mergesort").head(BPE_TOP_PAIRS)
+    out = out.reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["pair", "n"]]
