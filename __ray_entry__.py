@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_integrity_audit": q.referential_integrity_audit,
         # BPE training step 1: corpus-wide adjacent-pair counts — hash-verified
         "bpe_first_merge_pairs": q.bpe_first_merge_pairs,
+        # top-20 user journey prefixes (path analytics) — hash-verified
+        "top_user_journeys": q.top_user_journeys,
         # exact integer covariance partials per dim pair — hash-verified
         "embedding_covariance_upper": q.embedding_covariance_upper,
         # greedy MMR diverse top-k over a relevance pool — hash-verified
@@ -3795,6 +3797,21 @@ def oracle_sql() -> dict[str, str]:
     SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
     FROM pairs GROUP BY 1
     ORDER BY n DESC, pair LIMIT 50""",
+        "top_user_journeys": """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    j AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS journey
+      FROM r WHERE rn <= 5 GROUP BY 1
+    )
+    SELECT journey, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM j GROUP BY 1
+    ORDER BY n_users DESC, journey LIMIT 20""",
         "lineitem_skyline": """
     WITH u AS (
       SELECT l_orderkey, l_linenumber,

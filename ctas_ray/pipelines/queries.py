@@ -12555,3 +12555,55 @@ def bpe_first_merge_pairs(sf_dir: str) -> pd.DataFrame:
     out = out.reset_index(drop=True)
     out["n"] = out["n"].astype(np.int64)
     return out[["pair", "n"]]
+
+
+JOURNEY_PREFIX_LEN = 5
+JOURNEY_TOP_K = 20
+
+
+def top_user_journeys(sf_dir: str) -> pd.DataFrame:
+    """[graft] Top user journeys: each user's first JOURNEY_PREFIX_LEN
+    event types (by (ts, event_id)) joined with '>' form the journey
+    prefix; report the JOURNEY_TOP_K most common journeys with
+    (count desc, journey asc) ties. One user-hash exchange; each
+    partition reduces its users to journey-count partials, so the
+    driver folds journey-cardinality rows (bounded by types^prefix),
+    never user-cardinality."""
+    ev = _events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"])
+    nparts = adaptive_parts(dataset_nbytes(ev) or 0)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(np.int64),
+             "ts_us": b["ts"].to_numpy("datetime64[us]").astype(np.int64),
+             "event_id": b["event_id"].to_numpy(np.int64),
+             "event_type": b["event_type"].to_numpy(object),
+             "part": b["user_id"].to_numpy(np.int64) % nparts}
+        )
+
+    def journeys(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"journey": pd.Series([], dtype=object),
+                 "n_users": np.empty(0, np.int64)}
+            )
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        head = g.groupby("user_id", sort=False).head(JOURNEY_PREFIX_LEN)
+        j = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return (
+            j.value_counts().rename_axis("journey").rename("n_users")
+            .reset_index()
+        )
+
+    folded = (
+        ev.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(journeys, batch_format="pandas")
+        .to_pandas()
+        .groupby("journey", as_index=False)["n_users"].sum()
+    )
+    out = folded.sort_values(
+        ["n_users", "journey"], ascending=[False, True], kind="mergesort"
+    ).head(JOURNEY_TOP_K).reset_index(drop=True)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out[["journey", "n_users"]]
